@@ -1,0 +1,23 @@
+"""Multi-chip execution over a jax.sharding.Mesh.
+
+The reference's entire distributed story is a CPython multiprocessing pool
+mapping walker lnprob evaluations onto CPU processes (reference
+inference.py:456-463). The TPU-native replacement is a 2D device mesh:
+
+  * 'walkers' axis — ensemble data parallelism. Each chip owns a walker
+    shard; the stretch move's complementary half is `all_gather`ed over ICI
+    once per half-step (a few KB).
+  * 'lines' axis — model parallelism over catalog transitions for dense
+    catalogs (35k+ lines): each chip accumulates Gaussian opacity over its
+    line shard and the partials are `psum`ed.
+
+Multi-host (DCN) is reserved for independent chains/molecules.
+"""
+
+from cha1_mcmc_tpu.parallel.sharded import (
+    make_mesh,
+    pad_model_lines,
+    run_ensemble_sharded,
+)
+
+__all__ = ["make_mesh", "pad_model_lines", "run_ensemble_sharded"]

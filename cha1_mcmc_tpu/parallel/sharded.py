@@ -1,0 +1,177 @@
+"""shard_map ensemble sampling over a ('walkers', 'lines') mesh.
+
+Collective pattern per ensemble step (all over ICI):
+  all_gather(complement half)   — 2x per step, (W/2, D) each (D <= 14)
+  psum(partial opacity)         — inside each lnprob eval, only if the
+                                  lines axis has > 1 shard
+
+Randomness: every device folds the step key with its walker-shard index
+only, so the devices of one walker shard (across the lines axis) see
+identical randomness and stay in lockstep, while different walker shards
+draw independently.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from cha1_mcmc_tpu.models.forward import SpectralModel, forward_from_lines
+from cha1_mcmc_tpu.inference.params import ParamSpec
+
+__all__ = ["make_mesh", "pad_model_lines", "run_ensemble_sharded"]
+
+WALKER_AXIS = "walkers"
+LINE_AXIS = "lines"
+
+
+def make_mesh(n_walker_shards: int | None = None, n_line_shards: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('walkers', 'lines') mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_walker_shards is None:
+        n_walker_shards = len(devices) // n_line_shards
+    n = n_walker_shards * n_line_shards
+    grid = np.array(devices[:n]).reshape(n_walker_shards, n_line_shards)
+    return Mesh(grid, (WALKER_AXIS, LINE_AXIS))
+
+
+def pad_model_lines(model: SpectralModel, multiple: int) -> SpectralModel:
+    """Pad the line axis to a multiple so it splits evenly across shards.
+
+    Padding lines carry aij = 0, hence tau = 0: they contribute nothing to
+    the accumulated opacity.
+    """
+    L = model.n_lines
+    target = -(-L // multiple) * multiple
+    if target == L:
+        return model
+    pad = target - L
+
+    def pad1(x, value=0.0):
+        return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], value, x.dtype)])
+
+    return dataclasses.replace(
+        model,
+        line_freq=pad1(model.line_freq, 1.0),   # nonzero: avoids 0-division
+        line_elower=pad1(model.line_elower),
+        line_aij=pad1(model.line_aij, 0.0),     # zero Einstein A => tau = 0
+        line_gup=pad1(model.line_gup, 1.0),
+        line_glow=pad1(model.line_glow, 1.0),
+        vel_grid=jnp.concatenate(
+            [model.vel_grid,
+             jnp.broadcast_to(model.vel_grid[-1:], (pad, model.n_channels))]),
+    )
+
+
+def _half_step_sharded(lnprob_batch, ndim, a, coords, lnp, update_first: bool, key):
+    """Update one local half using the globally gathered complement."""
+    W_local = coords.shape[0]
+    h = W_local // 2
+    sl_active = slice(0, h) if update_first else slice(h, W_local)
+    sl_comp = slice(h, W_local) if update_first else slice(0, h)
+    s = coords[sl_active]
+    comp = jax.lax.all_gather(coords[sl_comp], WALKER_AXIS, axis=0, tiled=True)
+
+    k_z, k_pair, k_acc = jax.random.split(key, 3)
+    u = jax.random.uniform(k_z, (h,), dtype=coords.dtype)
+    z = ((a - 1.0) * u + 1.0) ** 2 / a
+    pair = jax.random.randint(k_pair, (h,), 0, comp.shape[0])
+    c = comp[pair]
+    proposal = c + z[:, None] * (s - c)
+
+    lnp_new = lnprob_batch(proposal)
+    lnpdiff = (ndim - 1.0) * jnp.log(z) + lnp_new - lnp[sl_active]
+    accept = jnp.log(jax.random.uniform(k_acc, (h,), dtype=coords.dtype)) < lnpdiff
+
+    coords = coords.at[sl_active].set(jnp.where(accept[:, None], proposal, s))
+    lnp = lnp.at[sl_active].set(jnp.where(accept, lnp_new, lnp[sl_active]))
+    return coords, lnp, jnp.sum(accept)
+
+
+def run_ensemble_sharded(
+    model: SpectralModel,
+    spec: ParamSpec,
+    grid_ints,
+    grid_yerrs,
+    lnprior_fn,
+    pos0,
+    key,
+    nsteps: int,
+    mesh: Mesh,
+    a: float = 2.0,
+):
+    """Run `nsteps` stretch-move steps with walkers and catalog lines sharded.
+
+    pos0: (W, D) with W divisible by 2 * mesh walker shards. Returns
+    (chain (nsteps, W, D), lnps (nsteps, W), accepted (nsteps,),
+    final (pos, lnp)) as global arrays.
+    """
+    n_w = mesh.shape[WALKER_AXIS]
+    n_l = mesh.shape[LINE_AXIS]
+    W, D = pos0.shape
+    if W % (2 * n_w):
+        raise ValueError(f"nwalkers={W} must be divisible by 2*{n_w} walker shards")
+    model = pad_model_lines(model, n_l)
+    dtype = model.dtype
+
+    y = jnp.asarray(grid_ints, dtype=dtype)
+    inv_sigma2 = 1.0 / jnp.asarray(grid_yerrs, dtype=dtype) ** 2
+    line_args = (model.line_freq, model.line_elower, model.line_aij,
+                 model.line_gup, model.line_glow, model.vel_grid)
+    axis_name = LINE_AXIS if n_l > 1 else None
+
+    def local_lnprob(lines_local, theta):
+        lf, le, la, lg, lgl, vg = lines_local
+        ss, Ncol, Tex, vlsr, dV = spec.unpack(jnp.asarray(theta, dtype=dtype))
+        m = forward_from_lines(
+            lf, le, la, lg, lgl, vg, model.q_model, model.grid_freq,
+            model.mask_center, model.dish_size, model.Tbg, dtype,
+            ss, Ncol, Tex, vlsr, dV, axis_name=axis_name)
+        resid = y - m
+        ll = -0.5 * jnp.sum(resid * resid * inv_sigma2 - jnp.log(inv_sigma2))
+        lp = lnprior_fn(theta)
+        return jnp.where(jnp.isfinite(lp) & jnp.isfinite(ll), lp + ll, -jnp.inf)
+
+    line_specs = (P(LINE_AXIS), P(LINE_AXIS), P(LINE_AXIS), P(LINE_AXIS),
+                  P(LINE_AXIS), P(LINE_AXIS, None))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(line_specs, P(WALKER_AXIS, None), P()),
+        out_specs=(P(None, WALKER_AXIS, None), P(None, WALKER_AXIS), P(),
+                   P(WALKER_AXIS, None), P(WALKER_AXIS)),
+        check_vma=False,
+    )
+    def sharded_run(lines_local, pos_local, key):
+        w_idx = jax.lax.axis_index(WALKER_AXIS)
+        lnprob_batch = jax.vmap(partial(local_lnprob, lines_local))
+        lnp_local = lnprob_batch(pos_local)
+
+        def one_step(carry, step_key):
+            coords, lnp = carry
+            k = jax.random.fold_in(step_key, w_idx)
+            k0, k1 = jax.random.split(k)
+            coords, lnp, a0 = _half_step_sharded(lnprob_batch, D, a, coords, lnp, True, k0)
+            coords, lnp, a1 = _half_step_sharded(lnprob_batch, D, a, coords, lnp, False, k1)
+            acc = jax.lax.psum(a0 + a1, WALKER_AXIS)
+            return (coords, lnp), (coords, lnp, acc)
+
+        keys = jax.random.split(key, nsteps)
+        (pos, lnp), (chain, lnps, accepted) = jax.lax.scan(one_step, (pos_local, lnp_local), keys)
+        return chain, lnps, accepted, pos, lnp
+
+    pos0 = jax.device_put(jnp.asarray(pos0, dtype=dtype))
+    chain, lnps, accepted, pos, lnp = jax.jit(sharded_run)(line_args, pos0, key)
+    return chain, lnps, accepted, (pos, lnp)

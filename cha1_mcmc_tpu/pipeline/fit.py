@@ -1,0 +1,157 @@
+"""Fit driver: the TPU-native equivalent of the reference's
+SpectralFitMCMC orchestration (reference inference.py:63-488).
+
+Flow (reference run(), inference.py:475-488):
+  init_setup (reduce data once) -> choose priors (template or
+  posterior-as-prior from a previous chain) -> optional MLE Ncol init ->
+  rejection-init the walker ball -> sample with per-block checkpoints ->
+  posterior plots + summary table.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cha1_mcmc_tpu.constants import CYAN, GRAY, GREEN, RED, RESET
+from cha1_mcmc_tpu.catalogs import load_catalog
+from cha1_mcmc_tpu.models.forward import SpectralModel
+from cha1_mcmc_tpu.inference import (
+    ParamSpec,
+    single_component_lnprior,
+    build_lnlike,
+    build_lnprob,
+    estimate_ncol_mle,
+)
+from cha1_mcmc_tpu.sampler import (
+    EnsembleSampler,
+    chain_to_priors,
+    initialize_walkers,
+    load_chain,
+)
+from cha1_mcmc_tpu.reduce.datagrid import (
+    Datagrid,
+    load_datagrid,
+    reduce_spectrum,
+    save_datagrid,
+)
+from cha1_mcmc_tpu.pipeline.config import FitConfig
+from cha1_mcmc_tpu.pipeline.plotting import plot_results
+
+__all__ = ["SpectralFit"]
+
+
+class SpectralFit:
+    """End-to-end single-molecule fit on TPU."""
+
+    def __init__(self, config: FitConfig):
+        self.config = config
+        self.spec = ParamSpec(ncomp=1, fixed_source_size=config.fixed_source_size)
+        self.dtype = jnp.dtype(config.dtype)
+        self.catalog = None
+        self.sampler: EnsembleSampler | None = None
+
+    # -- data reduction ----------------------------------------------------
+    def init_setup(self) -> Datagrid:
+        """Reduce the observed spectrum once (reference inference.py:305-342)."""
+        cfg = self.config
+        print(f"\n{CYAN}Reducing spectral data for {cfg.mol_name}.{RESET}")
+        if not os.path.exists(cfg.catfile_path):
+            raise FileNotFoundError(f"No catalog file found at {cfg.catfile_path}.")
+        os.makedirs(cfg.mol_folder, exist_ok=True)
+        self.catalog = load_catalog(cfg.catfile_path, name=cfg.mol_name)
+        source_size = (cfg.fixed_source_size if cfg.fixed_source_size is not None
+                       else cfg.template_means[0])
+        grid = reduce_spectrum(
+            self.catalog, cfg.data_path,
+            ll=cfg.lower_limit, ul=cfg.upper_limit,
+            aligned_velocity=cfg.aligned_velocity,
+            dish_size=cfg.dish_size, source_size=source_size,
+            block_interlopers=cfg.block_interlopers,
+        )
+        save_datagrid(cfg.datagrid_path, grid)
+        print(f"{GRAY}Saved reduced spectrum to: {cfg.datagrid_path}{RESET}\n")
+        return grid
+
+    # -- model assembly ----------------------------------------------------
+    def build_model(self, grid: Datagrid) -> SpectralModel:
+        cfg = self.config
+        if self.catalog is None:
+            self.catalog = load_catalog(cfg.catfile_path, name=cfg.mol_name)
+        return SpectralModel.build(
+            self.catalog, grid.covered_trans, grid.freqs,
+            ll=cfg.lower_limit, ul=cfg.upper_limit,
+            dish_size=cfg.dish_size,
+            vel_offset=cfg.aligned_velocity,
+            mask_center=cfg.aligned_velocity,
+            dtype=self.dtype,
+        )
+
+    def _is_within_bounds(self, theta) -> bool:
+        """Host-side box check for walker init (reference inference.py:169-190)."""
+        b = self.config.bounds
+        keys = (["Ncol", "Tex", "vlsr", "dV"] if self.spec.fixed_source_size is not None
+                else ["source_size", "Ncol", "Tex", "vlsr", "dV"])
+        return all(b[k][0] < v < b[k][1] for k, v in zip(keys, theta))
+
+    # -- fitting -----------------------------------------------------------
+    def fit(self, grid: Datagrid) -> np.ndarray:
+        """Sample the posterior; returns the (W, S, D) chain
+        (reference fit_multi_gaussian, inference.py:379-473)."""
+        cfg = self.config
+        print(f"{CYAN}Estimating free parameters for {cfg.mol_name}.{RESET}")
+        model = self.build_model(grid)
+
+        if cfg.template_run:
+            initial = np.asarray(cfg.template_means, dtype=np.float64)
+            prior_means, prior_stds = initial, np.asarray(cfg.template_stds)
+            print(f"{GRAY}Using template priors and initial positions for {cfg.mol_name}.{RESET}")
+        else:
+            prior_chain = load_chain(cfg.prior_path)
+            prior_means, prior_stds = chain_to_priors(prior_chain)
+            initial = prior_means.copy()
+            print(f"{GRAY}Loaded priors from previous chain: {cfg.prior_path}{RESET}")
+
+        lnprior = single_component_lnprior(self.spec, cfg.bounds, prior_means, prior_stds)
+        lnlike = build_lnlike(model, self.spec, grid.ints, grid.yerrs)
+        lnprob = build_lnprob(model, self.spec, grid.ints, grid.yerrs, lnprior)
+
+        if cfg.MLE_for_Ncol:
+            print(f"{GRAY}Initializing Ncol via MLE.{RESET}")
+            try:
+                est = estimate_ncol_mle(lnlike, self.spec, initial, cfg.bounds["Ncol"])
+                ncol_index = 0 if cfg.fixed_source_size is not None else 1
+                initial = np.array(initial, dtype=np.float64)
+                initial[ncol_index] = est
+                print(f"{GREEN}Successful MLE fit for column density. "
+                      f"Prior Ncol: {est:.3e}{RESET}")
+            except RuntimeError as e:
+                print(f"{RED}Failed to initialize Ncol via MLE: {e}{RESET}")
+                raise
+
+        rng = np.random.default_rng(cfg.seed)
+        pos = initialize_walkers(initial, prior_stds, cfg.nwalkers,
+                                 self._is_within_bounds, rng=rng)
+
+        self.sampler = EnsembleSampler(
+            lnprob_fn=lnprob, nwalkers=cfg.nwalkers, ndim=self.spec.ndim,
+            a=cfg.stretch_a, dtype=self.dtype)
+        key = jax.random.PRNGKey(cfg.seed)
+        self.sampler.run_mcmc(
+            pos, cfg.nruns, key,
+            checkpoint_every=cfg.checkpoint_every,
+            chain_file=cfg.chain_path, progress=True)
+        print(f"{GRAY}Acceptance fraction: {self.sampler.acceptance_fraction:.3f}{RESET}")
+        return self.sampler.chain
+
+    # -- full run ----------------------------------------------------------
+    def run(self) -> np.ndarray:
+        cfg = self.config
+        grid = self.init_setup()
+        chain = self.fit(grid)
+        cfg.to_json(os.path.join(cfg.mol_folder, "config.json"))
+        plot_results(cfg.chain_path, self.spec.labels, self.spec.labels_latex)
+        return chain

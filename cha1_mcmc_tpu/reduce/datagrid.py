@@ -1,0 +1,133 @@
+"""Datagrid construction: select channels covering a molecule's lines.
+
+Host-side float64 equivalent of the reference's read_file + init_setup
+(reference inference.py:256-342): simulate the molecule's stick spectrum at
+fixed fiducial parameters, then for every sufficiently-bright transition
+select the observed channels within +-1.5 km/s of the aligned velocity,
+estimate their noise, optionally reject windows containing interloping
+lines, and assemble the sparse 4-tuple datagrid
+(freqs, ints, yerrs, covered_transition_indices).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from cha1_mcmc_tpu.constants import CKM, GRAY, RESET
+from cha1_mcmc_tpu.catalogs.spcat import Catalog
+from cha1_mcmc_tpu.models.forward import simulate_sticks_host
+from cha1_mcmc_tpu.reduce.noise import calc_noise_std
+
+__all__ = ["Datagrid", "read_spectrum", "reduce_spectrum", "load_datagrid", "save_datagrid"]
+
+# Fiducial simulation parameters used only for covered-line selection
+# (reference inference.py:324-325: C=3.4e12, dV=0.89, T=7.0).
+_FIDUCIAL = dict(C=3.4e12, dV=0.89, T=7.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class Datagrid:
+    """Sparse reduced spectrum (reference inference.py:337 4-tuple)."""
+
+    freqs: np.ndarray          # (C,) MHz
+    ints: np.ndarray           # (C,) K
+    yerrs: np.ndarray          # (C,) K
+    covered_trans: np.ndarray  # (L,) indices into the trimmed line list
+
+    def as_object_array(self) -> np.ndarray:
+        return np.array(
+            [self.freqs, self.ints, self.yerrs, self.covered_trans], dtype=object)
+
+
+def read_spectrum(data, restfreqs, int_sim, *, aligned_velocity, shift=None,
+                  GHz=False, block_interlopers=True, verbose=True,
+                  peak_threshold: float = 0.05, velocity_halfwidth: float = 1.5,
+                  interloper_sigma: float = 3.5, calibration_frac: float = 0.1) -> Datagrid:
+    """Select covered channels from an observed spectrum.
+
+    `data` is a (2, N) array [freqs_MHz, intensity]. Semantics per reference
+    read_file (reference inference.py:256-303), including:
+      * a transition participates if its simulated intensity exceeds 5% of
+        the simulation's peak (reference :272-273);
+      * windows are channels with velocity within +-1.5 km/s of the aligned
+        velocity (reference :274-275);
+      * a window whose peak exceeds 3.5x its clipped noise is blocked as an
+        interloper (reference :279);
+      * yerr = sqrt(noise_std^2 + (0.1 * intensity)^2) (reference :290);
+      * overlapping windows overwrite; zero-frequency channels are dropped
+        at the end (reference :298-301).
+    """
+    freqs = np.asarray(data[0], dtype=np.float64)
+    intensity = np.asarray(data[1], dtype=np.float64)
+    if GHz:
+        freqs = freqs * 1000.0
+
+    relevant_freqs = np.zeros(freqs.shape)
+    relevant_intensity = np.zeros(intensity.shape)
+    relevant_yerrs = np.zeros(freqs.shape)
+    covered_trans = []
+
+    def log(msg):
+        if verbose:
+            print(f"{GRAY}{msg}{RESET}")
+
+    int_sim = np.asarray(int_sim, dtype=np.float64)
+    peak = np.max(int_sim)
+    for i, rf in enumerate(np.asarray(restfreqs, dtype=np.float64)):
+        if int_sim[i] > peak_threshold * peak:
+            vel = (rf - freqs) / rf * CKM + (shift if shift else aligned_velocity)
+            locs = np.where((vel < (aligned_velocity + velocity_halfwidth))
+                            & (vel > (aligned_velocity - velocity_halfwidth)))
+            if locs[0].size != 0:
+                noise_mean, noise_std = calc_noise_std(intensity[locs])
+                if block_interlopers and (np.max(intensity[locs]) > interloper_sigma * noise_std):
+                    log(f"{rf:10.4f} MHz  |  Interloping line detected.")
+                else:
+                    covered_trans.append(i)
+                    log(f"{rf:10.4f} MHz  |  Line found.")
+                    relevant_freqs[locs] = freqs[locs]
+                    relevant_intensity[locs] = intensity[locs]
+                    relevant_yerrs[locs] = np.sqrt(
+                        noise_std ** 2 + (intensity[locs] * calibration_frac) ** 2)
+            else:
+                log(f"{rf:10.4f} MHz  |  No data.")
+
+    mask = relevant_freqs > 0
+    return Datagrid(
+        freqs=relevant_freqs[mask],
+        ints=relevant_intensity[mask],
+        yerrs=relevant_yerrs[mask],
+        covered_trans=np.array(covered_trans, dtype=int),
+    )
+
+
+def reduce_spectrum(catalog: Catalog, data_path: str, *, ll: float, ul: float,
+                    aligned_velocity: float, dish_size: float, source_size: float,
+                    block_interlopers: bool = True, verbose: bool = True) -> Datagrid:
+    """Full reduction: fiducial stick sim + channel selection
+    (reference init_setup, inference.py:305-342)."""
+    data = np.load(data_path, allow_pickle=True)
+    freq_sim, int_sim, _ = simulate_sticks_host(
+        catalog, C=[_FIDUCIAL["C"]], dV=[_FIDUCIAL["dV"]], T=[_FIDUCIAL["T"]],
+        ll=[ll], ul=[ul], source_size=source_size, dish_size=dish_size)
+    return read_spectrum(
+        data, freq_sim, int_sim, aligned_velocity=aligned_velocity,
+        block_interlopers=block_interlopers, verbose=verbose)
+
+
+def save_datagrid(path: str, grid: Datagrid) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.save(path, grid.as_object_array(), allow_pickle=True)
+
+
+def load_datagrid(path: str) -> Datagrid:
+    arr = np.load(path, allow_pickle=True)
+    return Datagrid(
+        freqs=np.asarray(arr[0], dtype=np.float64),
+        ints=np.asarray(arr[1], dtype=np.float64),
+        yerrs=np.asarray(arr[2], dtype=np.float64),
+        covered_trans=np.asarray(arr[3], dtype=int),
+    )
