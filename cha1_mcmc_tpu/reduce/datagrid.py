@@ -19,9 +19,16 @@ import numpy as np
 from cha1_mcmc_tpu.constants import CKM, GRAY, RESET
 from cha1_mcmc_tpu.catalogs.spcat import Catalog
 from cha1_mcmc_tpu.models.forward import simulate_sticks_host
-from cha1_mcmc_tpu.reduce.noise import calc_noise_std
+from cha1_mcmc_tpu.reduce.noise import calc_noise_std, calc_noise_std_gotham
 
-__all__ = ["Datagrid", "read_spectrum", "reduce_spectrum", "load_datagrid", "save_datagrid"]
+__all__ = [
+    "Datagrid",
+    "read_spectrum",
+    "read_spectrum_gotham",
+    "reduce_spectrum",
+    "load_datagrid",
+    "save_datagrid",
+]
 
 # Fiducial simulation parameters used only for covered-line selection
 # (reference inference.py:324-325: C=3.4e12, dV=0.89, T=7.0).
@@ -83,6 +90,66 @@ def read_spectrum(data, restfreqs, int_sim, *, aligned_velocity, shift=None,
                             & (vel > (aligned_velocity - velocity_halfwidth)))
             if locs[0].size != 0:
                 noise_mean, noise_std = calc_noise_std(intensity[locs])
+                if block_interlopers and (np.max(intensity[locs]) > interloper_sigma * noise_std):
+                    log(f"{rf:10.4f} MHz  |  Interloping line detected.")
+                else:
+                    covered_trans.append(i)
+                    log(f"{rf:10.4f} MHz  |  Line found.")
+                    relevant_freqs[locs] = freqs[locs]
+                    relevant_intensity[locs] = intensity[locs]
+                    relevant_yerrs[locs] = np.sqrt(
+                        noise_std ** 2 + (intensity[locs] * calibration_frac) ** 2)
+            else:
+                log(f"{rf:10.4f} MHz  |  No data.")
+
+    mask = relevant_freqs > 0
+    return Datagrid(
+        freqs=relevant_freqs[mask],
+        ints=relevant_intensity[mask],
+        yerrs=relevant_yerrs[mask],
+        covered_trans=np.array(covered_trans, dtype=int),
+    )
+
+
+def read_spectrum_gotham(data, restfreqs, int_sim, *, shift: float = 0.0,
+                         GHz=False, block_interlopers=True, verbose=True,
+                         peak_threshold: float = 0.05,
+                         vel_window=(5.3, 6.3),
+                         interloper_sigma: float = 6.0,
+                         calibration_frac: float = 0.1) -> Datagrid:
+    """GOTHAM-variant channel selection (reference
+    scripts/MCMC/TMC1_four_component.py:69-116).
+
+    Differences from the DSN variant reproduced exactly:
+      * fixed velocity window (5.3, 6.3) km/s rather than +-1.5 km/s around
+        an aligned velocity (reference :88);
+      * the frequency->velocity conversion uses c = 300000 km/s rather than
+        ckm = 2.998e5 (reference :87);
+      * interlopers are blocked at 6 sigma (reference :92);
+      * the 3-pass +-10-channel noise estimator (reference :29-66).
+    """
+    freqs = np.asarray(data[0], dtype=np.float64)
+    intensity = np.asarray(data[1], dtype=np.float64)
+    if GHz:
+        freqs = freqs * 1000.0
+
+    relevant_freqs = np.zeros(freqs.shape)
+    relevant_intensity = np.zeros(intensity.shape)
+    relevant_yerrs = np.zeros(freqs.shape)
+    covered_trans = []
+
+    def log(msg):
+        if verbose:
+            print(f"{GRAY}{msg}{RESET}")
+
+    int_sim = np.asarray(int_sim, dtype=np.float64)
+    peak = np.max(int_sim)
+    for i, rf in enumerate(np.asarray(restfreqs, dtype=np.float64)):
+        if int_sim[i] > peak_threshold * peak:
+            vel = (rf - freqs) / rf * 300000.0 + shift
+            locs = np.where((vel < vel_window[1]) & (vel > vel_window[0]))
+            if locs[0].size != 0:
+                noise_mean, noise_std = calc_noise_std_gotham(intensity[locs])
                 if block_interlopers and (np.max(intensity[locs]) > interloper_sigma * noise_std):
                     log(f"{rf:10.4f} MHz  |  Interloping line detected.")
                 else:

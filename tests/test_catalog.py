@@ -1,0 +1,97 @@
+"""Catalog layer: SPCAT parsing and partition functions, differentially
+tested against the read-only reference implementation."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from cha1_mcmc_tpu.catalogs import load_catalog, q_model_for_catalog
+from tests.conftest import CATALOG_DIR, requires_reference
+from tests import reference_oracle
+
+ALL_CATALOGS = sorted(glob.glob(os.path.join(CATALOG_DIR, "*.cat")))
+# Representative subset for the expensive full-parity check: small + hfs +
+# power-law aromatic + state-sum fallback (misspelled pattern) + big.
+PARITY_SUBSET = [
+    "hc5n_hfs", "hc3n", "hc7n_hfs", "hc9n_hfs", "benzonitrile",
+    "azulene", "indene", "acenaphthylene", "cyclopentadiene", "C8H-",
+]
+
+
+@requires_reference
+def test_all_catalogs_parse():
+    assert len(ALL_CATALOGS) >= 35
+    for path in ALL_CATALOGS:
+        cat = load_catalog(path)
+        assert len(cat) > 0
+        assert np.all(np.isfinite(cat.frequency))
+        assert np.all(cat.frequency > 0)
+        assert np.all(np.isfinite(cat.sijmu))
+        assert np.all(cat.gup > 0)
+        assert np.all(cat.glow > 0)
+        # eupper derivation (reference classes.py:90)
+        np.testing.assert_allclose(
+            cat.eupper, cat.elower + cat.frequency / 29979.2458)
+
+
+@requires_reference
+@pytest.mark.parametrize("name", PARITY_SUBSET)
+def test_catalog_parity_with_reference(name):
+    classes, functions, _ = reference_oracle.load_reference()
+    path = os.path.join(CATALOG_DIR, f"{name}.cat")
+    ref = classes.MolCat(name, path)
+    mine = load_catalog(path)
+    np.testing.assert_array_equal(ref.frequency, mine.frequency)
+    np.testing.assert_array_equal(ref.gup, mine.gup)
+    np.testing.assert_array_equal(ref.glow, mine.glow)
+    np.testing.assert_allclose(ref.eupper, mine.eupper)
+    np.testing.assert_allclose(ref.sijmu, mine.sijmu)
+    np.testing.assert_allclose(ref.aij, mine.aij)
+    assert ref.qns == mine.qns
+
+
+@requires_reference
+@pytest.mark.parametrize("name", PARITY_SUBSET)
+def test_partition_function_parity(name):
+    classes, functions, _ = reference_oracle.load_reference()
+    path = os.path.join(CATALOG_DIR, f"{name}.cat")
+    ref = classes.MolCat(name, path)
+    mine = load_catalog(path)
+    qm = q_model_for_catalog(mine)
+    for T in (3.5, 5.0, 7.33, 12.0, 60.0, 300.0):
+        assert np.isclose(functions.calc_q(ref, T), qm.host_eval(T), rtol=1e-12), (name, T)
+
+
+@requires_reference
+def test_partition_function_jittable(hc5n_catalog):
+    import jax
+    import jax.numpy as jnp
+
+    qm = q_model_for_catalog(hc5n_catalog)
+    q_jit = jax.jit(qm)
+    assert np.isclose(float(q_jit(jnp.float32(7.0))), qm.host_eval(7.0), rtol=1e-6)
+
+
+@requires_reference
+def test_state_sum_fallback_used_for_misspelled_patterns():
+    # '1-cyanonapthalene.cat' / 'acenaphthylene.cat' do not match the
+    # reference's (misspelled) dispatch patterns, so both must take the
+    # generic state-sum fallback — same as the reference does.
+    for name in ("acenaphthylene",):
+        cat = load_catalog(os.path.join(CATALOG_DIR, f"{name}.cat"))
+        assert q_model_for_catalog(cat).kind == "states"
+    # while correctly-spelled patterns use analytic forms
+    cat = load_catalog(os.path.join(CATALOG_DIR, "azulene.cat"))
+    assert q_model_for_catalog(cat).kind == "analytic"
+
+
+@requires_reference
+def test_trim_indices_matches_reference(hc5n_catalog):
+    classes, functions, _ = reference_oracle.load_reference()
+    freq = hc5n_catalog.frequency
+    for ll, ul in [(18000, 25000), (0, 1e9), (26000, 27000), (1e9, 2e9)]:
+        ref_trim = functions.trim_array(freq, freq, [ll], [ul])
+        i, i2 = hc5n_catalog.trim_indices(ll, ul)
+        np.testing.assert_array_equal(ref_trim, freq[i:i2])

@@ -1,0 +1,126 @@
+"""End-to-end pipeline tests: short seeded fits, determinism, config
+translation, posterior statistical parity."""
+
+import contextlib
+import io
+import os
+
+import numpy as np
+import pytest
+
+from cha1_mcmc_tpu import FitConfig, SpectralFit
+from tests.conftest import requires_reference, CATALOG_DIR, HC5N_DATA
+
+
+def _config(tmp_path, **kw):
+    base = dict(
+        mol_name="hc5n_hfs", template_run=True, nruns=60, nwalkers=32,
+        cat_folder=CATALOG_DIR, data_path=HC5N_DATA,
+        fit_folder=str(tmp_path / "results"), seed=0, checkpoint_every=30,
+        MLE_for_Ncol=False)
+    base.update(kw)
+    return FitConfig(**base)
+
+
+@requires_reference
+def test_end_to_end_short_fit(tmp_path):
+    cfg = _config(tmp_path)
+    fit = SpectralFit(cfg)
+    with contextlib.redirect_stdout(io.StringIO()):
+        chain = fit.run()
+    assert chain.shape == (32, 60, 4)
+    assert os.path.exists(cfg.chain_path)
+    assert os.path.exists(cfg.chain_path[:-4] + "_corner.png")
+    assert os.path.exists(os.path.join(cfg.mol_folder, "config.json"))
+    saved = np.load(cfg.chain_path)
+    np.testing.assert_array_equal(saved, chain)
+    # all samples respect the box bounds
+    assert saved[..., 0].min() > 1e8 and saved[..., 0].max() < 1e14
+    assert saved[..., 1].min() > 3.5 and saved[..., 1].max() < 12.0
+
+
+@requires_reference
+def test_end_to_end_deterministic(tmp_path):
+    chains = []
+    for run in range(2):
+        cfg = _config(tmp_path / f"run{run}")
+        with contextlib.redirect_stdout(io.StringIO()):
+            chains.append(SpectralFit(cfg).run())
+    np.testing.assert_array_equal(chains[0], chains[1])
+
+
+@requires_reference
+def test_posterior_as_prior_refit(tmp_path):
+    """Template run -> non-template run chained from its posterior
+    (reference inference.py:388-419)."""
+    cfg = _config(tmp_path)
+    with contextlib.redirect_stdout(io.StringIO()):
+        SpectralFit(cfg).run()
+    cfg2 = _config(tmp_path, template_run=False, nruns=30,
+                   prior_path=cfg.chain_path)
+    with contextlib.redirect_stdout(io.StringIO()):
+        chain2 = SpectralFit(cfg2).run()
+    assert chain2.shape == (32, 30, 4)
+    assert os.path.basename(cfg2.chain_path) == "chain.npy"
+    assert os.path.exists(cfg2.chain_path)
+
+
+@requires_reference
+def test_reference_config_dict_translates(tmp_path):
+    """A reference-style config dict maps onto FitConfig 1:1
+    (reference inference.py:585-631)."""
+    ref_style = {
+        "mol_name": "hc5n_hfs",
+        "template_run": True,
+        "nruns": 10,
+        "nwalkers": 16,
+        "bounds": {
+            "source_size": [30.0, 90.0], "Ncol": [1e8, 1e14],
+            "Tex": [3.5, 12.0], "vlsr": [3.0, 5.5], "dV": [0.4, 1.5]},
+        "template_means": np.array([46.91, 3.4e10, 8.0, 4.3, 0.7575]),
+        "template_stds": np.array([6.5, 0.34e10, 3.0, 0.06, 0.22]),
+        "dish_size": 70, "lower_limit": 18000, "upper_limit": 25000,
+        "aligned_velocity": 4.10, "fixed_source_size": 52.0,
+        "MLE_for_Ncol": False, "block_interlopers": True, "parallelize": True,
+        "fit_folder": str(tmp_path / "results"),
+        "cat_folder": CATALOG_DIR,
+        "prior_path": None,
+        "data_paths": {"hc5n_hfs": HC5N_DATA},
+    }
+    cfg = FitConfig.from_dict(ref_style)
+    assert cfg.data_path == HC5N_DATA
+    assert cfg.ndim == 4
+    # source-size prior entries stripped when fixed (reference :634-636)
+    assert len(cfg.template_means) == 4
+    assert cfg.template_means[0] == pytest.approx(3.4e10)
+
+
+@requires_reference
+def test_mle_init_shifts_ncol(tmp_path):
+    cfg = _config(tmp_path, MLE_for_Ncol=True, nruns=10)
+    fit = SpectralFit(cfg)
+    with contextlib.redirect_stdout(io.StringIO()):
+        grid = fit.init_setup()
+        fit.fit(grid)
+    # MLE moves Ncol from the template mean 3.4e10 to the ~3e12 basin
+    first_step = fit.sampler.chain[:, 0, 0]
+    assert np.median(first_step) > 1e12
+
+
+@requires_reference
+@pytest.mark.slow
+def test_posterior_statistical_parity(tmp_path):
+    """Posterior center within tolerance of the reference's published
+    best fit (reference notebooks/DSN_spectra.ipynb cell 7:
+    Ncol 3.24e12, Tex 7.53, vlsr 4.11, dV 0.78) on a seeded medium chain."""
+    cfg = _config(tmp_path, nruns=1500, nwalkers=64, MLE_for_Ncol=True,
+                  checkpoint_every=500)
+    fit = SpectralFit(cfg)
+    with contextlib.redirect_stdout(io.StringIO()):
+        chain = fit.run()
+    burn = chain[:, 300:, :].reshape(-1, 4)
+    med = np.median(burn, axis=0)
+    assert np.isclose(med[0], 3.24e12, rtol=0.25)   # Ncol basin
+    assert np.isclose(med[1], 7.53, rtol=0.15)      # Tex
+    assert np.isclose(med[2], 4.11, atol=0.05)      # vlsr
+    assert np.isclose(med[3], 0.78, rtol=0.15)      # dV
