@@ -1,0 +1,192 @@
+"""Benchmark: HC5N Cha-MMS1 walker-steps/sec, TPU vs the reference CPU path.
+
+Prints ONE JSON line:
+  {"metric": "walker_steps_per_sec_hc5n", "value": <TPU rate>,
+   "unit": "walker_steps/s", "vs_baseline": <TPU rate / reference CPU rate>, ...}
+
+One walker-step == one lnprob evaluation (the reference performs exactly one
+per walker per emcee step, reference inference.py:456-463).
+
+Baseline methodology (the reference publishes no numbers, see BASELINE.md):
+the reference's own per-eval path is executed in place — its MolSim catalog
+math (reference spectral_simulator/classes.py:294-397) plus a vectorized
+NumPy stand-in for its Numba model kernel (numba is not installed here;
+vectorized NumPy is a fair stand-in at this 9-line x 561-channel size) —
+then scaled by the CPU core count to credit the reference's
+multiprocessing.Pool walker fan-out with perfect scaling. Both choices are
+generous to the baseline, making vs_baseline conservative.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_ROOT = "/root/reference"
+
+NWALKERS = 128
+TPU_STEPS = 2000
+BASELINE_SECONDS = 3.0
+
+
+def _problem():
+    from __graft_entry__ import _flagship_problem
+
+    return _flagship_problem()
+
+
+def bench_tpu() -> dict:
+    import jax
+
+    from cha1_mcmc_tpu.inference import build_lnprob
+    from cha1_mcmc_tpu.sampler import run_ensemble
+
+    model, spec, lnprior, ints, yerrs = _problem()
+    lnprob = build_lnprob(model, spec, ints, yerrs, lnprior)
+
+    rng = np.random.default_rng(0)
+    pos0 = np.asarray(
+        np.array([3.24e12, 7.5, 4.11, 0.78])
+        * (1 + 0.01 * rng.standard_normal((NWALKERS, 4))), dtype=np.float32)
+    import jax.numpy as jnp
+
+    pos0 = jnp.asarray(pos0)
+    lnp0 = jax.vmap(lnprob)(pos0)
+    key = jax.random.PRNGKey(0)
+
+    # Warmup/compile.
+    chain, lnps, acc, (pos, lnp) = run_ensemble(lnprob, pos0, lnp0, key, nsteps=TPU_STEPS)
+    jax.block_until_ready(chain)
+    t0 = time.perf_counter()
+    chain, lnps, acc, (pos, lnp) = run_ensemble(lnprob, pos, lnp, key, nsteps=TPU_STEPS)
+    jax.block_until_ready(chain)
+    dt = time.perf_counter() - t0
+    return {
+        "rate": TPU_STEPS * NWALKERS / dt,
+        "steps": TPU_STEPS,
+        "nwalkers": NWALKERS,
+        "seconds": dt,
+        "acceptance": float(np.asarray(acc).sum()) / (TPU_STEPS * NWALKERS),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def _reference_lnprob_factory():
+    """One reference-fidelity lnprob evaluation on the CPU (see module doc)."""
+    means = np.array([3.4e10, 8.0, 4.3, 0.7575])
+    stds = np.array([0.34e10, 3.0, 0.06, 0.22])
+
+    have_reference = os.path.isdir(REFERENCE_ROOT)
+    if have_reference:
+        from tests import reference_oracle
+
+        classes, _, _ = reference_oracle.load_reference()
+        mol_cat = classes.MolCat(
+            "hc5n_hfs", os.path.join(REFERENCE_ROOT, "catalog", "hc5n_hfs.cat"))
+        obs = classes.ObsParams("bench", dish_size=70, source_size=52.0)
+
+        def predict(Ncol, Tex, dV):
+            sim = classes.MolSim(
+                "sim", mol_cat, obs, vlsr=[4.10], C=[Ncol], dV=[dV], T=[Tex],
+                ll=[18000], ul=[25000], gauss=False)
+            return np.array(sim.freq_sim), np.array(sim.tau_sim)
+    else:
+        from cha1_mcmc_tpu.catalogs import load_catalog
+        from cha1_mcmc_tpu.models.forward import simulate_sticks_host
+
+        raise RuntimeError("reference tree required for the baseline measurement")
+
+    from cha1_mcmc_tpu.catalogs import load_catalog
+    from cha1_mcmc_tpu.reduce.datagrid import reduce_spectrum
+
+    catalog = load_catalog(os.path.join(REFERENCE_ROOT, "catalog", "hc5n_hfs.cat"))
+    grid = reduce_spectrum(
+        catalog, os.path.join(REFERENCE_ROOT, "data", "DSN", "cha_mms1_hc5n_example.npy"),
+        ll=18000, ul=25000, aligned_velocity=4.10, dish_size=70,
+        source_size=52.0, block_interlopers=True, verbose=False)
+    covered = grid.covered_trans
+    gfreq, gints, gyerr = grid.freqs, grid.ints, grid.yerrs
+    inv_sigma2 = 1.0 / gyerr ** 2
+    h, k, ckm, cm = 6.626e-34, 1.381e-23, 2.998e5, 2.998e8
+
+    def make_model_numpy(freqs, taus, ss, vlsr, dV, Tex):
+        # Vectorized equivalent of the reference's Numba accumulation kernel
+        # (reference inference.py:44-61).
+        vel = (freqs[:, None] - gfreq[None, :]) / freqs[:, None] * ckm + 4.10
+        mask = np.abs(vel - 4.10) < dV * 10
+        opac = (taus[:, None] * np.where(
+            mask, np.exp(-0.5 * ((vel - vlsr) / (dV / 2.355)) ** 2), 0.0)).sum(0)
+        x = h * gfreq * 1e6 / k
+        J_T = x / (np.exp(x / Tex) - 1 + 1e-10)
+        J_Tbg = x / (np.exp(x / 2.7) - 1 + 1e-10)
+        beam = (cm / (gfreq * 1e6)) * 206265 * 1.22 / 70.0
+        dil = ss ** 2 / (beam ** 2 + ss ** 2)
+        return dil * (J_T - J_Tbg) * (1 - np.exp(-opac))
+
+    def lnprob(theta):
+        Ncol, Tex, vlsr, dV = theta
+        if not (1e8 < Ncol < 1e14 and 3.5 < Tex < 12.0 and 3.0 < vlsr < 5.5
+                and 0.4 < dV < 1.5):
+            return -np.inf
+        std_vlsr, std_dV = means[3] * 0.8, means[3] * 0.3
+        lp = (np.log(1 / (np.sqrt(2 * np.pi) * stds[1])) - 0.5 * (Tex - means[1]) ** 2 / stds[1] ** 2
+              + np.log(1 / (np.sqrt(2 * np.pi) * std_vlsr)) - 0.5 * (vlsr - means[2]) ** 2 / std_vlsr ** 2
+              + np.log(1 / (np.sqrt(2 * np.pi) * std_dV)) - 0.5 * (dV - means[3]) ** 2 / std_dV ** 2)
+        freqs, taus = predict(Ncol, Tex, dV)  # full reference catalog math
+        freqs, taus = freqs[covered], taus[covered]
+        model = make_model_numpy(freqs, taus, 52.0, vlsr, dV, Tex)
+        ll = -0.5 * np.sum((gints - model) ** 2 * inv_sigma2 - np.log(inv_sigma2))
+        return lp + ll
+
+    return lnprob
+
+
+def bench_baseline() -> dict:
+    lnprob = _reference_lnprob_factory()
+    rng = np.random.default_rng(1)
+    thetas = np.array([3.24e12, 7.5, 4.11, 0.78]) * (
+        1 + 0.01 * rng.standard_normal((4096, 4)))
+    # Warmup + timed loop.
+    lnprob(thetas[0])
+    n, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < BASELINE_SECONDS:
+        lnprob(thetas[n % len(thetas)])
+        n += 1
+    dt = time.perf_counter() - t0
+    cores = os.cpu_count() or 1
+    single = n / dt
+    return {
+        "rate": single * cores,
+        "single_core_rate": single,
+        "cores": cores,
+        "evals": n,
+        "seconds": dt,
+    }
+
+
+def main():
+    tpu = bench_tpu()
+    base = bench_baseline()
+    result = {
+        "metric": "walker_steps_per_sec_hc5n",
+        "value": round(tpu["rate"], 1),
+        "unit": "walker_steps/s",
+        "vs_baseline": round(tpu["rate"] / base["rate"], 2),
+        "baseline_walker_steps_per_sec": round(base["rate"], 1),
+        "baseline_single_core": round(base["single_core_rate"], 1),
+        "baseline_cores": base["cores"],
+        "tpu_device": tpu["device"],
+        "tpu_acceptance": round(tpu["acceptance"], 3),
+        "nwalkers": NWALKERS,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
