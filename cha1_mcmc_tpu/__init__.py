@@ -25,7 +25,7 @@ from cha1_mcmc_tpu import constants
 from cha1_mcmc_tpu.catalogs import Catalog, load_catalog, QModel
 from cha1_mcmc_tpu.models import SpectralModel
 from cha1_mcmc_tpu.sampler import EnsembleSampler, run_ensemble
-from cha1_mcmc_tpu.pipeline import FitConfig, SpectralFit
+from cha1_mcmc_tpu.pipeline import FitConfig, SpectralFit, MultiFitConfig, MultiComponentFit
 
 __all__ = [
     "constants",
@@ -37,5 +37,7 @@ __all__ = [
     "run_ensemble",
     "FitConfig",
     "SpectralFit",
+    "MultiFitConfig",
+    "MultiComponentFit",
     "__version__",
 ]

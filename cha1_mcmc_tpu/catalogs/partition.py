@@ -70,7 +70,9 @@ class QModel:
             if hasattr(T, "dtype"):
                 g = g.astype(T.dtype)
                 E = E.astype(T.dtype)
-            return xp.sum(g * xp.exp(-E / (KCM * T)))
+            # Broadcasts over any leading T batch axes (per-walker Tex).
+            T_arr = xp.asarray(T)
+            return xp.sum(g * xp.exp(-E / (KCM * T_arr[..., None])), axis=-1)
         q = xp.zeros_like(T) if hasattr(T, "shape") else 0.0
         for i, c in enumerate(self.coeffs):
             q = q + c * T ** i

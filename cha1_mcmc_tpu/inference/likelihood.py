@@ -13,12 +13,15 @@ effect is obtained by mapping non-finite lnlike values to -inf.
 
 from __future__ import annotations
 
+import numpy as np
+import jax
 import jax.numpy as jnp
 
 from cha1_mcmc_tpu.models.forward import SpectralModel
+from cha1_mcmc_tpu.ops.lte import planck_J, beam_dilution, tau_sticks
 from cha1_mcmc_tpu.inference.params import ParamSpec
 
-__all__ = ["build_lnlike", "build_lnprob"]
+__all__ = ["build_lnlike", "build_lnprob", "build_lnprob_batched"]
 
 
 def build_lnlike(model: SpectralModel, spec: ParamSpec, grid_ints, grid_yerrs):
@@ -56,3 +59,75 @@ def build_lnprob(model: SpectralModel, spec: ParamSpec, grid_ints, grid_yerrs, l
         return jnp.where(jnp.isfinite(lp) & jnp.isfinite(ll), total, -jnp.inf)
 
     return lnprob
+
+
+def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
+                         grid_yerrs, lnprior_fn, *, use_pallas: bool = False,
+                         dv_max: float | None = None, interpret: bool = False):
+    """Batched lnprob(thetas (N, D)) -> (N,), optionally Pallas-backed.
+
+    The vmapped scalar path (build_lnprob) materializes a (N, L, C) Gaussian
+    intermediate; for dense catalogs that is HBM-bandwidth-bound or simply
+    too large to compile. This builder keeps the walker batch explicit so
+    the opacity accumulation can run through the Pallas kernel
+    (models/pallas_kernels.py) with the +-10*dV window as block sparsity.
+
+    dv_max: upper bound on dV used for the *static* block-activity mask
+    (take it from the prior box bounds); required when use_pallas=True.
+    """
+    dtype = model.dtype
+    y = jnp.asarray(grid_ints, dtype=dtype)
+    inv_sigma2 = 1.0 / jnp.asarray(grid_yerrs, dtype=dtype) ** 2
+    K = spec.ncomp
+    C = model.n_channels
+
+    if use_pallas:
+        from cha1_mcmc_tpu.models.pallas_kernels import (
+            block_activity_mask, opacity_pallas)
+
+        if dv_max is None:
+            raise ValueError("use_pallas=True requires dv_max (from prior bounds)")
+        block_mask = jnp.asarray(block_activity_mask(
+            np.asarray(model.vel_grid), model.mask_center, dv_max))
+
+    from cha1_mcmc_tpu.constants import FWHM_TO_SIGMA_MODEL, VELOCITY_WINDOW_DV
+
+    def lnprob_batch(thetas):
+        thetas = jnp.asarray(thetas, dtype=dtype)
+        N = thetas.shape[0]
+        ss, Ncol, Tex, vlsr, dV = spec.unpack(thetas)   # ss (N,K), Tex (N,)
+        Q = model.q_model(Tex)                           # (N,)
+        taus = tau_sticks(
+            jnp, model.line_freq, model.line_elower, model.line_aij,
+            model.line_gup, model.line_glow,
+            Q[:, None, None], Ncol[..., None], Tex[:, None, None],
+            dV[:, None, None])                           # (N, K, L)
+
+        if use_pallas:
+            opac = opacity_pallas(
+                taus.reshape(N * K, -1),
+                vlsr.reshape(N * K),
+                jnp.broadcast_to(dV[:, None], (N, K)).reshape(N * K),
+                model.vel_grid, block_mask,
+                mask_center=model.mask_center, interpret=interpret,
+            ).reshape(N, K, C)
+        else:
+            sigma = (dV / FWHM_TO_SIGMA_MODEL)[:, None, None, None]
+            window = (jnp.abs(model.vel_grid - model.mask_center)
+                      < VELOCITY_WINDOW_DV * dV[:, None, None, None])
+            z = (model.vel_grid - vlsr[..., None, None]) / sigma
+            gauss = jnp.where(window, jnp.exp(-0.5 * z * z), 0.0)  # (N,K,L,C)
+            opac = jnp.einsum("nkl,nklc->nkc", taus, gauss)
+
+        J_T = planck_J(jnp, model.grid_freq, Tex[:, None, None], guard=1e-10)
+        J_Tbg = planck_J(jnp, model.grid_freq,
+                         jnp.asarray(model.Tbg, dtype=dtype), guard=1e-10)
+        dil = beam_dilution(jnp, model.grid_freq, ss[..., None], model.dish_size)
+        m = jnp.sum(dil * (J_T - J_Tbg) * (1.0 - jnp.exp(-opac)), axis=1)  # (N,C)
+
+        resid = y - m
+        ll = -0.5 * jnp.sum(resid * resid * inv_sigma2 - jnp.log(inv_sigma2), axis=-1)
+        lp = jax.vmap(lnprior_fn)(thetas)
+        return jnp.where(jnp.isfinite(lp) & jnp.isfinite(ll), lp + ll, -jnp.inf)
+
+    return lnprob_batch

@@ -1,0 +1,123 @@
+"""Pallas TPU kernel for the Gaussian opacity accumulation.
+
+The hot contraction of the likelihood is
+    opac[w, c] = sum_l tau[w, l] * 1{|v[l,c] - center| < 10 dV_w}
+                 * exp(-0.5 ((v[l,c] - vlsr_w) / (dV_w / 2.355))^2)
+
+(reference inference.py:50-53 computes this per line in a Numba loop).
+The pure-jnp path materializes the (W, L, C) Gaussian intermediate, which
+for dense aromatic catalogs (35k+ transitions, reference
+catalog/1-cyanonapthalene.cat) is tens of GB of HBM traffic per ensemble
+step — pure bandwidth waste, since each element is used exactly once.
+
+This kernel tiles (walkers x channels x lines), keeps every intermediate in
+VMEM, and accumulates the line axis in-place in the output block, so
+nothing (W, L, C)-sized ever exists. The +-10*dV velocity window becomes
+*block sparsity*: a host-precomputed (line-tile x channel-tile) activity
+mask (from the static velocity grid and the prior's dV upper bound) lets
+inactive tiles skip all VPU work via predicated execution.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cha1_mcmc_tpu.constants import FWHM_TO_SIGMA_MODEL, VELOCITY_WINDOW_DV
+
+__all__ = ["opacity_pallas", "block_activity_mask"]
+
+# Tile sizes: walker tile x channel tile x line tile. Chosen so the largest
+# in-kernel intermediate (TL x TC f32) is 256 KB and the velocity block DMA
+# amortizes well.
+TW, TC, TL = 8, 128, 512
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def block_activity_mask(vel_grid: np.ndarray, mask_center: float,
+                        dv_max: float) -> np.ndarray:
+    """(nL, nC) int32 mask: does any (line, channel) in the tile fall inside
+    the widest possible velocity window 10 * dv_max? Static per datagrid."""
+    L, C = vel_grid.shape
+    nL, nC = _ceil_to(L, TL) // TL, _ceil_to(C, TC) // TC
+    inside = np.abs(np.asarray(vel_grid) - mask_center) < VELOCITY_WINDOW_DV * dv_max
+    padded = np.zeros((nL * TL, nC * TC), dtype=bool)
+    padded[:L, :C] = inside
+    blocks = padded.reshape(nL, TL, nC, TC).any(axis=(1, 3))
+    return blocks.astype(np.int32)
+
+
+def _opacity_kernel(mask_ref, tau_ref, vlsr_ref, dv_ref, vel_ref, out_ref,
+                    *, mask_center: float):
+    l_idx = pl.program_id(2)
+    c_idx = pl.program_id(1)
+
+    @pl.when(l_idx == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(mask_ref[l_idx, c_idx] != 0)
+    def _accumulate():
+        vel = vel_ref[:]                      # (TL, TC)
+        rows = []
+        # Per-walker row: 2D (TL, TC) intermediates stay in VMEM.
+        for w in range(TW):
+            vlsr = vlsr_ref[w, 0]
+            dv = dv_ref[w, 0]
+            sigma = dv / FWHM_TO_SIGMA_MODEL
+            window = jnp.abs(vel - mask_center) < VELOCITY_WINDOW_DV * dv
+            z = (vel - vlsr) / sigma
+            gauss = jnp.where(window, jnp.exp(-0.5 * z * z), 0.0)  # (TL, TC)
+            rows.append(jnp.sum(tau_ref[w, :][:, None] * gauss, axis=0))
+        out_ref[:] += jnp.stack(rows, axis=0)  # (TW, TC)
+
+
+@functools.partial(jax.jit, static_argnames=("mask_center", "interpret"))
+def opacity_pallas(taus, vlsr, dV, vel_grid, block_mask, *,
+                   mask_center: float, interpret: bool = False):
+    """Accumulated Gaussian opacity, (W, C).
+
+    taus: (W, L); vlsr, dV: (W,); vel_grid: (L, C);
+    block_mask: (ceil(L/TL), ceil(C/TC)) int32 from block_activity_mask
+    (pass all-ones to disable sparsity).
+    """
+    W, L = taus.shape
+    L2, C = vel_grid.shape
+    assert L == L2
+    dtype = taus.dtype
+    Wp, Lp, Cp = _ceil_to(W, TW), _ceil_to(L, TL), _ceil_to(C, TC)
+
+    taus = jnp.pad(taus, ((0, Wp - W), (0, Lp - L)))
+    # Padded walkers get dV=1 (harmless; their rows are dropped at the end).
+    vlsr_p = jnp.pad(vlsr.reshape(-1, 1), ((0, Wp - W), (0, 0)))
+    dv_p = jnp.pad(dV.reshape(-1, 1), ((0, Wp - W), (0, 0)), constant_values=1.0)
+    # Padded velocity entries sit far outside every window.
+    vel_p = jnp.pad(vel_grid, ((0, Lp - L), (0, Cp - C)),
+                    constant_values=jnp.asarray(1e30, dtype))
+
+    grid = (Wp // TW, Cp // TC, Lp // TL)
+    out = pl.pallas_call(
+        functools.partial(_opacity_kernel, mask_center=mask_center),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # block_mask
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TW, TL), lambda w, c, l, mask: (w, l)),
+                pl.BlockSpec((TW, 1), lambda w, c, l, mask: (w, 0)),
+                pl.BlockSpec((TW, 1), lambda w, c, l, mask: (w, 0)),
+                pl.BlockSpec((TL, TC), lambda w, c, l, mask: (l, c)),
+            ],
+            out_specs=pl.BlockSpec((TW, TC), lambda w, c, l, mask: (w, c)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((Wp, Cp), dtype),
+        interpret=interpret,
+    )(block_mask, taus, vlsr_p, dv_p, vel_p)
+    return out[:W, :C]

@@ -2,6 +2,14 @@
 
 from cha1_mcmc_tpu.pipeline.config import FitConfig
 from cha1_mcmc_tpu.pipeline.fit import SpectralFit
+from cha1_mcmc_tpu.pipeline.multifit import MultiFitConfig, MultiComponentFit
 from cha1_mcmc_tpu.pipeline.plotting import plot_results, summarize_posterior
 
-__all__ = ["FitConfig", "SpectralFit", "plot_results", "summarize_posterior"]
+__all__ = [
+    "FitConfig",
+    "SpectralFit",
+    "MultiFitConfig",
+    "MultiComponentFit",
+    "plot_results",
+    "summarize_posterior",
+]

@@ -117,7 +117,15 @@ class SpectralFit:
 
         lnprior = single_component_lnprior(self.spec, cfg.bounds, prior_means, prior_stds)
         lnlike = build_lnlike(model, self.spec, grid.ints, grid.yerrs)
-        lnprob = build_lnprob(model, self.spec, grid.ints, grid.yerrs, lnprior)
+        if cfg.use_pallas:
+            from cha1_mcmc_tpu.inference.likelihood import build_lnprob_batched
+
+            lnprob = build_lnprob_batched(
+                model, self.spec, grid.ints, grid.yerrs, lnprior,
+                use_pallas=True, dv_max=cfg.bounds["dV"][1],
+                interpret=jax.default_backend() == "cpu")
+        else:
+            lnprob = build_lnprob(model, self.spec, grid.ints, grid.yerrs, lnprior)
 
         if cfg.MLE_for_Ncol:
             print(f"{GRAY}Initializing Ncol via MLE.{RESET}")
@@ -138,7 +146,7 @@ class SpectralFit:
 
         self.sampler = EnsembleSampler(
             lnprob_fn=lnprob, nwalkers=cfg.nwalkers, ndim=self.spec.ndim,
-            a=cfg.stretch_a, dtype=self.dtype)
+            a=cfg.stretch_a, dtype=self.dtype, batched=cfg.use_pallas)
         key = jax.random.PRNGKey(cfg.seed)
         self.sampler.run_mcmc(
             pos, cfg.nruns, key,

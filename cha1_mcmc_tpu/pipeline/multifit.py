@@ -1,0 +1,188 @@
+"""Multi-component (GOTHAM / TMC-1 style) fit driver.
+
+TPU-native equivalent of the reference's 4-component TMC-1 pipeline
+(reference scripts/MCMC/TMC1_four_component.py): N velocity components with
+per-component source size / column density / vlsr and shared Tex / dV,
+ordered-velocity priors, GOTHAM-variant data reduction, and the
+median-of-last-200-steps restart convention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cha1_mcmc_tpu.constants import CYAN, GRAY, RESET
+from cha1_mcmc_tpu.catalogs import load_catalog
+from cha1_mcmc_tpu.models.forward import SpectralModel, simulate_sticks_host
+from cha1_mcmc_tpu.inference import ParamSpec, ordered_velocity_lnprior, build_lnprob
+from cha1_mcmc_tpu.sampler import EnsembleSampler, chain_to_priors, load_chain
+from cha1_mcmc_tpu.reduce.datagrid import Datagrid, read_spectrum_gotham, save_datagrid
+from cha1_mcmc_tpu.pipeline.plotting import plot_results
+
+__all__ = ["MultiFitConfig", "MultiComponentFit"]
+
+# Reference hardcoded HC9N template priors (TMC1_four_component.py:292-294).
+_HC9N_MEANS = (37.0, 25.0, 56.0, 22.0, 2.47e12, 11.19e12, 2.20e12, 5.64e12,
+               6.7, 5.624, 5.790, 5.910, 6.033, 0.117)
+_HC9N_STDS = (2.5, 2.0, 6.5, 2.0, 0.30e12, 1.75e12, 0.265e12, 1.185e12,
+              0.1, 0.0015, 0.001, 0.0035, 0.002, 0.002)
+# Walker-ball perturbation (TMC1_four_component.py:330).
+_PERTURBATION = (1e-1, 1e-1, 1e-1, 1e-1, 1e10, 1e10, 1e10, 1e10,
+                 1e-3, 1e-3, 1e-3, 1e-3, 1e-3, 1e-3)
+
+
+@dataclasses.dataclass
+class MultiFitConfig:
+    """Mirrors the TMC-1 script's input_dict
+    (reference TMC1_four_component.py:393-403) plus model geometry."""
+
+    mol_name: str
+    fit_folder: str = "GOTHAM_fit_results"
+    cat_folder: str = "catalog"
+    data_path: str | None = None
+    block_interlopers: bool = True
+    nruns: int = 10_000
+    nwalkers: int = 128
+    template_run: bool = False
+    restart: bool = True
+    prior_path: str | None = None
+
+    ncomp: int = 4
+    # Observation geometry (reference TMC1_four_component.py:122,160,173,367)
+    dish_size: float = 100.0
+    lower_limit: float = 7000.0
+    upper_limit: float = 30000.0
+    source_velocity: float = 5.8       # mask center (reference :160)
+    # Fiducial sim for covered-line selection (reference :367)
+    fiducial: tuple = (7.0e11, 0.37, 8.0, 40.0)  # (C, dV, T, source_size)
+
+    template_means: tuple = _HC9N_MEANS
+    template_stds: tuple = _HC9N_STDS
+    initial: tuple | None = None       # overrides template means as start
+    perturbation: tuple = _PERTURBATION
+
+    seed: int = 0
+    checkpoint_every: int = 512
+    dtype: str = "float32"
+    stretch_a: float = 2.0
+
+    @property
+    def ndim(self) -> int:
+        return 3 * self.ncomp + 2
+
+    @property
+    def catfile_path(self) -> str:
+        return os.path.join(self.cat_folder, f"{self.mol_name}.cat")
+
+    @property
+    def mol_folder(self) -> str:
+        return os.path.join(self.fit_folder, self.mol_name)
+
+    @property
+    def chain_path(self) -> str:
+        return os.path.join(self.mol_folder, "chain.npy")
+
+    @property
+    def datagrid_path(self) -> str:
+        return os.path.join(
+            self.mol_folder, f"all_{self.mol_name}_lines_GOTHAM_freq_space.npy")
+
+
+class MultiComponentFit:
+    """End-to-end N-component GOTHAM fit."""
+
+    def __init__(self, config: MultiFitConfig):
+        self.config = config
+        self.spec = ParamSpec(ncomp=config.ncomp)
+        self.dtype = jnp.dtype(config.dtype)
+        self.catalog = None
+        self.sampler: EnsembleSampler | None = None
+
+    def init_setup(self) -> Datagrid:
+        """Reduce the GOTHAM spectrum once
+        (reference TMC1_four_component.py:353-383)."""
+        cfg = self.config
+        print(f"{CYAN}Running setup for: {cfg.mol_name}, "
+              f"block interlopers = {cfg.block_interlopers}.{RESET}")
+        if not os.path.exists(cfg.catfile_path):
+            raise FileNotFoundError(f"No catalog file found at {cfg.catfile_path}.")
+        os.makedirs(cfg.mol_folder, exist_ok=True)
+        self.catalog = load_catalog(cfg.catfile_path, name=cfg.mol_name)
+        C, dV, T, ss = cfg.fiducial
+        freq_sim, int_sim, _ = simulate_sticks_host(
+            self.catalog, C=[C], dV=[dV], T=[T],
+            ll=[cfg.lower_limit], ul=[cfg.upper_limit],
+            source_size=ss, dish_size=cfg.dish_size)
+        data = np.load(cfg.data_path, allow_pickle=True)
+        grid = read_spectrum_gotham(
+            data, freq_sim, int_sim, block_interlopers=cfg.block_interlopers)
+        save_datagrid(cfg.datagrid_path, grid)
+        print(f"{GRAY}Saved reduced spectrum to: {cfg.datagrid_path}{RESET}")
+        return grid
+
+    def build_model(self, grid: Datagrid) -> SpectralModel:
+        cfg = self.config
+        if self.catalog is None:
+            self.catalog = load_catalog(cfg.catfile_path, name=cfg.mol_name)
+        return SpectralModel.build(
+            self.catalog, grid.covered_trans, grid.freqs,
+            ll=cfg.lower_limit, ul=cfg.upper_limit,
+            dish_size=cfg.dish_size,
+            vel_offset=0.0, mask_center=cfg.source_velocity,
+            dtype=self.dtype)
+
+    def fit(self, grid: Datagrid) -> np.ndarray:
+        """Sample the N-component posterior
+        (reference fit_multi_gaussian, TMC1_four_component.py:280-350)."""
+        cfg = self.config
+        print(f"{CYAN}Fitting column densities for {cfg.mol_name}. "
+              f"Restart = {cfg.restart}.{RESET}")
+        model = self.build_model(grid)
+
+        if cfg.template_run:
+            initial = np.asarray(cfg.template_means, dtype=np.float64)
+            prior_means, prior_stds = initial, np.asarray(cfg.template_stds)
+        else:
+            prior_chain = load_chain(cfg.prior_path)
+            prior_means, prior_stds = chain_to_priors(prior_chain)
+            if prior_means.shape != (cfg.ndim,):
+                raise ValueError(
+                    f"prior chain has ndim {prior_means.shape}, expected {cfg.ndim}")
+            if cfg.restart:
+                initial = np.asarray(cfg.initial if cfg.initial is not None
+                                     else cfg.template_means, dtype=np.float64)
+            else:
+                # Continue from the median of the last 200 steps
+                # (reference TMC1_four_component.py:325-327).
+                chain_data = load_chain(cfg.chain_path)[:, -200:, :].reshape(-1, cfg.ndim).T
+                initial = np.median(chain_data, axis=1)
+
+        lnprior = ordered_velocity_lnprior(self.spec, prior_means, prior_stds)
+        lnprob = build_lnprob(model, self.spec, grid.ints, grid.yerrs, lnprior)
+
+        # Fixed-perturbation walker ball, no rejection
+        # (reference TMC1_four_component.py:330-331).
+        rng = np.random.default_rng(cfg.seed)
+        perturbation = np.asarray(cfg.perturbation, dtype=np.float64)
+        pos = initial + perturbation * rng.standard_normal((cfg.nwalkers, cfg.ndim))
+
+        self.sampler = EnsembleSampler(
+            lnprob_fn=lnprob, nwalkers=cfg.nwalkers, ndim=cfg.ndim,
+            a=cfg.stretch_a, dtype=self.dtype)
+        key = jax.random.PRNGKey(cfg.seed)
+        self.sampler.run_mcmc(
+            pos, cfg.nruns, key, checkpoint_every=cfg.checkpoint_every,
+            chain_file=cfg.chain_path, progress=True)
+        print(f"{GRAY}Acceptance fraction: {self.sampler.acceptance_fraction:.3f}{RESET}")
+        return self.sampler.chain
+
+    def run(self) -> np.ndarray:
+        grid = self.init_setup()
+        chain = self.fit(grid)
+        plot_results(self.config.chain_path, self.spec.labels, self.spec.labels_latex)
+        return chain

@@ -26,6 +26,9 @@ def save_chain(path: str, chain: np.ndarray) -> None:
 
 
 def load_chain(path: str) -> np.ndarray:
+    if path is None:
+        raise FileNotFoundError(
+            "No chain path given (prior_path is required for non-template runs).")
     if not os.path.exists(path):
         raise FileNotFoundError(f"The prior path {path} could not be found.")
     return np.load(path)

@@ -55,11 +55,14 @@ def _half_step(lnprob_batch, ndim, a, coords, lnp, active_idx, comp_idx, key):
     return coords, lnp, jnp.sum(accept)
 
 
-@partial(jax.jit, static_argnames=("lnprob_fn", "nsteps", "a", "thin"))
-def run_ensemble(lnprob_fn, pos0, lnp0, key, nsteps: int, a: float = 2.0, thin: int = 1):
+@partial(jax.jit, static_argnames=("lnprob_fn", "nsteps", "a", "thin", "batched"))
+def run_ensemble(lnprob_fn, pos0, lnp0, key, nsteps: int, a: float = 2.0,
+                 thin: int = 1, batched: bool = False):
     """Run `nsteps` ensemble steps from (pos0, lnp0).
 
-    lnprob_fn: scalar theta -> lnprob (vmapped internally).
+    lnprob_fn: scalar theta -> lnprob (vmapped internally), or — with
+    batched=True — an explicitly batched (N, D) -> (N,) function (e.g. the
+    Pallas-backed build_lnprob_batched).
     pos0: (W, D) initial walker coordinates; lnp0: (W,) their lnprob.
     Each of the `nsteps` recorded steps advances the ensemble by `thin`
     raw ensemble moves. Returns (chain (nsteps, W, D), lnps (nsteps, W),
@@ -67,7 +70,7 @@ def run_ensemble(lnprob_fn, pos0, lnp0, key, nsteps: int, a: float = 2.0, thin: 
     """
     W, D = pos0.shape
     n_first = W // 2
-    lnprob_batch = jax.vmap(lnprob_fn)
+    lnprob_batch = lnprob_fn if batched else jax.vmap(lnprob_fn)
 
     def one_step(carry, step_key):
         coords, lnp = carry
@@ -110,6 +113,7 @@ class EnsembleSampler:
     ndim: int
     a: float = 2.0
     dtype: object = jnp.float32
+    batched: bool = False  # lnprob_fn already maps (N, D) -> (N,)
 
     def __post_init__(self):
         self._chain_blocks: list[np.ndarray] = []   # each (W, K, D)
@@ -138,7 +142,7 @@ class EnsembleSampler:
                  chain_file: str | None = None, progress: bool = False, thin: int = 1):
         """Run `nsteps` steps, checkpointing the cumulative chain per block."""
         pos = jnp.asarray(pos, dtype=self.dtype)
-        lnp = jax.vmap(self.lnprob_fn)(pos)
+        lnp = self.lnprob_fn(pos) if self.batched else jax.vmap(self.lnprob_fn)(pos)
         done = 0
         iterator = None
         if progress:
@@ -149,7 +153,8 @@ class EnsembleSampler:
             block = min(checkpoint_every, nsteps - done)
             key, sub = jax.random.split(key)
             chain, lnps, accepted, (pos, lnp) = run_ensemble(
-                self.lnprob_fn, pos, lnp, sub, nsteps=block, a=self.a, thin=thin)
+                self.lnprob_fn, pos, lnp, sub, nsteps=block, a=self.a, thin=thin,
+                batched=self.batched)
             # device (K, W, D) -> emcee layout (W, K, D)
             self._chain_blocks.append(np.asarray(chain).transpose(1, 0, 2))
             self._lnp_blocks.append(np.asarray(lnps).T)

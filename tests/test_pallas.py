@@ -1,0 +1,117 @@
+"""Pallas opacity kernel: correctness (interpret mode on CPU) and the
+batched likelihood path built on it."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cha1_mcmc_tpu.models.pallas_kernels import (
+    TC, TL, block_activity_mask, opacity_pallas)
+from cha1_mcmc_tpu.inference.likelihood import build_lnprob, build_lnprob_batched
+from tests.conftest import requires_reference
+
+
+def _random_problem(W=12, L=700, C=300, seed=0, center=4.10):
+    rng = np.random.default_rng(seed)
+    line_freq = np.sort(rng.uniform(18e3, 25e3, L))
+    grid_freq = np.sort(rng.uniform(18e3, 25e3, C))
+    vel = ((line_freq[:, None] - grid_freq[None, :]) / line_freq[:, None]
+           * 2.998e5 + center).astype(np.float32)
+    taus = rng.uniform(0, 0.1, (W, L)).astype(np.float32)
+    vlsr = rng.uniform(center - 0.1, center + 0.2, W).astype(np.float32)
+    dV = rng.uniform(0.5, 1.2, W).astype(np.float32)
+    return vel, taus, vlsr, dV
+
+
+def _dense_reference(vel, taus, vlsr, dV, center):
+    sigma = dV[:, None, None] / 2.355
+    window = np.abs(vel[None] - center) < 10 * dV[:, None, None]
+    z = (vel[None].astype(np.float64) - vlsr[:, None, None]) / sigma
+    return np.einsum("wl,wlc->wc", taus.astype(np.float64),
+                     np.where(window, np.exp(-0.5 * z * z), 0.0))
+
+
+@pytest.mark.parametrize("W,L,C", [(12, 700, 300), (8, 512, 128), (3, 50, 700)])
+def test_opacity_pallas_matches_dense(W, L, C):
+    center = 4.10
+    vel, taus, vlsr, dV = _random_problem(W, L, C)
+    expected = _dense_reference(vel, taus, vlsr, dV, center)
+    mask = block_activity_mask(vel, center, dv_max=1.5)
+    out = opacity_pallas(jnp.asarray(taus), jnp.asarray(vlsr), jnp.asarray(dV),
+                         jnp.asarray(vel), jnp.asarray(mask),
+                         mask_center=center, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4,
+                               atol=1e-6 * max(1.0, expected.max()))
+
+
+def test_block_mask_prunes_and_preserves():
+    center = 4.10
+    vel, taus, vlsr, dV = _random_problem(24, 1100, 260)
+    mask = block_activity_mask(vel, center, dv_max=1.5)
+    # sparsity actually engages on this geometry
+    assert 0 < mask.mean() < 1.0
+    sparse = opacity_pallas(jnp.asarray(taus), jnp.asarray(vlsr), jnp.asarray(dV),
+                            jnp.asarray(vel), jnp.asarray(mask),
+                            mask_center=center, interpret=True)
+    dense = opacity_pallas(jnp.asarray(taus), jnp.asarray(vlsr), jnp.asarray(dV),
+                           jnp.asarray(vel), jnp.asarray(np.ones_like(mask)),
+                           mask_center=center, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sparse), np.asarray(dense))
+
+
+@requires_reference
+def test_batched_lnprob_matches_scalar_vmap(hc5n_problem, hc5n_datagrid):
+    """The batched builder (jnp path) agrees with vmap of the scalar path."""
+    model, spec, lnprior = (hc5n_problem["model"], hc5n_problem["spec"],
+                            hc5n_problem["lnprior"])
+    grid = hc5n_datagrid
+    scalar = jax.vmap(build_lnprob(model, spec, grid.ints, grid.yerrs, lnprior))
+    batched = build_lnprob_batched(model, spec, grid.ints, grid.yerrs, lnprior)
+    rng = np.random.default_rng(0)
+    thetas = np.array([3.24e12, 7.5, 4.11, 0.78]) * (
+        1 + 0.02 * rng.standard_normal((16, 4)))
+    a = np.asarray(scalar(jnp.asarray(thetas, jnp.float32)))
+    b = np.asarray(batched(jnp.asarray(thetas, jnp.float32)))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=2e-3)
+
+
+@requires_reference
+def test_batched_lnprob_pallas_path(hc5n_problem, hc5n_datagrid):
+    """Pallas-backed batched lnprob (interpret mode) agrees with the jnp path
+    and propagates -inf for out-of-bounds walkers."""
+    model, spec, lnprior = (hc5n_problem["model"], hc5n_problem["spec"],
+                            hc5n_problem["lnprior"])
+    grid = hc5n_datagrid
+    jnp_path = build_lnprob_batched(model, spec, grid.ints, grid.yerrs, lnprior)
+    pallas_path = build_lnprob_batched(
+        model, spec, grid.ints, grid.yerrs, lnprior,
+        use_pallas=True, dv_max=1.5, interpret=True)
+    rng = np.random.default_rng(1)
+    thetas = np.array([3.24e12, 7.5, 4.11, 0.78]) * (
+        1 + 0.02 * rng.standard_normal((8, 4)))
+    thetas[3] = [1e15, 8.0, 4.3, 0.7]  # out of bounds
+    a = np.asarray(jnp_path(jnp.asarray(thetas, jnp.float32)))
+    b = np.asarray(pallas_path(jnp.asarray(thetas, jnp.float32)))
+    assert a[3] == -np.inf and b[3] == -np.inf
+    keep = np.isfinite(a)
+    np.testing.assert_allclose(a[keep], b[keep], rtol=1e-5, atol=2e-3)
+
+
+@requires_reference
+def test_sampler_with_batched_lnprob(hc5n_problem, hc5n_datagrid):
+    from cha1_mcmc_tpu.sampler import run_ensemble
+
+    model, spec, lnprior = (hc5n_problem["model"], hc5n_problem["spec"],
+                            hc5n_problem["lnprior"])
+    grid = hc5n_datagrid
+    batched = build_lnprob_batched(model, spec, grid.ints, grid.yerrs, lnprior)
+    rng = np.random.default_rng(0)
+    pos0 = jnp.asarray(np.array([3.24e12, 7.5, 4.11, 0.78]) * (
+        1 + 0.01 * rng.standard_normal((16, 4))), jnp.float32)
+    lnp0 = batched(pos0)
+    chain, lnps, acc, _ = run_ensemble(batched, pos0, lnp0,
+                                       jax.random.PRNGKey(0), nsteps=40,
+                                       batched=True)
+    assert np.isfinite(np.asarray(lnps)).all()
+    assert np.asarray(chain).shape == (40, 16, 4)

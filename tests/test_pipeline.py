@@ -124,3 +124,47 @@ def test_posterior_statistical_parity(tmp_path):
     assert np.isclose(med[1], 7.53, rtol=0.15)      # Tex
     assert np.isclose(med[2], 4.11, atol=0.05)      # vlsr
     assert np.isclose(med[3], 0.78, rtol=0.15)      # dV
+
+
+@requires_reference
+def test_multicomponent_gotham_fit(tmp_path):
+    """Short 4-component GOTHAM fit end-to-end (template run)."""
+    from cha1_mcmc_tpu import MultiFitConfig, MultiComponentFit
+    from tests.conftest import HC9N_GOTHAM
+
+    cfg = MultiFitConfig(
+        mol_name="hc9n_hfs", cat_folder=CATALOG_DIR, data_path=HC9N_GOTHAM,
+        fit_folder=str(tmp_path / "gotham"), nruns=40, nwalkers=32,
+        template_run=True, seed=0, checkpoint_every=20)
+    fit = MultiComponentFit(cfg)
+    with contextlib.redirect_stdout(io.StringIO()):
+        chain = fit.run()
+    assert chain.shape == (32, 40, 14)
+    assert os.path.exists(cfg.chain_path)
+    # velocity ordering holds for every accepted sample with finite lnp
+    lnp = fit.sampler.lnprobability
+    vlsr = chain[..., 9:13]
+    finite = np.isfinite(lnp)
+    assert finite.any()
+    d = np.diff(vlsr[finite], axis=-1)
+    assert (d > 0.05 - 1e-9).all()
+
+
+@requires_reference
+def test_multicomponent_continue_from_chain(tmp_path):
+    """restart=False resumes from the median of the last 200 steps
+    (reference TMC1_four_component.py:325-327)."""
+    from cha1_mcmc_tpu import MultiFitConfig, MultiComponentFit
+    from tests.conftest import HC9N_GOTHAM
+
+    base = dict(mol_name="hc9n_hfs", cat_folder=CATALOG_DIR, data_path=HC9N_GOTHAM,
+                fit_folder=str(tmp_path / "gotham"), nwalkers=32, seed=0,
+                checkpoint_every=30)
+    cfg = MultiFitConfig(nruns=30, template_run=True, **base)
+    with contextlib.redirect_stdout(io.StringIO()):
+        MultiComponentFit(cfg).run()
+    cfg2 = MultiFitConfig(nruns=10, template_run=False, restart=False,
+                          prior_path=cfg.chain_path, **base)
+    with contextlib.redirect_stdout(io.StringIO()):
+        chain2 = MultiComponentFit(cfg2).run()
+    assert chain2.shape == (32, 10, 14)
