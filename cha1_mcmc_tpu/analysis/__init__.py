@@ -1,0 +1,33 @@
+"""Analysis toolkit: the scientifically load-bearing capabilities of the
+reference's interactive simulator (reference
+spectral_simulator/simulate_lte.py), re-expressed as pure functions."""
+
+from cha1_mcmc_tpu.analysis.stacking import (
+    get_rms,
+    find_nearest,
+    find_sim_peaks,
+    ObsChunk,
+    velocity_stack,
+    matched_filter,
+)
+from cha1_mcmc_tpu.analysis.tbg import calc_tbg
+from cha1_mcmc_tpu.analysis.peaks import find_peaks
+from cha1_mcmc_tpu.analysis.fitting import gauss_func, gauss_fit
+from cha1_mcmc_tpu.analysis.conversions import jy_to_k, k_to_jy
+from cha1_mcmc_tpu.analysis.renderer import render_gaussian_profile
+
+__all__ = [
+    "get_rms",
+    "find_nearest",
+    "find_sim_peaks",
+    "ObsChunk",
+    "velocity_stack",
+    "matched_filter",
+    "calc_tbg",
+    "find_peaks",
+    "gauss_func",
+    "gauss_fit",
+    "jy_to_k",
+    "k_to_jy",
+    "render_gaussian_profile",
+]

@@ -1,0 +1,31 @@
+"""Flux-density / brightness-temperature conversions.
+
+Pure-array versions of the reference's interactive jy_to_k / k_to_jy
+(reference spectral_simulator/simulate_lte.py:3991-4059), which mutate
+module globals and redraw a plot; here they just return the converted
+intensities.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["jy_to_k", "k_to_jy"]
+
+_JYK_CONST = 1.224e6
+
+
+def jy_to_k(intensity_jy, freq_mhz, bmaj, bmin):
+    """Jy/beam -> K for a bmaj x bmin (arcsec) beam
+    (reference simulate_lte.py:4000-4002):
+    K = 1.224e6 * Jy / (nu_GHz^2 * bmaj * bmin)."""
+    freq_ghz = np.asarray(freq_mhz, dtype=np.float64) / 1000.0
+    return _JYK_CONST * np.asarray(intensity_jy, dtype=np.float64) / (
+        freq_ghz ** 2 * bmaj * bmin)
+
+
+def k_to_jy(intensity_k, freq_mhz, bmaj, bmin):
+    """K -> Jy/beam, inverse of jy_to_k (reference simulate_lte.py:4030-4032)."""
+    freq_ghz = np.asarray(freq_mhz, dtype=np.float64) / 1000.0
+    return np.asarray(intensity_k, dtype=np.float64) * (
+        freq_ghz ** 2 * bmaj * bmin) / _JYK_CONST

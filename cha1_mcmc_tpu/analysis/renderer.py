@@ -1,0 +1,70 @@
+"""Offline Gaussian line-profile renderer for plots.
+
+Vectorized equivalent of the reference's sim_gaussian (reference
+spectral_simulator/functions.py:544-623): build an adaptive frequency grid
+covering +-10 FWHM around every line (merging overlapping line groups),
+accumulate each stick's Gaussian at sigma = FWHM / 2.35482, and regrid onto
+the uniform [ll, ul] output grid. The reference loops per line with
+wall-clock ETA warnings (functions.py:568-604); this version is a single
+vectorized accumulation, so no pacing heuristics are needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cha1_mcmc_tpu.constants import CKM, FWHM_TO_SIGMA_PLOT
+
+__all__ = ["render_gaussian_profile"]
+
+
+def render_gaussian_profile(stick_freqs, stick_ints, dV: float,
+                            ll: float, ul: float, res: float):
+    """Return (freq_grid, intensity) of the Gaussian-broadened spectrum.
+
+    stick_freqs/stick_ints: line frequencies (MHz) and stick amplitudes;
+    dV: FWHM in km/s; [ll, ul] and res define the output grid in MHz.
+    Matches reference functions.py:544-623 semantics: the adaptive grid is
+    the union of per-line windows of +-10 FWHM at resolution `res`, sorted;
+    accumulated intensity is interpolated onto arange(ll, ul + 1e-8, res).
+    """
+    stick_freqs = np.asarray(stick_freqs, dtype=np.float64)
+    stick_ints = np.asarray(stick_ints, dtype=np.float64)
+
+    l_f = dV * stick_freqs / CKM                       # per-line FWHM in MHz
+    # Adaptive grid with the reference's exact window-merging walk
+    # (functions.py:546-562): windows of lines within 10 FWHM of each other
+    # merge into one arange, keeping the *group leader's* FWHM for the
+    # extension (the reference does not recompute l_f inside the merge loop).
+    pieces = []
+    n = stick_freqs.size
+    x = 0
+    while x < n:
+        w = l_f[x]
+        min_f = stick_freqs[x] - 10 * w
+        max_f = stick_freqs[x] + 10 * w
+        if x < n - 2:
+            while stick_freqs[x + 1] < max_f and x < n - 2:
+                x += 1
+                max_f = stick_freqs[x] + 10 * w
+        pieces.append(np.arange(min_f, max_f, res))
+        x += 1
+    if pieces:
+        freq_gauss = np.sort(np.concatenate(pieces))
+    else:
+        freq_gauss = np.arange(ll, ul + 1e-8, res)
+
+    c = l_f / FWHM_TO_SIGMA_PLOT                       # per-line sigma in MHz
+    # (L, G) accumulation, vectorized; for very large L x G fall back to
+    # chunked accumulation to bound memory.
+    G = freq_gauss.size
+    int_gauss = np.zeros(G)
+    chunk = max(1, int(2e7 // max(G, 1)))
+    for s in range(0, stick_freqs.size, chunk):
+        e = min(s + chunk, stick_freqs.size)
+        d = freq_gauss[None, :] - stick_freqs[s:e, None]
+        int_gauss += (stick_ints[s:e, None]
+                      * np.exp(-(d * d) / (2.0 * c[s:e, None] ** 2))).sum(axis=0)
+
+    freq_sim = np.arange(ll, ul + 1e-8, res)
+    return freq_sim, np.interp(freq_sim, freq_gauss, int_gauss)

@@ -1,0 +1,268 @@
+"""Velocity stacking and matched filtering.
+
+These are the detection workhorses for weak-signal searches (GOTHAM-style):
+stack the observed spectrum in velocity space around every simulated line,
+weighted by predicted line strength and local noise, then cross-correlate
+the stack with the equivalently-stacked simulation.
+
+Algorithms follow the reference's interactive tool exactly (reference
+spectral_simulator/simulate_lte.py): get_rms :5750-5766, find_nearest
+:4460-4472, find_sim_peaks :4354-4412, ObsChunk :8040-8120,
+velocity_stack :4476-5282 (compute core, minus plotting), matched_filter
+:5283-5305.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+from scipy import signal
+
+from cha1_mcmc_tpu.constants import CKM
+
+__all__ = [
+    "get_rms",
+    "find_nearest",
+    "find_sim_peaks",
+    "ObsChunk",
+    "velocity_stack",
+    "StackResult",
+    "matched_filter",
+]
+
+
+def get_rms(intensity: np.ndarray) -> float:
+    """Iteratively 3-sigma-clipped root-mean-square
+    (reference simulate_lte.py:5750-5766)."""
+    tmp = np.copy(np.asarray(intensity, dtype=np.float64))
+    x = np.nanmax(tmp)
+    rms = np.sqrt(np.nanmean(np.square(tmp)))
+    while x > 3 * rms:
+        tmp[tmp > 3 * rms] = np.nan
+        rms = np.sqrt(np.nanmean(np.square(tmp)))
+        x = np.nanmax(tmp)
+    return float(rms)
+
+
+def find_nearest(array: np.ndarray, value: float) -> int:
+    """Index of the closest element in a sorted array
+    (reference simulate_lte.py:4460-4472)."""
+    idx = int(np.searchsorted(array, value, side="left"))
+    if idx > 0 and (idx == len(array)
+                    or math.fabs(value - array[idx - 1]) < math.fabs(value - array[idx])):
+        return idx - 1
+    return idx
+
+
+def find_sim_peaks(frequency: np.ndarray, intensity: np.ndarray, min_sep: float,
+                   res: float, ckm: float = CKM) -> np.ndarray:
+    """Indices of simulated peaks at least min_sep (km/s) apart
+    (reference simulate_lte.py:4354-4412).
+
+    Resamples onto a uniform velocity grid (resolution res*ckm/max_f, where
+    `res` is the frequency resolution in MHz), finds peaks with
+    scipy.signal.find_peaks at the equivalent channel separation, and maps
+    back to indices in the original array.
+    """
+    frequency = np.asarray(frequency, dtype=np.float64)
+    intensity = np.asarray(intensity, dtype=np.float64)
+    max_f, min_f = np.amax(frequency), np.amin(frequency)
+    cfreq = (max_f + min_f) / 2
+    v_res = res * ckm / max_f
+    v_span = (max_f - min_f) * ckm / cfreq
+    nchans = int(v_span / v_res)
+    v_samp = np.linspace(-v_span / 2, v_span / 2, num=nchans, endpoint=True)
+    f_samp = cfreq + v_samp * cfreq / ckm
+    int_samp = np.interp(f_samp, frequency, intensity, left=0.0, right=0.0)
+    chan_sep = min_sep / v_res
+    indices_samp = signal.find_peaks(int_samp, distance=chan_sep)
+    peak_freqs = f_samp[indices_samp[0]]
+    return np.asarray([find_nearest(frequency, x) for x in peak_freqs], dtype=int)
+
+
+@dataclasses.dataclass
+class ObsChunk:
+    """One observed window around a line, in velocity space
+    (reference simulate_lte.py:8040-8120)."""
+
+    frequency: np.ndarray
+    intensity: np.ndarray
+    cfreq: float
+    peak_int: float
+    tag: int
+    freq_sim: np.ndarray | None = None
+    int_sim: np.ndarray | None = None
+    ckm: float = CKM
+
+    def __post_init__(self):
+        self.flag = len(self.frequency) < 2
+        self.weight = None
+        if self.flag:
+            self.velocity = self.sim_velocity = None
+            self.rms = None
+            return
+        self.velocity = (self.frequency - self.cfreq) * self.ckm / self.cfreq
+        self.sim_velocity = ((self.freq_sim - self.cfreq) * self.ckm / self.cfreq
+                             if self.freq_sim is not None else None)
+        self.set_rms()
+
+    def set_rms(self):
+        self.rms = get_rms(self.intensity)
+
+
+@dataclasses.dataclass
+class StackResult:
+    velocity: np.ndarray      # (V,) km/s
+    snr: np.ndarray           # (V,) stacked observation in SNR units
+    sim_snr: np.ndarray       # (V,) stacked simulation, same normalization
+    chunks: list              # the ObsChunks used (flagged ones included)
+    rms: float                # stack rms used for the SNR normalization
+
+
+def velocity_stack(
+    freq_obs, int_obs, freq_sim, int_sim, dV: float, res: float, *,
+    drops=(), flag_lines: bool = False, flag_int_thresh: float = 5.0,
+    blank_lines: bool = False, blank_keep_range=None,
+    vel_width: float = 40.0, v_res: float = 0.1,
+    mf: bool = False, mf_vmult: float = 5.0, ckm: float = CKM,
+) -> StackResult:
+    """SNR-weighted velocity stack (reference simulate_lte.py:4476-4860,
+    compute core).
+
+    Steps, exactly per the reference:
+      1. peaks of the simulation at >= dV separation define line centers;
+      2. windows of +-vel_width*dV (times mf_vmult if feeding a matched
+         filter) are cut around each center;
+      3. windows with no data within 0.5 dV of the center, empty windows,
+         and dropped tags are flagged; optionally interloper channels are
+         NaN-flagged (> flag_int_thresh * window rms) or blanked outside a
+         keep range;
+      4. each window is weighted by (peak_int / max_peak) / rms^2;
+      5. windows are resampled onto a uniform velocity grid and averaged
+         with per-channel sum(rms^2) normalization;
+      6. 5 edge channels are dropped and the stack is normalized to SNR by
+         its own clipped rms.
+    """
+    freq_local = np.copy(np.asarray(freq_obs, dtype=np.float64))
+    int_local = np.copy(np.asarray(int_obs, dtype=np.float64))
+    freq_sim = np.asarray(freq_sim, dtype=np.float64)
+    int_sim = np.asarray(int_sim, dtype=np.float64)
+
+    peak_indices = find_sim_peaks(freq_sim, int_sim, dV, res, ckm=ckm)
+    peak_freqs = freq_sim[peak_indices]
+    peak_ints = int_sim[peak_indices]
+
+    chunks = []
+    for x in range(len(peak_freqs)):
+        cfreq = peak_freqs[x]
+        width_mult = mf_vmult if mf else 1.0
+        freq_width = vel_width * dV * cfreq / ckm * width_mult
+        l_idx = find_nearest(freq_local, cfreq - freq_width)
+        u_idx = find_nearest(freq_local, cfreq + freq_width)
+        sim_l = find_nearest(freq_sim, cfreq - freq_width)
+        sim_u = find_nearest(freq_sim, cfreq + freq_width)
+        chunks.append(ObsChunk(
+            np.copy(freq_local[l_idx:u_idx]), np.copy(int_local[l_idx:u_idx]),
+            cfreq, peak_ints[x], x,
+            freq_sim=np.copy(freq_sim[sim_l:sim_u]),
+            int_sim=np.copy(int_sim[sim_l:sim_u]), ckm=ckm))
+
+    for obs in chunks:
+        if obs.flag:
+            continue
+        if np.amin(np.abs(obs.frequency - obs.cfreq)) > 0.5 * dV:
+            obs.flag = True
+            continue
+        if len(obs.frequency) == 0:
+            obs.flag = True
+            continue
+        if obs.tag in drops:
+            obs.flag = True
+            continue
+        if flag_lines:
+            obs.intensity[obs.intensity > flag_int_thresh * obs.rms] = np.nan
+        elif blank_lines:
+            if blank_keep_range is None:
+                obs.intensity[np.abs(obs.intensity) > flag_int_thresh * obs.rms] = np.nan
+            else:
+                l_freq = obs.cfreq + blank_keep_range[0] * obs.cfreq / ckm
+                u_freq = obs.cfreq + blank_keep_range[1] * obs.cfreq / ckm
+                l_idx = find_nearest(obs.frequency, l_freq)
+                u_idx = find_nearest(obs.frequency, u_freq)
+                l_s = find_nearest(obs.freq_sim, l_freq)
+                u_s = find_nearest(obs.freq_sim, u_freq)
+                keep = np.copy(obs.intensity[l_idx:u_idx])
+                keep_sim = np.copy(obs.int_sim[l_s:u_s])
+                obs.intensity[l_idx:u_idx] = np.nan
+                obs.int_sim[l_s:u_s] = np.nan
+                obs.set_rms()
+                obs.intensity[np.abs(obs.intensity) > flag_int_thresh * obs.rms] = np.nan
+                obs.int_sim[np.abs(obs.int_sim) > 0.0] = np.nan
+                obs.intensity[l_idx:u_idx] = keep
+                obs.int_sim[l_s:u_s] = keep_sim
+
+    # Weights: predicted line strength normalized to the brightest line,
+    # divided by window rms^2 (reference :4747-4760).
+    max_int = max(peak_ints)
+    for obs in chunks:
+        if not obs.flag:
+            obs.weight = (obs.peak_int / max_int) / obs.rms ** 2
+            obs.int_weighted = obs.intensity * obs.weight
+            obs.int_sim_weighted = obs.int_sim * obs.weight
+
+    width_mult = mf_vmult if mf else 1.0
+    l_vel = -vel_width * dV * width_mult
+    u_vel = vel_width * dV * width_mult
+    velocity_avg = np.arange(l_vel, u_vel, v_res)
+
+    interped_ints, interped_rms, interped_sim = [], [], []
+    for obs in chunks:
+        if obs.flag:
+            continue
+        interped_ints.append(np.interp(velocity_avg, obs.velocity,
+                                       obs.int_weighted, left=np.nan, right=np.nan))
+        interped_sim.append(np.interp(velocity_avg, obs.sim_velocity,
+                                      obs.int_sim_weighted, left=np.nan, right=np.nan))
+        interped_rms.append(obs.rms)
+    if not interped_ints:
+        raise ValueError("No unflagged line windows to stack.")
+    interped_ints = np.asarray(interped_ints)
+    interped_sim = np.asarray(interped_sim)
+    interped_rms = np.asarray(interped_rms)
+
+    # Per-channel sum of rms^2 over the windows contributing there
+    # (reference :4800-4825).
+    contributes = ~np.isnan(interped_ints)
+    rms_array = (contributes * interped_rms[:, None] ** 2).sum(axis=0)
+
+    int_avg = np.nansum(interped_ints, axis=0) / rms_array
+    int_sim_avg = np.nansum(interped_sim, axis=0) / rms_array
+
+    int_avg = int_avg[5:-5]
+    int_sim_avg = int_sim_avg[5:-5]
+    velocity_avg = velocity_avg[5:-5]
+
+    rms_tmp = get_rms(int_avg)
+    return StackResult(velocity=velocity_avg, snr=int_avg / rms_tmp,
+                       sim_snr=int_sim_avg / rms_tmp, chunks=chunks, rms=rms_tmp)
+
+
+def matched_filter(x_obs, y_obs, y_filter, filter_range=(-2, 2)) -> np.ndarray:
+    """SNR-normalized matched filter (reference simulate_lte.py:5283-5305).
+
+    Cross-correlates the stacked observation with the central
+    `filter_range` (km/s) channels of the stacked simulation; the response
+    is normalized by its own rms with the central 40-60% blanked.
+    """
+    x_obs = np.asarray(x_obs)
+    y_obs = np.asarray(y_obs, dtype=np.float64)
+    y_filter = np.asarray(y_filter, dtype=np.float64)
+    l_idx = find_nearest(x_obs, filter_range[0])
+    u_idx = find_nearest(x_obs, filter_range[1])
+    int_mf = np.correlate(y_obs, y_filter[l_idx:u_idx], mode="valid")
+    tmp = np.copy(int_mf)
+    n = len(int_mf)
+    tmp[int(0.40 * n):int(0.60 * n)] = np.nan
+    return int_mf / get_rms(tmp)

@@ -164,6 +164,7 @@ class SpectralModel:
     dish_size: float
     Tbg: float = T_CMB
     dtype: jnp.dtype = jnp.float32
+    vel_offset: float = 0.0
 
     @staticmethod
     def build(
@@ -208,6 +209,7 @@ class SpectralModel:
             dish_size=float(dish_size),
             Tbg=float(Tbg),
             dtype=dtype,
+            vel_offset=float(vel_offset),
         )
 
     @property

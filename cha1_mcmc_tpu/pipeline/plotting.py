@@ -64,10 +64,15 @@ def summarize_posterior(chain: np.ndarray, param_labels: list[str],
 
 
 def corner_plot(samples: np.ndarray, labels_latex: list[str], bins: int = 40):
-    """Self-contained corner-style pair plot (replaces the `corner` package)."""
+    """Self-contained corner-style pair plot (replaces the `corner` package).
+
+    Uses mathtext (not an external TeX install) regardless of global
+    rcParams; the reference instead requires usetex (inference.py:493).
+    """
     import matplotlib
 
     matplotlib.use("Agg")
+    matplotlib.rcParams["text.usetex"] = False
     import matplotlib.pyplot as plt
 
     ndim = samples.shape[1]
@@ -108,6 +113,7 @@ def plot_results(chain_path: str, param_labels: list[str],
     import matplotlib
 
     matplotlib.use("Agg")
+    matplotlib.rcParams["text.usetex"] = False
     import matplotlib.pyplot as plt
 
     chain = np.load(chain_path)

@@ -1,0 +1,234 @@
+"""Analysis toolkit vs the reference's vendored interactive tool
+(spectral_simulator/simulate_lte.py), imported read-only as an oracle."""
+
+import importlib.util
+import sys
+import types
+import warnings
+
+import numpy as np
+import pytest
+
+from cha1_mcmc_tpu.analysis import (
+    calc_tbg,
+    find_peaks,
+    find_sim_peaks,
+    gauss_fit,
+    gauss_func,
+    get_rms,
+    jy_to_k,
+    k_to_jy,
+    matched_filter,
+    render_gaussian_profile,
+    velocity_stack,
+)
+from tests.conftest import REFERENCE_ROOT, requires_reference
+
+
+@pytest.fixture(scope="session")
+def sim_lte():
+    """Import the vendored tool as an oracle (module-level globals intact)."""
+    sys.modules.setdefault("corner", types.ModuleType("corner"))
+    if "peakutils" not in sys.modules:
+        pk = types.ModuleType("peakutils")
+        pk.indexes = lambda *a, **k: np.array([], dtype=int)
+        sys.modules["peakutils"] = pk
+    import matplotlib
+
+    matplotlib.use("Agg")
+    spec = importlib.util.spec_from_file_location(
+        "simulate_lte", f"{REFERENCE_ROOT}/spectral_simulator/simulate_lte.py")
+    m = importlib.util.module_from_spec(spec)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        spec.loader.exec_module(m)
+    return m
+
+
+def _synthetic_obs(seed=0, n_lines=6, noise=1e-3, amp=5e-3, dV=0.5):
+    """Observed spectrum with weak Gaussians at known rest frequencies, plus
+    a matching noiseless fine simulation."""
+    rng = np.random.default_rng(seed)
+    freq_obs = np.arange(18000.0, 19000.0, 0.03)
+    ckm = 299792.458
+    line_freqs = np.sort(rng.uniform(18100, 18900, n_lines))
+    amps = amp * rng.uniform(0.5, 1.0, n_lines)
+    int_obs = rng.normal(0, noise, freq_obs.size)
+    for f, a in zip(line_freqs, amps):
+        sigma = dV * f / ckm / 2.35482
+        int_obs += a * np.exp(-0.5 * ((freq_obs - f) / sigma) ** 2)
+    freq_sim = np.arange(18000.0, 19000.0, 0.01)
+    int_sim = np.zeros_like(freq_sim)
+    for f, a in zip(line_freqs, amps):
+        sigma = dV * f / ckm / 2.35482
+        int_sim += a * np.exp(-0.5 * ((freq_sim - f) / sigma) ** 2)
+    return freq_obs, int_obs, freq_sim, int_sim, line_freqs, amps
+
+
+@requires_reference
+def test_get_rms_matches_oracle(sim_lte):
+    rng = np.random.default_rng(1)
+    for data in [rng.normal(0, 1e-3, 2000),
+                 np.abs(rng.normal(0, 1.0, 500)) + 0.1]:
+        spiked = data.copy()
+        spiked[100:103] += 50 * data.std()
+        assert get_rms(spiked) == sim_lte.get_rms(spiked)
+
+
+@requires_reference
+def test_find_sim_peaks_matches_oracle(sim_lte):
+    freq_obs, int_obs, freq_sim, int_sim, line_freqs, _ = _synthetic_obs()
+    sim_lte.res = 0.01
+    ref_idx = sim_lte.find_sim_peaks(freq_sim, int_sim, 0.5)
+    my_idx = find_sim_peaks(freq_sim, int_sim, 0.5, res=0.01, ckm=sim_lte.ckm)
+    np.testing.assert_array_equal(ref_idx, my_idx)
+    # peaks land on the injected lines
+    np.testing.assert_allclose(np.sort(freq_sim[my_idx]), line_freqs, atol=0.02)
+
+
+@requires_reference
+def test_velocity_stack_matches_oracle(sim_lte):
+    freq_obs, int_obs, freq_sim, int_sim, _, _ = _synthetic_obs()
+    dV, res = 0.5, 0.01
+    # Configure the oracle's module globals and run it (plots go to Agg).
+    sim_lte.freq_obs, sim_lte.int_obs = freq_obs.copy(), int_obs.copy()
+    sim_lte.freq_sim, sim_lte.int_sim = freq_sim.copy(), int_sim.copy()
+    sim_lte.dV, sim_lte.res, sim_lte.vlsr = dV, res, 0.0
+    sim_lte.velocity_stack(line_stats=False)
+    mine = velocity_stack(freq_obs, int_obs, freq_sim, int_sim, dV, res,
+                          ckm=sim_lte.ckm)
+    np.testing.assert_allclose(mine.velocity, sim_lte.vel_stacked)
+    np.testing.assert_allclose(mine.snr, sim_lte.int_stacked, rtol=1e-10)
+    np.testing.assert_allclose(mine.sim_snr, sim_lte.int_sim_stacked, rtol=1e-10)
+    # and the stack actually detects the injected signal
+    center = np.abs(mine.velocity) < 1.0
+    assert mine.snr[center].max() > 5.0
+
+
+@requires_reference
+def test_matched_filter_matches_oracle(sim_lte):
+    freq_obs, int_obs, freq_sim, int_sim, _, _ = _synthetic_obs()
+    dV, res = 0.5, 0.01
+    mine = velocity_stack(freq_obs, int_obs, freq_sim, int_sim, dV, res,
+                          mf=True, ckm=sim_lte.ckm)
+    ref_mf = sim_lte.matched_filter(mine.velocity, mine.snr, mine.sim_snr,
+                                    filter_range=[-2, 2])
+    my_mf = matched_filter(mine.velocity, mine.snr, mine.sim_snr,
+                           filter_range=(-2, 2))
+    np.testing.assert_allclose(my_mf, ref_mf, rtol=1e-12)
+    assert my_mf.max() > 8.0  # matched filter beats the plain stack
+
+
+@requires_reference
+def test_calc_tbg_matches_oracle(sim_lte):
+    freqs = np.linspace(10000, 30000, 500)
+    cases = [
+        (2.7, "constant", []),
+        ([5.0, 10.0], "constant", [(12000, 15000), (20000, 25000)]),
+        # singleton poly: the only no-range poly configuration the reference
+        # itself can evaluate (its :5532 broadcast breaks for longer lists)
+        ([[1.5]], "poly", []),
+        ([1e-3, 1.1, 0.5], "power", []),
+    ]
+    for params, kind, rng_ in cases:
+        ref = sim_lte.calc_tbg(params, kind, rng_, freqs.copy())
+        mine = calc_tbg(params, kind, rng_, freqs)
+        np.testing.assert_allclose(mine, ref, rtol=1e-12, err_msg=kind)
+    # full quadratic poly vs the direct formula (oracle cannot evaluate it)
+    A, B, C = 1e-8, 2e-4, 1.5
+    mine = calc_tbg([[A, B, C]], "poly", [], freqs)
+    np.testing.assert_allclose(mine, A * freqs ** 2 + B * freqs + C, rtol=1e-12)
+    # sgrb2 continuum: same shape as oracle (oracle calls its own invert_beam)
+    ref = sim_lte.calc_tbg([], "sgrb2", [], freqs.copy())
+    mine = calc_tbg([], "sgrb2", [], freqs)
+    np.testing.assert_allclose(mine, ref, rtol=1e-3)
+
+
+@requires_reference
+def test_gaussian_renderer_matches_oracle(sim_lte, hc5n_catalog):
+    """render_gaussian_profile vs the reference sim_gaussian on real HC5N
+    sticks (reference functions.py:544-623; the vendored copy at
+    simulate_lte.py:1358 differs in signature, so the functions.py one is
+    the oracle here)."""
+    sys.path.insert(0, REFERENCE_ROOT)
+    from spectral_simulator import functions as ref_functions
+
+    from cha1_mcmc_tpu.models.forward import simulate_sticks_host
+
+    freq, ints, taus = simulate_sticks_host(
+        hc5n_catalog, C=[3.4e12], dV=[0.89], T=[7.0], ll=[18000], ul=[25000],
+        source_size=52.0, dish_size=70)
+
+    class MockSim:  # minimal attribute bag for the reference signature
+        dV = [0.89]
+        res = [0.1]
+        T = [7.0]
+        ll = [18000]
+        ul = [25000]
+
+        class obs_params:
+            Tbg = 2.7
+
+    ref_f, ref_i = ref_functions.sim_gaussian(MockSim(), taus.copy(), freq.copy(),
+                                              comp_idx=0, chunk_idx=0)
+    my_f, my_i = render_gaussian_profile(freq, taus, dV=0.89, ll=18000,
+                                         ul=25000, res=0.1)
+    np.testing.assert_allclose(my_f, ref_f)
+    np.testing.assert_allclose(my_i, ref_i, rtol=1e-10, atol=1e-18)
+
+
+def test_gauss_fit_recovers_parameters():
+    rng = np.random.default_rng(0)
+    freq = np.arange(18000.0, 18010.0, 0.01)
+    truth = [(0.05, 18005.0, 0.8)]
+    y = gauss_func(freq, *truth[0]) + rng.normal(0, 1e-4, freq.size)
+    [res] = gauss_fit(freq, y, [list(truth[0])])
+    dT, dT_err, v, v_err, dV, dV_err = res
+    assert abs(dT - 0.05) < 5e-4
+    assert abs(v - 18005.0) < 0.01
+    assert abs(dV - 0.8) < 0.02
+
+
+def test_jy_k_roundtrip():
+    rng = np.random.default_rng(0)
+    jy = rng.uniform(0.1, 2.0, 100)
+    freq = np.linspace(18000, 25000, 100)
+    k = jy_to_k(jy, freq, 5.0, 4.0)
+    np.testing.assert_allclose(k_to_jy(k, freq, 5.0, 4.0), jy, rtol=1e-12)
+
+
+def test_find_peaks_synthetic():
+    freq_obs, int_obs, _, _, line_freqs, _ = _synthetic_obs(noise=2e-4, amp=5e-3)
+    idx, rms = find_peaks(freq_obs, int_obs, fwhm=0.5, sigma=5)
+    found = np.sort(freq_obs[idx])
+    assert len(found) == len(line_freqs)
+    np.testing.assert_allclose(found, line_freqs, atol=0.05)
+
+
+@requires_reference
+def test_best_fit_inspection(hc5n_problem, hc5n_datagrid):
+    from cha1_mcmc_tpu.analysis.inspection import (
+        best_fit_inspection, export_model_table)
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    theta = np.array([3.24e12, 7.53, 4.11, 0.78])
+    panels = best_fit_inspection(model, spec, hc5n_datagrid, theta)
+    assert len(panels) == model.n_lines
+    for p in panels:
+        assert p.fine_freq.shape == (1000,)
+        assert np.isfinite(p.fine_model).all()
+        # fine model peaks near the line's shifted frequency
+        assert p.fine_model.max() > 0
+    # the strongest panel's fine peak is comparable to the observed peak
+    best = max(panels, key=lambda p: p.fine_model.max())
+    assert best.fine_model.max() == pytest.approx(
+        hc5n_datagrid.ints.max(), rel=0.5)
+    import io as _io
+    import tempfile, os as _os
+    with tempfile.TemporaryDirectory() as d:
+        path = _os.path.join(d, "table.txt")
+        ss, Ncol, Tex, vlsr, dV = spec.unpack(theta.astype(np.float32))
+        on_grid = model.forward(ss, Ncol, Tex, vlsr, dV)
+        export_model_table(path, hc5n_datagrid, on_grid)
+        rows = np.loadtxt(path)
+        assert rows.shape == (hc5n_datagrid.freqs.size, 3)
