@@ -1,0 +1,63 @@
+"""Command-line entry point.
+
+The reference is driven by hand-editing a config dict inside a script
+(reference inference.py:585-631, README.md:49-54). Here the same
+vocabulary is a JSON file:
+
+  python -m cha1_mcmc_tpu fit --config run.json
+  python -m cha1_mcmc_tpu multifit --config gotham.json
+  python -m cha1_mcmc_tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_config(path: str) -> dict:
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="cha1_mcmc_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_fit = sub.add_parser("fit", help="single-molecule fit (DSN-style)")
+    p_fit.add_argument("--config", required=True, help="JSON config (FitConfig fields)")
+
+    p_multi = sub.add_parser("multifit", help="multi-component fit (GOTHAM-style)")
+    p_multi.add_argument("--config", required=True, help="JSON config (MultiFitConfig fields)")
+
+    sub.add_parser("bench", help="run the HC5N benchmark and print one JSON line")
+
+    args = parser.parse_args(argv)
+
+    if args.command == "fit":
+        from cha1_mcmc_tpu import FitConfig, SpectralFit
+
+        cfg = FitConfig.from_dict(_load_config(args.config))
+        SpectralFit(cfg).run()
+    elif args.command == "multifit":
+        from cha1_mcmc_tpu import MultiFitConfig, MultiComponentFit
+
+        d = _load_config(args.config)
+        cfg = MultiFitConfig(**{k: v for k, v in d.items()
+                                if k in MultiFitConfig.__dataclass_fields__})
+        MultiComponentFit(cfg).run()
+    elif args.command == "bench":
+        import importlib.util
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location("bench", os.path.join(repo, "bench.py"))
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+        bench.main()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

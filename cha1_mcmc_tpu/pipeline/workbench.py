@@ -1,0 +1,232 @@
+"""Interactive simulation workbench.
+
+Object-oriented equivalent of the vendored interactive tool's session
+workflow (reference spectral_simulator/simulate_lte.py): load a molecule,
+re-simulate live under parameter mutations (modT/modC/modS/moddV/modVLSR,
+reference :1951-2130), store/recall/sum simulations (:2366-3075), load
+observations (:2244), run stacking/matched filtering, and save/restore
+sessions (:2723, :3076). Plotting is left to the caller (arrays in, arrays
+out) — the global-mutating matplotlib REPL machinery is deliberately not
+reproduced.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from cha1_mcmc_tpu.constants import CKM, T_CMB
+from cha1_mcmc_tpu.catalogs import load_catalog
+from cha1_mcmc_tpu.catalogs.partition import q_model_for_catalog
+from cha1_mcmc_tpu.ops.lte import planck_J, apply_beam, tau_sticks
+from cha1_mcmc_tpu.analysis.renderer import render_gaussian_profile
+from cha1_mcmc_tpu.analysis.stacking import velocity_stack, matched_filter
+from cha1_mcmc_tpu.analysis.tbg import calc_tbg
+from cha1_mcmc_tpu.reduce.converters import read_obs
+
+__all__ = ["Workbench"]
+
+
+class Workbench:
+    """A live LTE simulation session.
+
+    Parameters mirror the tool's session globals (reference
+    simulate_lte.py:150-260): T, C, dV, vlsr, source size, dish size,
+    frequency window [ll, ul], resolution, and a background-temperature
+    model (constant by default; any calc_tbg form).
+    """
+
+    def __init__(self, *, ll=0.0, ul=1e9, res=0.01, dish_size=100.0,
+                 source_size=1e20, vlsr=0.0, dV=5.0, T=300.0, C=1e13,
+                 tbg_params=T_CMB, tbg_type="constant", tbg_range=(),
+                 gauss=False):
+        self.ll, self.ul, self.res = ll, ul, res
+        self.dish_size, self.source_size = dish_size, source_size
+        self.vlsr, self.dV, self.T, self.C = vlsr, dV, T, C
+        self.tbg_params, self.tbg_type = tbg_params, tbg_type
+        self.tbg_range = list(tbg_range)
+        self.gauss = gauss
+        self.catalog = None
+        self.q_model = None
+        self.freq_sim = np.array([])
+        self.int_sim = np.array([])
+        self.tau_sim = np.array([])
+        self.freq_obs = None
+        self.int_obs = None
+        self.obs_res = None
+        self.stored: dict[str, dict] = {}
+
+    # -- molecule / simulation ----------------------------------------
+    def load_mol(self, catalog_path: str):
+        """Load a catalog and run the simulation (reference :2512)."""
+        self.catalog = load_catalog(catalog_path)
+        self.q_model = q_model_for_catalog(self.catalog)
+        self.run_sim()
+        return self
+
+    def run_sim(self):
+        """Re-simulate with the current parameters (reference :1704-1855)."""
+        cat = self.catalog
+        if cat is None:
+            raise RuntimeError("load_mol() first")
+        i, i2 = cat.trim_indices(self.ll, self.ul)
+        Q = float(self.q_model.host_eval(self.T))
+        with np.errstate(under="ignore", over="ignore"):
+            tau = tau_sticks(np, cat.frequency[i:i2], cat.elower[i:i2],
+                             cat.aij[i:i2], cat.gup[i:i2], cat.glow[i:i2],
+                             Q, self.C, self.T, self.dV)
+            freq = cat.frequency[i:i2]
+            if self.gauss:
+                # Gaussian-profile rendering of the opacity sticks
+                # (reference :1358, functions.py:544-623), then RT on the
+                # rendered grid with the per-channel Tbg model.
+                fg, tau_g = render_gaussian_profile(
+                    freq, tau, dV=self.dV, ll=self.ll, ul=self.ul, res=self.res)
+                tbg = calc_tbg(self.tbg_params, self.tbg_type, self.tbg_range, fg)
+                J_T = planck_J(np, fg, self.T)
+                J_Tbg = planck_J(np, fg, tbg)
+                ints = (J_T - J_Tbg) * (1.0 - np.exp(-tau_g))
+                ints = apply_beam(np, fg, ints, self.source_size, self.dish_size)
+                freq_out = fg
+            else:
+                tbg = calc_tbg(self.tbg_params, self.tbg_type, self.tbg_range, freq)
+                J_T = planck_J(np, freq, self.T)
+                J_Tbg = planck_J(np, freq, tbg)
+                ints = (J_T - J_Tbg) * (1.0 - np.exp(-tau))
+                ints = apply_beam(np, freq, ints, self.source_size, self.dish_size)
+                freq_out = freq
+        # vlsr shift of the simulated frame (reference :1816-1820)
+        self.freq_sim = freq_out * (1.0 - self.vlsr / CKM)
+        self.int_sim = ints
+        self.tau_sim = tau
+        return self
+
+    # live mutators (reference :1951-2130)
+    def modT(self, T):
+        self.T = float(T)
+        return self.run_sim()
+
+    def modC(self, C):
+        self.C = float(C)
+        return self.run_sim()
+
+    def modS(self, source_size):
+        self.source_size = float(source_size)
+        return self.run_sim()
+
+    def moddV(self, dV):
+        self.dV = float(dV)
+        return self.run_sim()
+
+    def modVLSR(self, vlsr):
+        self.vlsr = float(vlsr)
+        return self.run_sim()
+
+    def update_tbg(self, tbg_params, tbg_type="constant", tbg_range=()):
+        """Change the background model and re-simulate (reference update())."""
+        self.tbg_params, self.tbg_type = tbg_params, tbg_type
+        self.tbg_range = list(tbg_range)
+        return self.run_sim()
+
+    # -- storage (reference :2366-3075) --------------------------------
+    def store(self, name: str):
+        self.stored[name] = dict(
+            freq=self.freq_sim.copy(), ints=self.int_sim.copy(),
+            tau=self.tau_sim.copy(),
+            params=dict(T=self.T, C=self.C, dV=self.dV, vlsr=self.vlsr,
+                        source_size=self.source_size))
+        return self
+
+    def recall(self, name: str):
+        entry = self.stored[name]
+        for k, v in entry["params"].items():
+            setattr(self, k, v)
+        return self.run_sim()
+
+    def sum_stored(self, grid=None, thick: bool = True):
+        """Composite of all stored simulations on a common grid.
+
+        thick=True sums opacities then radiative-transfers the total
+        (reference sum_stored's optically-thick mode, :3000-3075);
+        thick=False sums intensities (optically-thin approximation).
+        """
+        if not self.stored:
+            raise RuntimeError("nothing stored")
+        if grid is None:
+            lo = min(e["freq"].min() for e in self.stored.values())
+            hi = max(e["freq"].max() for e in self.stored.values())
+            grid = np.arange(lo, hi + self.res, self.res)
+        if thick:
+            tau_total = np.zeros_like(grid)
+            T_weight = np.zeros_like(grid)
+            for e in self.stored.values():
+                dV = e["params"]["dV"]
+                _, tau_g = render_gaussian_profile(
+                    e["freq"], e["tau"], dV=dV, ll=grid[0], ul=grid[-1], res=self.res)
+                tau_g = np.interp(grid, np.arange(grid[0], grid[-1] + 1e-8, self.res), tau_g)
+                tau_total += tau_g
+                T_weight += tau_g * e["params"]["T"]
+            T_eff = np.where(tau_total > 0, T_weight / np.maximum(tau_total, 1e-300), T_CMB)
+            tbg = calc_tbg(self.tbg_params, self.tbg_type, self.tbg_range, grid)
+            ints = (planck_J(np, grid, T_eff) - planck_J(np, grid, tbg)) * (1 - np.exp(-tau_total))
+            return grid, ints
+        total = np.zeros_like(grid)
+        for e in self.stored.values():
+            total += np.interp(grid, e["freq"], e["ints"], left=0.0, right=0.0)
+        return grid, total
+
+    # -- observations / detection --------------------------------------
+    def load_obs(self, path: str, rms=None):
+        self.freq_obs, self.int_obs, self.obs_res, self.obs_rms = read_obs(path, rms=rms)
+        return self
+
+    def stack(self, **kwargs):
+        if self.freq_obs is None:
+            raise RuntimeError("load_obs() first")
+        return velocity_stack(self.freq_obs, self.int_obs, self.freq_sim,
+                              self.int_sim, self.dV, self.res, **kwargs)
+
+    def matched_filter(self, **kwargs):
+        s = self.stack(mf=True, **kwargs)
+        return s.velocity, matched_filter(s.velocity, s.snr, s.sim_snr)
+
+    # -- session persistence (reference :2723, :3076) -------------------
+    def save_session(self, path: str):
+        state = dict(
+            params=dict(ll=self.ll, ul=self.ul, res=self.res,
+                        dish_size=self.dish_size, source_size=self.source_size,
+                        vlsr=self.vlsr, dV=self.dV, T=self.T, C=self.C,
+                        tbg_params=self.tbg_params, tbg_type=self.tbg_type,
+                        tbg_range=self.tbg_range, gauss=self.gauss),
+            catalog_file=self.catalog.catalog_file if self.catalog else None,
+            stored_names=list(self.stored),
+        )
+        with open(path + ".json", "w") as fh:
+            json.dump(state, fh, indent=2, default=float)
+        arrays = {}
+        for name, e in self.stored.items():
+            arrays[f"{name}__freq"] = e["freq"]
+            arrays[f"{name}__ints"] = e["ints"]
+            arrays[f"{name}__tau"] = e["tau"]
+            arrays[f"{name}__params"] = np.array(
+                [e["params"][k] for k in ("T", "C", "dV", "vlsr", "source_size")])
+        np.savez(path + ".npz", **arrays)
+        return self
+
+    @classmethod
+    def restore_session(cls, path: str) -> "Workbench":
+        with open(path + ".json") as fh:
+            state = json.load(fh)
+        wb = cls(**{k: v for k, v in state["params"].items()})
+        if state["catalog_file"] and os.path.exists(state["catalog_file"]):
+            wb.load_mol(state["catalog_file"])
+        data = np.load(path + ".npz")
+        for name in state["stored_names"]:
+            T, C, dV, vlsr, ss = data[f"{name}__params"]
+            wb.stored[name] = dict(
+                freq=data[f"{name}__freq"], ints=data[f"{name}__ints"],
+                tau=data[f"{name}__tau"],
+                params=dict(T=T, C=C, dV=dV, vlsr=vlsr, source_size=ss))
+        return wb

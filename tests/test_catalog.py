@@ -95,3 +95,21 @@ def test_trim_indices_matches_reference(hc5n_catalog):
         ref_trim = functions.trim_array(freq, freq, [ll], [ul])
         i, i2 = hc5n_catalog.trim_indices(ll, ul)
         np.testing.assert_array_equal(ref_trim, freq[i:i2])
+
+
+@requires_reference
+def test_native_tokenizer_matches_python():
+    """The C++ tokenizer and the pure-Python tokenizer agree on every
+    shipped catalog, field for field."""
+    from cha1_mcmc_tpu.catalogs.native import native_available, tokenize_native
+    from cha1_mcmc_tpu.catalogs.spcat import _tokenize_python
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    for path in ALL_CATALOGS:
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        nat = tokenize_native(raw)
+        py = _tokenize_python([ln for ln in raw.decode().splitlines() if ln.strip()])
+        for key in py:
+            np.testing.assert_array_equal(nat[key], py[key], err_msg=f"{path}:{key}")

@@ -1,0 +1,125 @@
+"""Workbench session, CLI, crosscheck, observation reader."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from cha1_mcmc_tpu.pipeline.workbench import Workbench
+from tests.conftest import requires_reference, CATALOG_DIR, HC5N_DATA, REFERENCE_ROOT
+
+
+@requires_reference
+def test_workbench_mutators_match_molsim(hc5n_catalog):
+    """Workbench stick sims equal the reference MolSim under mutations."""
+    from tests import reference_oracle
+
+    classes, _, _ = reference_oracle.load_reference()
+    ref_cat = classes.MolCat("hc5n_hfs", f"{CATALOG_DIR}/hc5n_hfs.cat")
+    wb = Workbench(ll=18000, ul=25000, dish_size=70, source_size=52.0,
+                   vlsr=0.0, dV=0.89, T=7.0, C=3.4e12)
+    wb.load_mol(f"{CATALOG_DIR}/hc5n_hfs.cat")
+    for T, C in [(7.0, 3.4e12), (9.5, 1e12), (5.0, 8e12)]:
+        wb.modT(T)
+        wb.modC(C)
+        obs = classes.ObsParams("t", dish_size=70, source_size=52.0)
+        sim = classes.MolSim("s", ref_cat, obs, vlsr=[0.0], C=[C], dV=[0.89],
+                             T=[T], ll=[18000], ul=[25000], gauss=False)
+        np.testing.assert_allclose(wb.int_sim, np.array(sim.int_sim), rtol=1e-10)
+        np.testing.assert_allclose(wb.tau_sim, np.array(sim.tau_sim), rtol=1e-10)
+
+
+@requires_reference
+def test_workbench_store_recall_session(tmp_path, hc5n_catalog):
+    wb = Workbench(ll=18000, ul=25000, dish_size=70, source_size=52.0,
+                   dV=0.89, T=7.0, C=3.4e12)
+    wb.load_mol(f"{CATALOG_DIR}/hc5n_hfs.cat")
+    wb.store("cold")
+    wb.modT(10.0).store("hot")
+    hot_ints = wb.int_sim.copy()
+    wb.recall("cold")
+    assert wb.T == 7.0
+    wb.recall("hot")
+    np.testing.assert_allclose(wb.int_sim, hot_ints)
+
+    grid, thin = wb.sum_stored(thick=False)
+    _, thick = wb.sum_stored(grid=grid, thick=True)
+    assert np.isfinite(thin).all() and np.isfinite(thick).all()
+    assert thin.max() > 0 and thick.max() > 0
+
+    path = str(tmp_path / "session")
+    wb.save_session(path)
+    wb2 = Workbench.restore_session(path)
+    assert set(wb2.stored) == {"cold", "hot"}
+    np.testing.assert_allclose(wb2.stored["hot"]["ints"], hot_ints)
+
+
+@requires_reference
+def test_workbench_vlsr_shift(hc5n_catalog):
+    wb = Workbench(ll=18000, ul=25000, dish_size=70, source_size=52.0,
+                   dV=0.89, T=7.0, C=3.4e12)
+    wb.load_mol(f"{CATALOG_DIR}/hc5n_hfs.cat")
+    rest = wb.freq_sim.copy()
+    wb.modVLSR(10.0)
+    np.testing.assert_allclose(wb.freq_sim, rest * (1 - 10.0 / 2.998e5), rtol=1e-12)
+
+
+@requires_reference
+def test_read_obs_lis_equivalent(tmp_path):
+    """read_obs parses a plain two-column file and sorts by frequency."""
+    from cha1_mcmc_tpu.reduce.converters import read_obs
+
+    path = str(tmp_path / "obs.txt")
+    rng = np.random.default_rng(0)
+    f = np.linspace(18000, 18010, 101)
+    i = rng.normal(0, 1e-3, 101)
+    order = rng.permutation(101)
+    with open(path, "w") as fh:
+        for a, b in zip(f[order], i[order]):
+            fh.write(f"{a} {b}\n")
+    freq, ints, res, rms = read_obs(path)
+    np.testing.assert_allclose(freq, f)
+    assert res == pytest.approx(0.1, rel=1e-6)
+
+
+@requires_reference
+def test_grid_chi2_minimum_near_best_fit(hc5n_problem, hc5n_datagrid):
+    from cha1_mcmc_tpu.analysis.crosscheck import grid_chi2
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    grids = {
+        "Ncol": np.linspace(1e12, 6e12, 21),
+        "Tex": np.linspace(5.0, 10.0, 11),
+        "vlsr": np.linspace(4.0, 4.2, 9),
+        "dV": np.linspace(0.6, 1.0, 9),
+    }
+    thetas, chi2, best = grid_chi2(model, spec, hc5n_datagrid.ints,
+                                   hc5n_datagrid.yerrs, grids)
+    assert thetas.shape[0] == 21 * 11 * 9 * 9
+    # grid minimum sits in the known posterior basin
+    assert 2e12 < best[0] < 5e12
+    assert abs(best[2] - 4.11) < 0.05
+    assert 0.6 <= best[3] <= 0.9
+
+
+@requires_reference
+def test_cli_fit(tmp_path):
+    cfg = {
+        "mol_name": "hc5n_hfs", "template_run": True, "nruns": 10,
+        "nwalkers": 16, "cat_folder": CATALOG_DIR, "data_path": HC5N_DATA,
+        "fit_folder": str(tmp_path / "results"), "MLE_for_Ncol": False,
+        "checkpoint_every": 10,
+    }
+    cfg_path = str(tmp_path / "run.json")
+    with open(cfg_path, "w") as fh:
+        json.dump(cfg, fh)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.pathsep.join(sys.path))
+    out = subprocess.run(
+        [sys.executable, "-m", "cha1_mcmc_tpu", "fit", "--config", cfg_path],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert os.path.exists(tmp_path / "results" / "hc5n_hfs" / "chain_template.npy")
