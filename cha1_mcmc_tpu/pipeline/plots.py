@@ -1,0 +1,164 @@
+"""Spectrum plot engines: postage stamps, range plots, harmonic plots,
+and corner-plot animation.
+
+Non-interactive equivalents of the vendored tool's plot classes
+(reference spectral_simulator/simulate_lte.py: PostagePlot/PostageStamp
+:5869+/:8123, RangePlot/RangeMarker :6507, HarmonicPlot :6886) and the
+DSN pipeline notebook's corner animations (reference
+notebooks/DSN_pipeline.ipynb cells 3-5). All functions return matplotlib
+figures (Agg) for the caller to show or save.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cha1_mcmc_tpu.constants import CKM
+
+__all__ = ["postage_plot", "range_plot", "harmonic_plot", "animate_corner"]
+
+
+def _mpl():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    matplotlib.rcParams["text.usetex"] = False
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def postage_plot(freq_obs, int_obs, line_freqs, dV, *, freq_sim=None,
+                 int_sim=None, nwidths: float = 40.0, velocity: bool = False,
+                 vlsr: float = 0.0, ncols: int = 4, milli: bool = False):
+    """Grid of per-line stamps: observation (and optionally simulation)
+    within +-nwidths*dV of each line (reference PostagePlot semantics:
+    nwidths, velocity axis, mK scaling)."""
+    plt = _mpl()
+    freq_obs = np.asarray(freq_obs)
+    int_obs = np.asarray(int_obs) * (1e3 if milli else 1.0)
+    line_freqs = np.atleast_1d(np.asarray(line_freqs, dtype=np.float64))
+    n = line_freqs.size
+    nrows = -(-n // ncols)
+    fig, axes = plt.subplots(nrows, ncols, figsize=(3 * ncols, 2.2 * nrows),
+                             squeeze=False)
+    for i, lf in enumerate(line_freqs):
+        ax = axes[i // ncols][i % ncols]
+        shifted = lf * (1 - vlsr / CKM)
+        half = nwidths * dV * shifted / CKM
+        sel = (freq_obs > shifted - half) & (freq_obs < shifted + half)
+        x = ((freq_obs[sel] - shifted) / shifted * CKM + vlsr) if velocity else freq_obs[sel]
+        ax.step(x, int_obs[sel], color="black", lw=0.8, where="mid")
+        if freq_sim is not None:
+            fs = np.asarray(freq_sim)
+            sel_s = (fs > shifted - half) & (fs < shifted + half)
+            xs = ((fs[sel_s] - shifted) / shifted * CKM + vlsr) if velocity else fs[sel_s]
+            ax.step(xs, np.asarray(int_sim)[sel_s] * (1e3 if milli else 1.0),
+                    color="red", lw=0.8, where="mid")
+        ax.set_title(f"{lf:.2f} MHz", fontsize=8)
+        ax.tick_params(labelsize=7)
+    for j in range(n, nrows * ncols):
+        axes[j // ncols][j % ncols].set_visible(False)
+    fig.supxlabel("Velocity (km/s)" if velocity else "Frequency (MHz)")
+    fig.supylabel(("T (mK)" if milli else "T (K)"))
+    fig.tight_layout()
+    return fig
+
+
+def range_plot(freq_obs, int_obs, ranges, *, freq_sim=None, int_sim=None,
+               markers=(), ncols: int = 1):
+    """Stacked spectrum panels over frequency ranges with optional line
+    markers (reference RangePlot/RangeMarker semantics)."""
+    plt = _mpl()
+    freq_obs = np.asarray(freq_obs)
+    int_obs = np.asarray(int_obs)
+    n = len(ranges)
+    nrows = -(-n // ncols)
+    fig, axes = plt.subplots(nrows, ncols, figsize=(8 * ncols, 2.2 * nrows),
+                             squeeze=False)
+    for i, (lo, hi) in enumerate(ranges):
+        ax = axes[i // ncols][i % ncols]
+        sel = (freq_obs > lo) & (freq_obs < hi)
+        ax.step(freq_obs[sel], int_obs[sel], color="black", lw=0.8, where="mid")
+        if freq_sim is not None:
+            fs = np.asarray(freq_sim)
+            sel_s = (fs > lo) & (fs < hi)
+            ax.step(fs[sel_s], np.asarray(int_sim)[sel_s], color="red",
+                    lw=0.8, where="mid")
+        for m in markers:
+            if lo < m < hi:
+                ax.axvline(m, color="dodgerblue", ls=":", lw=0.8)
+        ax.set_xlim(lo, hi)
+    fig.supxlabel("Frequency (MHz)")
+    fig.supylabel("T (K)")
+    fig.tight_layout()
+    return fig
+
+
+def harmonic_plot(freq_obs, int_obs, base_freq: float, n_harmonics: int,
+                  *, width_mhz: float = 2.0, ncols: int = 4):
+    """Stamps at integer harmonics of a base frequency — the linear-rotor
+    progression view (reference HarmonicPlot semantics)."""
+    lines = base_freq * np.arange(1, n_harmonics + 1)
+    lines = lines[(lines > np.min(freq_obs)) & (lines < np.max(freq_obs))]
+    # express width in velocity terms for postage_plot
+    dV_equiv = width_mhz / (np.mean(lines) / CKM) / 40.0 if lines.size else 1.0
+    return postage_plot(freq_obs, int_obs, lines, dV_equiv, ncols=ncols)
+
+
+def animate_corner(chain, labels, out_path: str, *, burn_in_frac: float = 0.2,
+                   n_frames: int = 20, fixed_axes: bool = True, fps: int = 5,
+                   bins: int = 30):
+    """Animated corner plot over chain history (reference
+    DSN_pipeline.ipynb cells 4-5: 20% burn-in, optional fixed axes,
+    nonlinear frame schedule). Saves a GIF; returns the frame step indices.
+    """
+    plt = _mpl()
+    from matplotlib import animation
+
+    chain = np.asarray(chain)
+    burn = int(burn_in_frac * chain.shape[1])
+    chain = chain[:, burn:, :]
+    nsteps = chain.shape[1]
+    ndim = chain.shape[2]
+    # Nonlinear (quadratic) frame schedule: dense early, sparse late
+    # (the notebook uses a nonlinear timestep schedule).
+    steps = np.unique((np.linspace(0.05, 1.0, n_frames) ** 2 * nsteps)
+                      .astype(int).clip(2, nsteps))
+
+    full = chain.reshape(-1, ndim)
+    limits = [(full[:, i].min(), full[:, i].max()) for i in range(ndim)]
+
+    fig, axes = plt.subplots(ndim, ndim, figsize=(2.0 * ndim, 2.0 * ndim))
+    axes = np.atleast_2d(axes)
+
+    def draw(frame_idx):
+        upto = steps[frame_idx]
+        samples = chain[:, :upto, :].reshape(-1, ndim)
+        for i in range(ndim):
+            for j in range(ndim):
+                ax = axes[i, j]
+                ax.clear()
+                if j > i:
+                    ax.set_visible(False)
+                    continue
+                if i == j:
+                    rng = limits[i] if fixed_axes else None
+                    ax.hist(samples[:, i], bins=bins, range=rng, color="k",
+                            histtype="step")
+                    ax.set_yticks([])
+                else:
+                    rng = [limits[j], limits[i]] if fixed_axes else None
+                    ax.hist2d(samples[:, j], samples[:, i], bins=bins,
+                              range=rng, cmap="Greys")
+                ax.tick_params(labelsize=6)
+                if i == ndim - 1:
+                    ax.set_xlabel(labels[j], fontsize=7)
+                if j == 0 and i > 0:
+                    ax.set_ylabel(labels[i], fontsize=7)
+        fig.suptitle(f"steps 0-{upto + burn}", fontsize=9)
+
+    anim = animation.FuncAnimation(fig, draw, frames=len(steps))
+    anim.save(out_path, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return steps

@@ -168,3 +168,24 @@ def test_multicomponent_continue_from_chain(tmp_path):
     with contextlib.redirect_stdout(io.StringIO()):
         chain2 = MultiComponentFit(cfg2).run()
     assert chain2.shape == (32, 10, 14)
+
+
+@requires_reference
+def test_one_component_gotham_fit(tmp_path):
+    """ncomp=1 covers the reference's TMC1_one_component variant
+    (reference scripts/MCMC/TMC1_one_component.py: 5-dim theta, GOTHAM
+    reduction, ordered-velocity prior degenerates to plain bounds)."""
+    from cha1_mcmc_tpu import MultiFitConfig, MultiComponentFit
+    from tests.conftest import HC9N_GOTHAM
+
+    cfg = MultiFitConfig(
+        mol_name="hc9n_hfs", cat_folder=CATALOG_DIR, data_path=HC9N_GOTHAM,
+        fit_folder=str(tmp_path / "g1"), nruns=20, nwalkers=16, ncomp=1,
+        template_run=True, seed=0, checkpoint_every=10,
+        template_means=(37.0, 2.47e12, 6.7, 5.79, 0.117),
+        template_stds=(2.5, 0.3e12, 0.1, 0.002, 0.002),
+        perturbation=(1e-1, 1e10, 1e-3, 1e-3, 1e-3))
+    with contextlib.redirect_stdout(io.StringIO()):
+        chain = MultiComponentFit(cfg).run()
+    assert chain.shape == (16, 20, 5)
+    assert np.isfinite(chain).all()

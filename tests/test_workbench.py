@@ -123,3 +123,29 @@ def test_cli_fit(tmp_path):
         capture_output=True, text=True, env=env, timeout=600)
     assert out.returncode == 0, out.stderr[-2000:]
     assert os.path.exists(tmp_path / "results" / "hc5n_hfs" / "chain_template.npy")
+
+
+@requires_reference
+def test_plot_engines(tmp_path, hc5n_datagrid):
+    """Postage/range/harmonic plots render; corner animation writes a GIF."""
+    from cha1_mcmc_tpu.pipeline.plots import (
+        postage_plot, range_plot, harmonic_plot, animate_corner)
+
+    g = hc5n_datagrid
+    lines = [18638.6, 21301.25, 23963.9]
+    fig = postage_plot(g.freqs, g.ints, lines, dV=0.78, vlsr=4.11, velocity=True)
+    fig.savefig(tmp_path / "postage.png", dpi=60)
+    fig2 = range_plot(g.freqs, g.ints, [(18636, 18641), (21299, 21304)],
+                      markers=lines)
+    fig2.savefig(tmp_path / "range.png", dpi=60)
+    fig3 = harmonic_plot(g.freqs, g.ints, base_freq=2662.6644, n_harmonics=10)
+    fig3.savefig(tmp_path / "harmonic.png", dpi=60)
+    for f in ("postage.png", "range.png", "harmonic.png"):
+        assert (tmp_path / f).stat().st_size > 1000
+
+    rng = np.random.default_rng(0)
+    chain = rng.normal(size=(8, 50, 3)) * [1, 2, 0.5] + [5.0, -1.0, 0.0]
+    steps = animate_corner(chain, ["a", "b", "c"], str(tmp_path / "anim.gif"),
+                           n_frames=4)
+    assert (tmp_path / "anim.gif").stat().st_size > 5000
+    assert len(steps) >= 2
