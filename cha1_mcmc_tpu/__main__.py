@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -21,7 +22,25 @@ def _load_config(path: str) -> dict:
         return json.load(fh)
 
 
+def _apply_platform_override():
+    """Honor CHA1_PLATFORM / CHA1_CPU_DEVICES before any backend init.
+
+    This image's site customization force-sets JAX_PLATFORMS to the TPU
+    backend at interpreter start, clobbering a caller's JAX_PLATFORMS=cpu;
+    these variables express the intent through a channel it does not touch.
+    """
+    platform = os.environ.get("CHA1_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+        n = os.environ.get("CHA1_CPU_DEVICES")
+        if n and platform == "cpu":
+            jax.config.update("jax_num_cpu_devices", int(n))
+
+
 def main(argv=None):
+    _apply_platform_override()
     parser = argparse.ArgumentParser(prog="cha1_mcmc_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 

@@ -63,6 +63,7 @@ class FitConfig:
     n_devices: int | None = None     # shard walkers over this many chips
     stretch_a: float = 2.0
     use_pallas: bool = False         # Pallas opacity kernel (dense catalogs)
+    resume: bool = False             # continue an existing chain file
 
     def __post_init__(self):
         if self.fixed_source_size is not None and len(self.template_means) == 5:

@@ -140,14 +140,27 @@ class SpectralFit:
                 print(f"{RED}Failed to initialize Ncol via MLE: {e}{RESET}")
                 raise
 
-        rng = np.random.default_rng(cfg.seed)
-        pos = initialize_walkers(initial, prior_stds, cfg.nwalkers,
-                                 self._is_within_bounds, rng=rng)
-
         self.sampler = EnsembleSampler(
             lnprob_fn=lnprob, nwalkers=cfg.nwalkers, ndim=self.spec.ndim,
             a=cfg.stretch_a, dtype=self.dtype, batched=cfg.use_pallas)
-        key = jax.random.PRNGKey(cfg.seed)
+
+        if cfg.resume and os.path.exists(cfg.chain_path):
+            # Continue an existing chain from its last positions
+            # (reference inference.py:463 / TMC1 restart=False convention).
+            prev = np.load(cfg.chain_path)
+            pos = self.sampler.preload(prev)
+            print(f"{GRAY}Resuming from {cfg.chain_path} "
+                  f"({prev.shape[1]} existing steps).{RESET}")
+            state = self.sampler.load_state(cfg.chain_path)
+            if state is not None:
+                pos, key = state[0], state[1]  # exact random-stream continuation
+            else:
+                key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), prev.shape[1])
+        else:
+            rng = np.random.default_rng(cfg.seed)
+            pos = initialize_walkers(initial, prior_stds, cfg.nwalkers,
+                                     self._is_within_bounds, rng=rng)
+            key = jax.random.PRNGKey(cfg.seed)
         self.sampler.run_mcmc(
             pos, cfg.nruns, key,
             checkpoint_every=cfg.checkpoint_every,

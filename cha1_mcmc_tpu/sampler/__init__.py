@@ -8,6 +8,12 @@ from cha1_mcmc_tpu.sampler.chain import (
     chain_to_priors,
     initialize_walkers,
 )
+from cha1_mcmc_tpu.sampler.diagnostics import (
+    autocorr_time,
+    effective_sample_size,
+    gelman_rubin,
+    summarize_convergence,
+)
 
 __all__ = [
     "EnsembleSampler",
@@ -17,4 +23,8 @@ __all__ = [
     "last_position",
     "chain_to_priors",
     "initialize_walkers",
+    "autocorr_time",
+    "effective_sample_size",
+    "gelman_rubin",
+    "summarize_convergence",
 ]

@@ -29,6 +29,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from cha1_mcmc_tpu.sampler.chain import last_position
+
 __all__ = ["run_ensemble", "EnsembleSampler"]
 
 
@@ -138,6 +140,18 @@ class EnsembleSampler:
         self.accepted = 0
         self.total_proposals = 0
 
+    def preload(self, chain: np.ndarray, lnprobability: np.ndarray | None = None):
+        """Seed the sampler with an existing (W, S, D) chain so further
+        run_mcmc calls append to it — the cross-run resume convention
+        (reference inference.py:462-463 re-saves the cumulative chain and
+        restarts from chain[:, -1, :])."""
+        chain = np.asarray(chain)
+        assert chain.shape[0] == self.nwalkers and chain.shape[2] == self.ndim
+        self._chain_blocks = [chain]
+        self._lnp_blocks = ([np.asarray(lnprobability)] if lnprobability is not None
+                            else [np.full(chain.shape[:2], np.nan)])
+        return last_position(chain)
+
     @property
     def chain(self) -> np.ndarray:
         """(nwalkers, nsteps, ndim), emcee layout (reference inference.py:462)."""
@@ -156,11 +170,22 @@ class EnsembleSampler:
         return self.accepted / max(self.total_proposals, 1)
 
     def run_mcmc(self, pos, nsteps: int, key, checkpoint_every: int = 256,
-                 chain_file: str | None = None, progress: bool = False, thin: int = 1):
-        """Run `nsteps` steps, checkpointing the cumulative chain per block."""
+                 chain_file: str | None = None, progress: bool = False,
+                 thin: int = 1, max_retries: int = 2):
+        """Run `nsteps` steps, checkpointing the cumulative chain per block.
+
+        Alongside the chain .npy, a `<chain>.state.npz` sidecar records the
+        exact sampler state (positions, lnprob, PRNG key, acceptance
+        counters) so a later run can continue the random stream exactly.
+        A failed block (device error, preemption) is retried from the last
+        checkpoint up to `max_retries` times — the failure-recovery
+        subsystem the reference approximates with its per-step np.save loop
+        (reference inference.py:460-473).
+        """
         pos = jnp.asarray(pos, dtype=self.dtype)
         lnp = self.lnprob_fn(pos) if self.batched else jax.vmap(self.lnprob_fn)(pos)
         done = 0
+        retries = 0
         iterator = None
         if progress:
             from tqdm import tqdm
@@ -169,19 +194,45 @@ class EnsembleSampler:
         while done < nsteps:
             block = min(checkpoint_every, nsteps - done)
             key, sub = jax.random.split(key)
-            chain, lnps, accepted, (pos, lnp) = run_ensemble(
-                self.lnprob_fn, pos, lnp, sub, nsteps=block, a=self.a, thin=thin,
-                batched=self.batched)
+            try:
+                chain, lnps, accepted, (new_pos, new_lnp) = run_ensemble(
+                    self.lnprob_fn, pos, lnp, sub, nsteps=block, a=self.a,
+                    thin=thin, batched=self.batched)
+                chain_host = np.asarray(chain)  # materialize: surfaces device faults
+            except Exception:
+                if retries >= max_retries:
+                    raise
+                retries += 1
+                continue  # re-split the key and retry the block
+            pos, lnp = new_pos, new_lnp
             # device (K, W, D) -> emcee layout (W, K, D)
-            self._chain_blocks.append(np.asarray(chain).transpose(1, 0, 2))
+            self._chain_blocks.append(chain_host.transpose(1, 0, 2))
             self._lnp_blocks.append(np.asarray(lnps).T)
             self.accepted += int(np.asarray(accepted).sum())
             self.total_proposals += block * thin * self.nwalkers
             done += block
             if chain_file is not None:
                 np.save(chain_file, self.chain)
+                np.savez(chain_file[:-4] + ".state.npz",
+                         pos=np.asarray(pos), lnp=np.asarray(lnp),
+                         key=np.asarray(key),
+                         accepted=self.accepted,
+                         total_proposals=self.total_proposals)
             if iterator is not None:
                 iterator.update(block)
         if iterator is not None:
             iterator.close()
         return np.asarray(pos), np.asarray(lnp)
+
+    def load_state(self, chain_file: str):
+        """Restore (pos, key) from a `.state.npz` sidecar for an exact
+        continuation; returns None if no sidecar exists."""
+        import os
+
+        state_path = chain_file[:-4] + ".state.npz"
+        if not os.path.exists(state_path):
+            return None
+        state = np.load(state_path)
+        self.accepted = int(state["accepted"])
+        self.total_proposals = int(state["total_proposals"])
+        return state["pos"], jnp.asarray(state["key"], dtype=jnp.uint32)

@@ -8,6 +8,13 @@ import os
 # *imported* (this machine's site customization imports it at interpreter
 # start), so set both the env vars and the live config knobs.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Share compiled executables across test processes (the CLI test spawns a
+# fresh interpreter; without the cache it recompiles everything).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+# This image routes XLA compilation through a remote relay intended for the
+# TPU; on the CPU test backend that only adds ~90 s of queueing latency per
+# process. Compile locally instead.
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

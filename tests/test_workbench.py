@@ -108,19 +108,23 @@ def test_grid_chi2_minimum_near_best_fit(hc5n_problem, hc5n_datagrid):
 @requires_reference
 def test_cli_fit(tmp_path):
     cfg = {
-        "mol_name": "hc5n_hfs", "template_run": True, "nruns": 10,
-        "nwalkers": 16, "cat_folder": CATALOG_DIR, "data_path": HC5N_DATA,
+        "mol_name": "hc5n_hfs", "template_run": True, "nruns": 5,
+        "nwalkers": 8, "cat_folder": CATALOG_DIR, "data_path": HC5N_DATA,
         "fit_folder": str(tmp_path / "results"), "MLE_for_Ncol": False,
-        "checkpoint_every": 10,
+        "checkpoint_every": 5,
     }
     cfg_path = str(tmp_path / "run.json")
     with open(cfg_path, "w") as fh:
         json.dump(cfg, fh)
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
+    # CHA1_PLATFORM (not JAX_PLATFORMS) because this image's site
+    # customization overwrites JAX_PLATFORMS at interpreter start.
+    env = dict(os.environ, CHA1_PLATFORM="cpu",
+               JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache",
                PYTHONPATH=os.pathsep.join(sys.path))
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)  # local CPU compiles
     out = subprocess.run(
         [sys.executable, "-m", "cha1_mcmc_tpu", "fit", "--config", cfg_path],
-        capture_output=True, text=True, env=env, timeout=600)
+        capture_output=True, text=True, env=env, timeout=900)
     assert out.returncode == 0, out.stderr[-2000:]
     assert os.path.exists(tmp_path / "results" / "hc5n_hfs" / "chain_template.npy")
 
