@@ -46,6 +46,8 @@ def main(argv=None):
 
     p_fit = sub.add_parser("fit", help="single-molecule fit (DSN-style)")
     p_fit.add_argument("--config", required=True, help="JSON config (FitConfig fields)")
+    p_fit.add_argument("--all-molecules", action="store_true",
+                       help="fit every molecule in the config's data_paths")
 
     p_multi = sub.add_parser("multifit", help="multi-component fit (GOTHAM-style)")
     p_multi.add_argument("--config", required=True, help="JSON config (MultiFitConfig fields)")
@@ -57,8 +59,14 @@ def main(argv=None):
     if args.command == "fit":
         from cha1_mcmc_tpu import FitConfig, SpectralFit
 
-        cfg = FitConfig.from_dict(_load_config(args.config))
-        SpectralFit(cfg).run()
+        raw = _load_config(args.config)
+        cfg = FitConfig.from_dict(raw)
+        if args.all_molecules:
+            from cha1_mcmc_tpu.pipeline.batch import fit_molecules
+
+            fit_molecules(cfg, raw.get("data_paths", {cfg.mol_name: cfg.data_path}))
+        else:
+            SpectralFit(cfg).run()
     elif args.command == "multifit":
         from cha1_mcmc_tpu import MultiFitConfig, MultiComponentFit
 

@@ -74,8 +74,10 @@ def pad_model_lines(model: SpectralModel, multiple: int) -> SpectralModel:
     )
 
 
-def _half_step_sharded(lnprob_batch, ndim, a, coords, lnp, update_first: bool, key):
-    """Update one local half using the globally gathered complement."""
+def _half_step_sharded(lnprob_batch, ndim, a, coords, lnp, update_first: bool,
+                       z_u, pair, acc_u):
+    """Update one local half using the globally gathered complement, with
+    pre-generated uniforms (see sampler/stretch.py for the rationale)."""
     W_local = coords.shape[0]
     h = W_local // 2
     sl_active = slice(0, h) if update_first else slice(h, W_local)
@@ -83,16 +85,13 @@ def _half_step_sharded(lnprob_batch, ndim, a, coords, lnp, update_first: bool, k
     s = coords[sl_active]
     comp = jax.lax.all_gather(coords[sl_comp], WALKER_AXIS, axis=0, tiled=True)
 
-    k_z, k_pair, k_acc = jax.random.split(key, 3)
-    u = jax.random.uniform(k_z, (h,), dtype=coords.dtype)
-    z = ((a - 1.0) * u + 1.0) ** 2 / a
-    pair = jax.random.randint(k_pair, (h,), 0, comp.shape[0])
+    z = ((a - 1.0) * z_u + 1.0) ** 2 / a
     c = comp[pair]
     proposal = c + z[:, None] * (s - c)
 
     lnp_new = lnprob_batch(proposal)
     lnpdiff = (ndim - 1.0) * jnp.log(z) + lnp_new - lnp[sl_active]
-    accept = jnp.log(jax.random.uniform(k_acc, (h,), dtype=coords.dtype)) < lnpdiff
+    accept = jnp.log(acc_u) < lnpdiff
 
     coords = coords.at[sl_active].set(jnp.where(accept[:, None], proposal, s))
     lnp = lnp.at[sl_active].set(jnp.where(accept, lnp_new, lnp[sl_active]))
@@ -158,18 +157,31 @@ def run_ensemble_sharded(
         w_idx = jax.lax.axis_index(WALKER_AXIS)
         lnprob_batch = jax.vmap(partial(local_lnprob, lines_local))
         lnp_local = lnprob_batch(pos_local)
+        W_local = pos_local.shape[0]
+        h = W_local // 2
 
-        def one_step(carry, step_key):
+        # Bulk pre-generated randomness per device; the walker-shard fold
+        # keeps a walker shard's devices (across the lines axis) in lockstep
+        # while different shards draw independently.
+        k = jax.random.fold_in(key, w_idx)
+        k_z, k_pair, k_acc = jax.random.split(k, 3)
+        z_u = jax.random.uniform(k_z, (nsteps, 2, h), dtype=pos_local.dtype)
+        n_comp = h * mesh.shape[WALKER_AXIS]
+        pair = jax.random.randint(k_pair, (nsteps, 2, h), 0, n_comp)
+        acc_u = jax.random.uniform(k_acc, (nsteps, 2, h), dtype=pos_local.dtype)
+
+        def one_step(carry, xs):
             coords, lnp = carry
-            k = jax.random.fold_in(step_key, w_idx)
-            k0, k1 = jax.random.split(k)
-            coords, lnp, a0 = _half_step_sharded(lnprob_batch, D, a, coords, lnp, True, k0)
-            coords, lnp, a1 = _half_step_sharded(lnprob_batch, D, a, coords, lnp, False, k1)
+            zu, pr, au = xs
+            coords, lnp, a0 = _half_step_sharded(lnprob_batch, D, a, coords, lnp,
+                                                 True, zu[0], pr[0], au[0])
+            coords, lnp, a1 = _half_step_sharded(lnprob_batch, D, a, coords, lnp,
+                                                 False, zu[1], pr[1], au[1])
             acc = jax.lax.psum(a0 + a1, WALKER_AXIS)
             return (coords, lnp), (coords, lnp, acc)
 
-        keys = jax.random.split(key, nsteps)
-        (pos, lnp), (chain, lnps, accepted) = jax.lax.scan(one_step, (pos_local, lnp_local), keys)
+        (pos, lnp), (chain, lnps, accepted) = jax.lax.scan(
+            one_step, (pos_local, lnp_local), (z_u, pair, acc_u))
         return chain, lnps, accepted, pos, lnp
 
     pos0 = jax.device_put(jnp.asarray(pos0, dtype=dtype))

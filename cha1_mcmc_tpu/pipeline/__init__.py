@@ -3,6 +3,7 @@
 from cha1_mcmc_tpu.pipeline.config import FitConfig
 from cha1_mcmc_tpu.pipeline.fit import SpectralFit
 from cha1_mcmc_tpu.pipeline.multifit import MultiFitConfig, MultiComponentFit
+from cha1_mcmc_tpu.pipeline.batch import fit_molecules
 from cha1_mcmc_tpu.pipeline.plotting import plot_results, summarize_posterior
 
 __all__ = [
@@ -10,6 +11,7 @@ __all__ = [
     "SpectralFit",
     "MultiFitConfig",
     "MultiComponentFit",
+    "fit_molecules",
     "plot_results",
     "summarize_posterior",
 ]

@@ -50,6 +50,10 @@ class SpectralFit:
     def __init__(self, config: FitConfig):
         self.config = config
         self.spec = ParamSpec(ncomp=1, fixed_source_size=config.fixed_source_size)
+        if config.dtype == "float64" and not jax.config.jax_enable_x64:
+            # Full-precision verification mode (CPU; TPUs have no native f64).
+            # Must be enabled before any array op of this run.
+            jax.config.update("jax_enable_x64", True)
         self.dtype = jnp.dtype(config.dtype)
         self.catalog = None
         self.sampler: EnsembleSampler | None = None

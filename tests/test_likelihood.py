@@ -16,7 +16,7 @@ from cha1_mcmc_tpu.inference import (
     build_lnlike,
     estimate_ncol_mle,
 )
-from tests.conftest import requires_reference, CATALOG_DIR, HC9N_GOTHAM
+from tests.conftest import requires_reference, CATALOG_DIR, HC9N_GOTHAM, HC5N_DATA
 from tests import reference_oracle
 
 
@@ -197,3 +197,68 @@ def test_mle_ncol_matches_reference(hc5n_problem, hc5n_datagrid):
                                (1e8, 1e14))
     # f32 likelihood surface: agree within 0.5% on a ~1e12 scale
     assert np.isclose(my_est, ref_est, rtol=5e-3), (my_est, ref_est)
+
+
+@requires_reference
+def test_lnprob_float64_mode_matches_oracle_tightly(tmp_path):
+    """With x64 enabled (float64 verification mode), lnprob matches the
+    reference at near machine precision. Runs in a subprocess because
+    jax_enable_x64 is process-global."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        import numpy as np
+        import sys
+        sys.path.insert(0, %r)
+        from tests import reference_oracle
+        from tests.conftest import CATALOG_DIR
+        from cha1_mcmc_tpu.catalogs import load_catalog
+        from cha1_mcmc_tpu.reduce.datagrid import reduce_spectrum
+        from cha1_mcmc_tpu.models.forward import SpectralModel
+        from cha1_mcmc_tpu.inference import (ParamSpec,
+                                             single_component_lnprior,
+                                             build_lnprob)
+        import jax.numpy as jnp
+
+        classes, _, inference = reference_oracle.load_reference()
+        fitter = reference_oracle.make_reference_fitter(inference)
+        cat = load_catalog(CATALOG_DIR + "/hc5n_hfs.cat")
+        grid = reduce_spectrum(cat, %r, ll=18000, ul=25000,
+                               aligned_velocity=4.10, dish_size=70,
+                               source_size=52.0, verbose=False)
+        mol_cat = classes.MolCat("mol", CATALOG_DIR + "/hc5n_hfs.cat")
+        spec = ParamSpec(ncomp=1, fixed_source_size=52.0)
+        model = SpectralModel.build(cat, grid.covered_trans, grid.freqs,
+                                    ll=18000, ul=25000, dish_size=70,
+                                    vel_offset=4.10, mask_center=4.10,
+                                    dtype=jnp.float64)
+        means = np.array([3.4e10, 8.0, 4.3, 0.7575])
+        stds = np.array([0.34e10, 3.0, 0.06, 0.22])
+        bounds = {"source_size": (30.0, 90.0), "Ncol": (1e8, 1e14),
+                  "Tex": (3.5, 12.0), "vlsr": (3.0, 5.5), "dV": (0.4, 1.5)}
+        lnprob = build_lnprob(model, spec, grid.ints, grid.yerrs,
+                              single_component_lnprior(spec, bounds, means, stds))
+        rng = np.random.default_rng(9)
+        worst = 0.0
+        for _ in range(10):
+            theta = np.array([rng.uniform(1e10, 9e12), rng.uniform(4, 11),
+                              rng.uniform(3.5, 5.0), rng.uniform(0.45, 1.4)])
+            ref = fitter.lnprob(theta, grid.as_object_array(), mol_cat, stds, means)
+            mine = float(lnprob(theta))
+            worst = max(worst, abs(mine - ref))
+        assert worst < 1e-8, worst
+        print("WORST_ABS_DIFF", worst)
+    """) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            HC5N_DATA)
+    env = dict(os.environ, PYTHONPATH=os.pathsep.join(sys.path))
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    out = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                         text=True, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "WORST_ABS_DIFF" in out.stdout

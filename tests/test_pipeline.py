@@ -189,3 +189,21 @@ def test_one_component_gotham_fit(tmp_path):
         chain = MultiComponentFit(cfg).run()
     assert chain.shape == (16, 20, 5)
     assert np.isfinite(chain).all()
+
+
+@requires_reference
+def test_batch_fit_molecules(tmp_path):
+    """fit_molecules runs every molecule in the mapping, with round-robin
+    process sharding."""
+    from cha1_mcmc_tpu.pipeline.batch import fit_molecules
+
+    base = _config(tmp_path, nruns=10, nwalkers=16)
+    paths = {"hc5n_hfs": HC5N_DATA}
+    with contextlib.redirect_stdout(io.StringIO()):
+        results = fit_molecules(base, paths)
+    assert set(results) == {"hc5n_hfs"}
+    assert results["hc5n_hfs"].shape == (16, 10, 4)
+    # a second process index gets nothing for a 1-molecule batch
+    with contextlib.redirect_stdout(io.StringIO()):
+        empty = fit_molecules(base, paths, process_index=1, process_count=2)
+    assert empty == {}
