@@ -6,6 +6,8 @@ from cha1_mcmc_tpu.analysis.stacking import (
     get_rms,
     find_nearest,
     find_sim_peaks,
+    find_vel_peaks,
+    cut_spectra,
     ObsChunk,
     velocity_stack,
     matched_filter,
@@ -23,6 +25,8 @@ __all__ = [
     "ObsChunk",
     "velocity_stack",
     "matched_filter",
+    "find_vel_peaks",
+    "cut_spectra",
     "calc_tbg",
     "find_peaks",
     "gauss_func",

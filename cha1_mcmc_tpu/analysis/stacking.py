@@ -30,6 +30,8 @@ __all__ = [
     "velocity_stack",
     "StackResult",
     "matched_filter",
+    "find_vel_peaks",
+    "cut_spectra",
 ]
 
 
@@ -247,6 +249,44 @@ def velocity_stack(
     rms_tmp = get_rms(int_avg)
     return StackResult(velocity=velocity_avg, snr=int_avg / rms_tmp,
                        sim_snr=int_sim_avg / rms_tmp, chunks=chunks, rms=rms_tmp)
+
+
+def find_vel_peaks(velocity, intensity, fwhm: float, sigma: float = 3.0,
+                   width_tweak: float = 1.0):
+    """Peaks in a velocity-space spectrum (e.g. a stack) above sigma * rms
+    (reference simulate_lte.py:4249-4330 find_vel_peaks; same selection as
+    find_peaks but with channel widths taken directly in velocity units)."""
+    from scipy import signal as _signal
+
+    intensity = np.asarray(intensity, dtype=np.float64)
+    velocity = np.asarray(velocity, dtype=np.float64)
+    v_res = abs(velocity[1] - velocity[0]) if len(velocity) > 1 else 1.0
+    fwhm_chan = max(fwhm / v_res, 1.0)
+    rms = get_rms(intensity)
+    idx, _ = _signal.find_peaks(intensity, height=sigma * rms,
+                                distance=max(int(fwhm_chan * 0.5), 1))
+    return idx, rms
+
+
+def cut_spectra(freq_obs, int_obs, freq_sim, dV: float, n_fwhm: float = 30.0):
+    """Extract observed windows of +-n_fwhm linewidths around each simulated
+    stick (reference simulate_lte.py:5307-5360 cut_spectra): for each stick
+    with an observed channel within 1 MHz, take the local resolution and cut
+    n_fwhm * dV on each side. Returns (freq_cut, int_cut) arrays."""
+    freq_obs = np.asarray(freq_obs, dtype=np.float64)
+    int_obs = np.asarray(int_obs, dtype=np.float64)
+    freq_cut, int_cut = [], []
+    for x in np.asarray(freq_sim, dtype=np.float64):
+        i = int(np.abs(freq_obs - x).argmin())
+        if abs(freq_obs[i] - x) < 1:
+            j = min(i + 10, len(freq_obs) - 1)
+            res_tmp = abs((freq_obs[i] - freq_obs[j]) / max(j - i, 1))
+            vel_res = abs(res_tmp * CKM / freq_obs[i])
+            pts = int(n_fwhm * dV / max(vel_res, 1e-12))
+            lo, hi = max(0, i - pts), min(len(freq_obs), i + pts)
+            freq_cut.extend(freq_obs[lo:hi])
+            int_cut.extend(int_obs[lo:hi])
+    return np.asarray(freq_cut), np.asarray(int_cut)
 
 
 def matched_filter(x_obs, y_obs, y_filter, filter_range=(-2, 2)) -> np.ndarray:

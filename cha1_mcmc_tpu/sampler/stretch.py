@@ -115,6 +115,23 @@ def run_ensemble(lnprob_fn, pos0, lnp0, key, nsteps: int, a: float = 2.0,
     return chain, lnps, accepted, (pos, lnp)
 
 
+def run_ensemble_chains(lnprob_fn, pos0, lnp0, keys, nsteps: int, a: float = 2.0,
+                        thin: int = 1, batched: bool = False):
+    """Run K independent ensembles concurrently (vmapped over the chain
+    axis) — saturates the chip at small per-chain walker counts (throughput
+    scales like a single ensemble of K*W walkers) and feeds cross-chain
+    R-hat diagnostics.
+
+    pos0: (K, W, D); lnp0: (K, W); keys: (K,) PRNG keys (e.g.
+    jax.random.split(key, K)). Returns per-chain stacked results:
+    chain (K, nsteps, W, D), lnps (K, nsteps, W), accepted (K, nsteps),
+    final (pos (K, W, D), lnp (K, W)).
+    """
+    inner = partial(run_ensemble, lnprob_fn, nsteps=nsteps, a=a, thin=thin,
+                    batched=batched)
+    return jax.vmap(lambda p, l, k: inner(p, l, k))(pos0, lnp0, keys)
+
+
 @dataclasses.dataclass
 class EnsembleSampler:
     """Stateful convenience wrapper with the reference chain-file contract.

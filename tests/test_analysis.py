@@ -232,3 +232,33 @@ def test_best_fit_inspection(hc5n_problem, hc5n_datagrid):
         export_model_table(path, hc5n_datagrid, on_grid)
         rows = np.loadtxt(path)
         assert rows.shape == (hc5n_datagrid.freqs.size, 3)
+
+
+def test_cut_spectra_and_find_vel_peaks():
+    from cha1_mcmc_tpu.analysis import cut_spectra, find_vel_peaks
+
+    freq_obs, int_obs, freq_sim, int_sim, line_freqs, _ = _synthetic_obs(
+        noise=2e-4, amp=5e-3)
+    fc, ic = cut_spectra(freq_obs, int_obs, line_freqs, dV=0.5, n_fwhm=10)
+    assert fc.size > 0
+    # every cut channel lies within 10 FWHM of some line
+    ckm = 2.998e5
+    dists = np.min(np.abs(fc[:, None] - line_freqs[None, :]) /
+                   (line_freqs[None, :] / ckm), axis=1)
+    assert dists.max() < 10 * 0.5 + 0.1
+
+    # stack in velocity space, then find the peak there
+    from cha1_mcmc_tpu.analysis import velocity_stack
+    stack = velocity_stack(freq_obs, int_obs, freq_sim, int_sim, 0.5, 0.01)
+    idx, rms = find_vel_peaks(stack.velocity, stack.snr, fwhm=0.5, sigma=4)
+    assert len(idx) >= 1
+    assert np.any(np.abs(stack.velocity[idx]) < 0.5)
+
+
+def test_host_molecule_assignment():
+    from cha1_mcmc_tpu.parallel.multihost import host_molecule_assignment
+
+    mols = ["hc5n", "hc7n", "hc9n", "benzonitrile", "azulene"]
+    parts = [host_molecule_assignment(mols, i, 3) for i in range(3)]
+    assert sorted(sum(parts, [])) == sorted(mols)
+    assert all(len(set(p)) == len(p) for p in parts)

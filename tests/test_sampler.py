@@ -120,3 +120,20 @@ def test_infinite_lnprob_walkers_recover():
     assert np.isinf(np.asarray(lnp0[:4])).all()
     chain, lnps, *_ = run_ensemble(lnprob, pos0, lnp0, jax.random.PRNGKey(2), nsteps=200)
     assert np.isfinite(np.asarray(lnps[-1])).all()
+
+
+def test_run_ensemble_chains_matches_individual():
+    """K vmapped chains equal K individually-run chains with the same keys."""
+    from cha1_mcmc_tpu.sampler import run_ensemble_chains
+
+    lnprob = _gauss_target(np.zeros(2), np.eye(2))
+    K, W = 3, 16
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(jax.random.PRNGKey(7), K)
+    pos0 = jax.random.normal(key, (K, W, 2), dtype=jnp.float32)
+    lnp0 = jax.vmap(jax.vmap(lnprob))(pos0)
+    chains, lnps, acc, (pos, lnp) = run_ensemble_chains(lnprob, pos0, lnp0, keys, nsteps=50)
+    assert np.asarray(chains).shape == (K, 50, W, 2)
+    for k in range(K):
+        ck, *_ = run_ensemble(lnprob, pos0[k], lnp0[k], keys[k], nsteps=50)
+        np.testing.assert_array_equal(np.asarray(chains[k]), np.asarray(ck))
