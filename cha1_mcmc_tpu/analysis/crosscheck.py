@@ -42,7 +42,7 @@ def grid_chi2(model: SpectralModel, spec: ParamSpec, grid_ints, grid_yerrs,
     batched = jax.jit(jax.vmap(lnlike))
     out = []
     for s in range(0, len(thetas), batch):
-        out.append(np.asarray(batched(jnp.asarray(thetas[s:s + batch], jnp.float32))))
+        out.append(np.asarray(batched(jnp.asarray(thetas[s:s + batch], model.dtype))))
     lnl = np.concatenate(out)
     chi2 = -2.0 * lnl
     return thetas, chi2, thetas[int(np.argmin(chi2))]

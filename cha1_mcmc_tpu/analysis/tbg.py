@@ -66,7 +66,7 @@ def calc_tbg(tbg_params, tbg_type: str, tbg_range, frequencies) -> np.ndarray:
         # polynomial as the docstring intends.
         params = [list(p)[::-1] for p in tbg_params]
         if n_ranges == 0:
-            coeffs = params[0] if len(params) == 1 else params[0]
+            coeffs = params[0]
             for order, c in enumerate(coeffs):
                 tbg += c * frequencies ** order
             tbg[tbg == 0] = T_CMB

@@ -24,9 +24,11 @@ def initialize_multihost(coordinator_address: str | None = None,
 
     With no arguments, jax auto-detects cluster environment variables
     (JAX_COORDINATOR_ADDRESS etc.). Call once per process before any other
-    JAX operation.
+    JAX operation — including jax.process_count(), which would initialize
+    the local backend and break distributed startup, so this function must
+    not query it before initializing.
     """
-    if jax.process_count() == 1 and coordinator_address is not None:
+    if coordinator_address is not None:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)

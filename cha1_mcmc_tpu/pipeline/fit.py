@@ -131,7 +131,8 @@ class SpectralFit:
         else:
             lnprob = build_lnprob(model, self.spec, grid.ints, grid.yerrs, lnprior)
 
-        if cfg.MLE_for_Ncol:
+        resuming = cfg.resume and os.path.exists(cfg.chain_path)
+        if cfg.MLE_for_Ncol and not resuming:  # resume discards `initial`
             print(f"{GRAY}Initializing Ncol via MLE.{RESET}")
             try:
                 est = estimate_ncol_mle(lnlike, self.spec, initial, cfg.bounds["Ncol"])
@@ -148,7 +149,7 @@ class SpectralFit:
             lnprob_fn=lnprob, nwalkers=cfg.nwalkers, ndim=self.spec.ndim,
             a=cfg.stretch_a, dtype=self.dtype, batched=cfg.use_pallas)
 
-        if cfg.resume and os.path.exists(cfg.chain_path):
+        if resuming:
             # Continue an existing chain from its last positions
             # (reference inference.py:463 / TMC1 restart=False convention).
             prev = np.load(cfg.chain_path)

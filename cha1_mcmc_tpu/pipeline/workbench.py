@@ -101,6 +101,10 @@ class Workbench:
         self.freq_sim = freq_out * (1.0 - self.vlsr / CKM)
         self.int_sim = ints
         self.tau_sim = tau
+        # Stick frequencies for the opacities, shifted like freq_sim: in
+        # gauss mode freq_sim is the rendered grid (G points) while tau_sim
+        # stays per-line (L points), so composites need this separately.
+        self.freq_stick = freq * (1.0 - self.vlsr / CKM)
         return self
 
     # live mutators (reference :1951-2130)
@@ -134,7 +138,7 @@ class Workbench:
     def store(self, name: str):
         self.stored[name] = dict(
             freq=self.freq_sim.copy(), ints=self.int_sim.copy(),
-            tau=self.tau_sim.copy(),
+            tau=self.tau_sim.copy(), tau_freq=self.freq_stick.copy(),
             params=dict(T=self.T, C=self.C, dV=self.dV, vlsr=self.vlsr,
                         source_size=self.source_size))
         return self
@@ -163,9 +167,10 @@ class Workbench:
             T_weight = np.zeros_like(grid)
             for e in self.stored.values():
                 dV = e["params"]["dV"]
-                _, tau_g = render_gaussian_profile(
-                    e["freq"], e["tau"], dV=dV, ll=grid[0], ul=grid[-1], res=self.res)
-                tau_g = np.interp(grid, np.arange(grid[0], grid[-1] + 1e-8, self.res), tau_g)
+                fg, tau_g = render_gaussian_profile(
+                    e["tau_freq"], e["tau"], dV=dV, ll=grid[0], ul=grid[-1],
+                    res=self.res)
+                tau_g = np.interp(grid, fg, tau_g)
                 tau_total += tau_g
                 T_weight += tau_g * e["params"]["T"]
             T_eff = np.where(tau_total > 0, T_weight / np.maximum(tau_total, 1e-300), T_CMB)
@@ -189,8 +194,19 @@ class Workbench:
                               self.int_sim, self.dV, self.res, **kwargs)
 
     def matched_filter(self, **kwargs):
+        """Matched-filter the stack; returns (velocity, response) with the
+        velocity axis center-trimmed to the 'valid'-mode response length
+        (reference simulate_lte.py:5106-5116)."""
         s = self.stack(mf=True, **kwargs)
-        return s.velocity, matched_filter(s.velocity, s.snr, s.sim_snr)
+        response = matched_filter(s.velocity, s.snr, s.sim_snr)
+        nchans = int(len(response) / 2)
+        c_chan = int(len(s.velocity) / 2)
+        vel = s.velocity[c_chan - nchans: c_chan + nchans]
+        if len(vel) > len(response):
+            vel = vel[: len(response)]
+        elif len(vel) < len(response):
+            response = response[: len(vel)]
+        return vel, response
 
     # -- session persistence (reference :2723, :3076) -------------------
     def save_session(self, path: str):
@@ -210,6 +226,7 @@ class Workbench:
             arrays[f"{name}__freq"] = e["freq"]
             arrays[f"{name}__ints"] = e["ints"]
             arrays[f"{name}__tau"] = e["tau"]
+            arrays[f"{name}__tau_freq"] = e["tau_freq"]
             arrays[f"{name}__params"] = np.array(
                 [e["params"][k] for k in ("T", "C", "dV", "vlsr", "source_size")])
         np.savez(path + ".npz", **arrays)
@@ -227,6 +244,6 @@ class Workbench:
             T, C, dV, vlsr, ss = data[f"{name}__params"]
             wb.stored[name] = dict(
                 freq=data[f"{name}__freq"], ints=data[f"{name}__ints"],
-                tau=data[f"{name}__tau"],
+                tau=data[f"{name}__tau"], tau_freq=data[f"{name}__tau_freq"],
                 params=dict(T=T, C=C, dV=dV, vlsr=vlsr, source_size=ss))
         return wb

@@ -49,13 +49,17 @@ def read_obs(path: str, rms: float | None = None):
 
     GHz = False
     if obs and obs[0].split(":")[0] == "#title":
+        # Reference quirk preserved (classes.py:441-454): j is incremented
+        # *after* the first non-# line is seen and the delete is obs[:j+1],
+        # so the header strip also discards the first TWO data rows.
+        i = 0
         j = 0
-        while True:
+        while i == 0:
             if obs[j].split(":")[0] == "#xLabel":
                 if obs[j].split("[")[1].strip("]\n ") == "GHz":
                     GHz = True
             if obs[j][:1] != "#":
-                break
+                i = 1
             j += 1
         del obs[: j + 1]
 

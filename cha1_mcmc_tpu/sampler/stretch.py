@@ -202,7 +202,7 @@ class EnsembleSampler:
         pos = jnp.asarray(pos, dtype=self.dtype)
         lnp = self.lnprob_fn(pos) if self.batched else jax.vmap(self.lnprob_fn)(pos)
         done = 0
-        retries = 0
+        retries = 0  # per-block; reset after each successful block
         iterator = None
         if progress:
             from tqdm import tqdm
@@ -221,6 +221,7 @@ class EnsembleSampler:
                     raise
                 retries += 1
                 continue  # re-split the key and retry the block
+            retries = 0
             pos, lnp = new_pos, new_lnp
             # device (K, W, D) -> emcee layout (W, K, D)
             self._chain_blocks.append(chain_host.transpose(1, 0, 2))

@@ -153,3 +153,51 @@ def test_plot_engines(tmp_path, hc5n_datagrid):
                            n_frames=4)
     assert (tmp_path / "anim.gif").stat().st_size > 5000
     assert len(steps) >= 2
+
+
+@requires_reference
+def test_workbench_gauss_mode_sum_and_matched_filter(tmp_path):
+    """Regression: gauss-mode sessions can sum_stored(thick=True) (tau is
+    per-line while freq_sim is the rendered grid) and matched_filter
+    returns aligned (velocity, response)."""
+    wb = Workbench(ll=18000, ul=19000, res=0.03, dish_size=70, source_size=52.0,
+                   dV=0.89, T=7.0, C=3.4e12, gauss=True)
+    wb.load_mol(f"{CATALOG_DIR}/hc5n_hfs.cat")
+    assert wb.freq_sim.size != wb.tau_sim.size  # the gauss-mode mismatch
+    wb.store("a").modT(9.0).store("b")
+    grid, comp = wb.sum_stored(thick=True)
+    assert np.isfinite(comp).all() and comp.max() > 0
+
+    # matched filter alignment on synthetic obs
+    rng = np.random.default_rng(0)
+    wb.freq_obs = np.arange(18000.0, 19000.0, 0.03)
+    wb.int_obs = rng.normal(0, 1e-3, wb.freq_obs.size) + np.interp(
+        wb.freq_obs, wb.freq_sim, wb.int_sim) * 0.5
+    wb.obs_res = 0.03
+    vel, resp = wb.matched_filter()
+    assert vel.shape == resp.shape
+    assert np.isfinite(resp).any()
+
+
+@requires_reference
+def test_read_obs_casa_header_quirk(tmp_path):
+    """The casaviewer header strip drops the first two data rows, exactly
+    as the reference does (classes.py:441-454)."""
+    from cha1_mcmc_tpu.reduce.converters import read_obs
+    import sys
+    from tests import reference_oracle
+
+    path = str(tmp_path / "obs.ispec")
+    lines = ["#title: test", "#xLabel: f [GHz]", "#region (world): box",
+             "18.0 0.1", "18.001 0.2", "18.002 0.3", "18.003 0.4", "18.004 0.5"]
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    freq, ints, res, rms = read_obs(path)
+    # first two data rows dropped; GHz -> MHz conversion applied
+    np.testing.assert_allclose(freq, [18002.0, 18003.0, 18004.0])
+    np.testing.assert_allclose(ints, [0.3, 0.4, 0.5])
+    # differential: the reference MolObs on the same file
+    classes = reference_oracle.load_reference()[0]
+    ref = classes.MolObs("t", path)
+    np.testing.assert_allclose(ref.freq_obs, freq)
+    np.testing.assert_allclose(ref.int_obs, ints)
