@@ -34,7 +34,25 @@ from cha1_mcmc_tpu.constants import KCM
 if TYPE_CHECKING:
     from cha1_mcmc_tpu.catalogs.spcat import Catalog
 
-__all__ = ["QModel", "q_model_for_catalog"]
+__all__ = ["QModel", "q_model_for_catalog", "calc_qvib"]
+
+
+def calc_qvib(vibs, T, xp=np):
+    """Vibrational partition-function correction
+    (reference simulate_lte.py:1293-1313).
+
+    vibs: iterable of vibrational mode energies in cm^-1 (or None).
+    Q_vib = prod_modes sum_{y=0..99} exp(-E_mode * y / (0.695 T)) — the
+    reference's truncated harmonic-oscillator sum, reproduced term for
+    term. Pass xp=jax.numpy for a traceable version.
+    """
+    if vibs is None:
+        return 1.0
+    y = xp.arange(100)
+    qvib = 1.0
+    for energy in vibs:
+        qvib = qvib * xp.sum(xp.exp(-energy * y / (0.695 * T)))
+    return qvib
 
 
 @dataclasses.dataclass(frozen=True)

@@ -12,6 +12,7 @@ from cha1_mcmc_tpu.ops.lte import (
     apply_beam,
     tau_sticks,
     stick_spectrum,
+    scale_temp,
 )
 
-__all__ = ["planck_J", "beam_dilution", "apply_beam", "tau_sticks", "stick_spectrum"]
+__all__ = ["planck_J", "beam_dilution", "apply_beam", "tau_sticks", "stick_spectrum", "scale_temp"]

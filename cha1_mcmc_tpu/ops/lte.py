@@ -63,6 +63,15 @@ def tau_sticks(xp, freq_mhz, elower, aij, gup, glow, Q, Ncol, Tex, dV):
     return tau_num / tau_den
 
 
+def scale_temp(xp, int_sim, elower, T, CT, Q_T, Q_CT):
+    """Rescale linear intensities from catalog temperature CT to T
+    (reference simulate_lte.py:1318-1341):
+    int * (Q_CT / Q_T) * (CT / T) * exp(-((1/T - 1/CT) * elower) / 0.695).
+    """
+    return int_sim * (Q_CT / Q_T) * (CT / T) * xp.exp(
+        -(((1.0 / T) - (1.0 / CT)) * elower) / 0.695)
+
+
 def stick_spectrum(xp, freq_mhz, tau, Tex, Tbg, source_size, dish_size):
     """Stick (gauss=False) intensities with beam dilution applied.
 

@@ -1,4 +1,5 @@
-"""Utilities: colored logging and throughput metrics."""
+"""Utilities: throughput metrics and profiling hooks (console color
+codes live in constants.py)."""
 
 from cha1_mcmc_tpu.utils.metrics import Throughput, trace_profile
 

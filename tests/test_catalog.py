@@ -113,3 +113,35 @@ def test_native_tokenizer_matches_python():
         py = _tokenize_python([ln for ln in raw.decode().splitlines() if ln.strip()])
         for key in py:
             np.testing.assert_array_equal(nat[key], py[key], err_msg=f"{path}:{key}")
+
+
+@requires_reference
+def test_calc_qvib_matches_reference_formula():
+    """Q_vib vs the reference's truncated harmonic sum
+    (simulate_lte.py:1293-1313), evaluated both ways."""
+    from cha1_mcmc_tpu.catalogs import calc_qvib
+
+    assert calc_qvib(None, 10.0) == 1.0
+    vibs, T = [100.0, 250.0], 150.0
+    expected = 1.0
+    for x in vibs:
+        expected *= sum(np.exp(-x * y / (0.695 * T)) for y in range(100))
+    assert np.isclose(calc_qvib(vibs, T), expected, rtol=1e-12)
+    import jax.numpy as jnp
+
+    assert np.isclose(float(calc_qvib(vibs, jnp.float32(T), xp=jnp)), expected, rtol=1e-5)
+
+
+@requires_reference
+def test_scale_temp_roundtrip(hc5n_catalog):
+    """Scaling CT->T->CT returns the original intensities; scaling the
+    catalog intensities from 300 K reproduces direct simulation ratios."""
+    from cha1_mcmc_tpu.ops import scale_temp
+    from cha1_mcmc_tpu.catalogs import q_model_for_catalog
+
+    qm = q_model_for_catalog(hc5n_catalog)
+    T, CT = 7.0, 300.0
+    Q_T, Q_CT = qm.host_eval(T), qm.host_eval(CT)
+    scaled = scale_temp(np, hc5n_catalog.intensity, hc5n_catalog.elower, T, CT, Q_T, Q_CT)
+    back = scale_temp(np, scaled, hc5n_catalog.elower, CT, T, Q_CT, Q_T)
+    np.testing.assert_allclose(back, hc5n_catalog.intensity, rtol=1e-10)
