@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cha1_mcmc_tpu.constants import FWHM_TO_SIGMA_MODEL, VELOCITY_WINDOW_DV
 
-__all__ = ["opacity_pallas", "block_activity_mask"]
+__all__ = ["opacity_pallas", "block_activity_mask", "block_activity_mask_traced"]
 
 # Tile sizes: walker tile x channel tile x line tile. Chosen so the largest
 # in-kernel intermediate (TL x TC f32) is 256 KB and the velocity block DMA
@@ -53,6 +53,19 @@ def block_activity_mask(vel_grid: np.ndarray, mask_center: float,
     padded[:L, :C] = inside
     blocks = padded.reshape(nL, TL, nC, TC).any(axis=(1, 3))
     return blocks.astype(np.int32)
+
+
+def block_activity_mask_traced(vel_grid, mask_center: float,
+                               dv_max: float) -> jnp.ndarray:
+    """Traceable variant of block_activity_mask for use inside jit /
+    shard_map, where the velocity grid is a (possibly sharded) traced
+    array rather than host NumPy."""
+    L, C = vel_grid.shape
+    Lp, Cp = _ceil_to(L, TL), _ceil_to(C, TC)
+    inside = jnp.abs(vel_grid - mask_center) < VELOCITY_WINDOW_DV * dv_max
+    padded = jnp.zeros((Lp, Cp), dtype=bool).at[:L, :C].set(inside)
+    blocks = padded.reshape(Lp // TL, TL, Cp // TC, TC).any(axis=(1, 3))
+    return blocks.astype(jnp.int32)
 
 
 def _dma_redirect_table(block_mask) -> jnp.ndarray:

@@ -109,6 +109,9 @@ def run_ensemble_sharded(
     nsteps: int,
     mesh: Mesh,
     a: float = 2.0,
+    use_pallas: bool = False,
+    dv_max: float | None = None,
+    interpret: bool = False,
 ):
     """Run `nsteps` stretch-move steps with walkers and catalog lines sharded.
 
@@ -130,6 +133,9 @@ def run_ensemble_sharded(
                  model.line_gup, model.line_glow, model.vel_grid)
     axis_name = LINE_AXIS if n_l > 1 else None
 
+    if use_pallas and dv_max is None:
+        raise ValueError("use_pallas=True requires dv_max (from prior bounds)")
+
     def local_lnprob(lines_local, theta):
         lf, le, la, lg, lgl, vg = lines_local
         ss, Ncol, Tex, vlsr, dV = spec.unpack(jnp.asarray(theta, dtype=dtype))
@@ -140,6 +146,41 @@ def run_ensemble_sharded(
         resid = y - m
         ll = -0.5 * jnp.sum(resid * resid * inv_sigma2 - jnp.log(inv_sigma2))
         lp = lnprior_fn(theta)
+        return jnp.where(jnp.isfinite(lp) & jnp.isfinite(ll), lp + ll, -jnp.inf)
+
+    def local_lnprob_batch_pallas(lines_local, thetas):
+        """Walker-batched local lnprob with the Pallas opacity kernel over
+        the device's line shard; partial opacity psum'ed over the lines
+        axis. Closes the dp x tp x Pallas composition."""
+        from cha1_mcmc_tpu.constants import T_CMB  # noqa: F401 (doc anchor)
+        from cha1_mcmc_tpu.models.pallas_kernels import (
+            block_activity_mask_traced, opacity_pallas)
+        from cha1_mcmc_tpu.ops.lte import beam_dilution, planck_J, tau_sticks
+
+        lf, le, la, lg, lgl, vg = lines_local
+        thetas = jnp.asarray(thetas, dtype=dtype)
+        N = thetas.shape[0]
+        K = spec.ncomp
+        ss, Ncol, Tex, vlsr, dV = spec.unpack(thetas)
+        Q = model.q_model(Tex)
+        taus = tau_sticks(jnp, lf, le, la, lg, lgl, Q[:, None, None],
+                          Ncol[..., None], Tex[:, None, None], dV[:, None, None])
+        block_mask = block_activity_mask_traced(vg, model.mask_center, dv_max)
+        opac = opacity_pallas(
+            taus.reshape(N * K, -1), vlsr.reshape(N * K),
+            jnp.broadcast_to(dV[:, None], (N, K)).reshape(N * K),
+            vg, block_mask, mask_center=model.mask_center,
+            interpret=interpret).reshape(N, K, -1)
+        if axis_name is not None:
+            opac = jax.lax.psum(opac, axis_name)
+        J_T = planck_J(jnp, model.grid_freq, Tex[:, None, None], guard=1e-10)
+        J_Tbg = planck_J(jnp, model.grid_freq,
+                         jnp.asarray(model.Tbg, dtype=dtype), guard=1e-10)
+        dil = beam_dilution(jnp, model.grid_freq, ss[..., None], model.dish_size)
+        m = jnp.sum(dil * (J_T - J_Tbg) * (1.0 - jnp.exp(-opac)), axis=1)
+        resid = y - m
+        ll = -0.5 * jnp.sum(resid * resid * inv_sigma2 - jnp.log(inv_sigma2), axis=-1)
+        lp = jax.vmap(lnprior_fn)(thetas)
         return jnp.where(jnp.isfinite(lp) & jnp.isfinite(ll), lp + ll, -jnp.inf)
 
     line_specs = (P(LINE_AXIS), P(LINE_AXIS), P(LINE_AXIS), P(LINE_AXIS),
@@ -155,7 +196,10 @@ def run_ensemble_sharded(
     )
     def sharded_run(lines_local, pos_local, key):
         w_idx = jax.lax.axis_index(WALKER_AXIS)
-        lnprob_batch = jax.vmap(partial(local_lnprob, lines_local))
+        if use_pallas:
+            lnprob_batch = partial(local_lnprob_batch_pallas, lines_local)
+        else:
+            lnprob_batch = jax.vmap(partial(local_lnprob, lines_local))
         lnp_local = lnprob_batch(pos_local)
         W_local = pos_local.shape[0]
         h = W_local // 2
