@@ -13,7 +13,7 @@ import numpy as np
 
 from cha1_mcmc_tpu.constants import CKM
 
-__all__ = ["lis_to_array", "ascii_to_array", "velocity_to_frequency"]
+__all__ = ["lis_to_array", "ascii_to_array", "velocity_to_frequency", "spec_to_array", "read_obs"]
 
 
 def lis_to_array(path: str, skip_header: int = 3) -> np.ndarray:
@@ -32,6 +32,17 @@ def ascii_to_array(path: str, freq_col: int = 0, int_col: int = 1,
 def velocity_to_frequency(velocities_kms: np.ndarray, rest_freq_mhz: float) -> np.ndarray:
     """nu = nu_rest * (1 - v / c) (reference DSN_pipeline.ipynb cell 9)."""
     return rest_freq_mhz * (1.0 - np.asarray(velocities_kms, dtype=np.float64) / CKM)
+
+
+def spec_to_array(path: str, rest_freq_mhz: float, *, vel_col: int = 0,
+                  int_col: int = 1, skip_header: int = 0) -> np.ndarray:
+    """Convert a velocity-space `.spec` file to a (2, N) frequency-space
+    array via nu = nu_rest (1 - v/c), sorted by frequency (reference
+    DSN_pipeline.ipynb cell 9's per-line converter)."""
+    rows = np.genfromtxt(path, skip_header=skip_header)
+    freqs = velocity_to_frequency(rows[:, vel_col], rest_freq_mhz)
+    order = np.argsort(freqs)
+    return np.vstack([freqs[order], rows[order, int_col]])
 
 
 def read_obs(path: str, rms: float | None = None):

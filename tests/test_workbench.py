@@ -201,3 +201,31 @@ def test_read_obs_casa_header_quirk(tmp_path):
     ref = classes.MolObs("t", path)
     np.testing.assert_allclose(ref.freq_obs, freq)
     np.testing.assert_allclose(ref.int_obs, ints)
+
+
+@requires_reference
+def test_presets_and_spec_converter(tmp_path):
+    from cha1_mcmc_tpu.pipeline.presets import load_preset, PRESETS
+    from cha1_mcmc_tpu.reduce.converters import spec_to_array
+
+    cfg = load_preset("dsn_cha_mms1_hc5n", f"{REFERENCE_ROOT}/data", CATALOG_DIR)
+    assert os.path.exists(cfg.data_path) and cfg.mol_name == "hc5n_hfs"
+    cfg2 = load_preset("gotham_tmc1_hc9n", f"{REFERENCE_ROOT}/data", CATALOG_DIR)
+    assert cfg2.ncomp == 4
+    with pytest.raises(KeyError):
+        load_preset("nope", "/tmp", CATALOG_DIR)
+    with pytest.raises(FileNotFoundError):
+        load_preset("dsn_cha_mms1_hc5n", "/nonexistent", CATALOG_DIR)
+
+    # .spec converter roundtrip
+    rng = np.random.default_rng(0)
+    v = np.linspace(-20, 20, 201)
+    i = rng.normal(0, 1e-3, v.size)
+    path = str(tmp_path / "test.spec")
+    np.savetxt(path, np.column_stack([v, i]))
+    arr = spec_to_array(path, rest_freq_mhz=23963.9)
+    assert arr.shape == (2, 201)
+    assert np.all(np.diff(arr[0]) > 0)  # sorted ascending in frequency
+    # v=0 maps to the rest frequency
+    idx = np.argmin(np.abs(arr[0] - 23963.9))
+    assert np.isclose(arr[1][idx], i[100])
