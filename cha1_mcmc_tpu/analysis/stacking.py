@@ -263,8 +263,9 @@ def find_vel_peaks(velocity, intensity, fwhm: float, sigma: float = 3.0,
     v_res = abs(velocity[1] - velocity[0]) if len(velocity) > 1 else 1.0
     fwhm_chan = max(fwhm / v_res, 1.0)
     rms = get_rms(intensity)
-    idx, _ = _signal.find_peaks(intensity, height=sigma * rms,
-                                distance=max(int(fwhm_chan * 0.5), 1))
+    idx, _ = _signal.find_peaks(
+        intensity, height=sigma * rms,
+        distance=max(int(fwhm_chan * 0.5 * width_tweak), 1))
     return idx, rms
 
 
@@ -279,10 +280,16 @@ def cut_spectra(freq_obs, int_obs, freq_sim, dV: float, n_fwhm: float = 30.0):
     for x in np.asarray(freq_sim, dtype=np.float64):
         i = int(np.abs(freq_obs - x).argmin())
         if abs(freq_obs[i] - x) < 1:
-            j = min(i + 10, len(freq_obs) - 1)
-            res_tmp = abs((freq_obs[i] - freq_obs[j]) / max(j - i, 1))
+            # Local resolution from 10 channels away; step backwards when
+            # the stick sits near the end of the spectrum.
+            j = i + 10 if i + 10 < len(freq_obs) else i - 10
+            if j < 0 or j == i:
+                continue  # spectrum too short to estimate a resolution
+            res_tmp = abs((freq_obs[i] - freq_obs[j]) / abs(j - i))
             vel_res = abs(res_tmp * CKM / freq_obs[i])
-            pts = int(n_fwhm * dV / max(vel_res, 1e-12))
+            if vel_res == 0:
+                continue
+            pts = int(n_fwhm * dV / vel_res)
             lo, hi = max(0, i - pts), min(len(freq_obs), i + pts)
             freq_cut.extend(freq_obs[lo:hi])
             int_cut.extend(int_obs[lo:hi])

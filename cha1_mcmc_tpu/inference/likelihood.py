@@ -21,7 +21,42 @@ from cha1_mcmc_tpu.models.forward import SpectralModel
 from cha1_mcmc_tpu.ops.lte import planck_J, beam_dilution, tau_sticks
 from cha1_mcmc_tpu.inference.params import ParamSpec
 
-__all__ = ["build_lnlike", "build_lnprob", "build_lnprob_batched"]
+__all__ = ["build_lnlike", "build_lnprob", "build_lnprob_batched",
+           "batched_model_pallas"]
+
+
+def batched_model_pallas(line_freq, line_elower, line_aij, line_gup, line_glow,
+                         vel_grid, q_model, grid_freq, mask_center, dish_size,
+                         Tbg, dtype, spec, thetas, block_mask, *,
+                         interpret: bool = False, axis_name: str | None = None):
+    """(N, C) walker-batched forward model with the Pallas opacity kernel.
+
+    Shared by the single-device batched likelihood and the line-sharded
+    shard_map path: the line arrays may be a device-local shard, in which
+    case `axis_name` names the mesh axis to psum the partial opacity over.
+    """
+    from cha1_mcmc_tpu.constants import T_CMB  # noqa: F401 (doc anchor)
+    from cha1_mcmc_tpu.models.pallas_kernels import opacity_pallas
+
+    thetas = jnp.asarray(thetas, dtype=dtype)
+    N = thetas.shape[0]
+    K = spec.ncomp
+    ss, Ncol, Tex, vlsr, dV = spec.unpack(thetas)
+    Q = q_model(Tex)
+    taus = tau_sticks(jnp, line_freq, line_elower, line_aij, line_gup,
+                      line_glow, Q[:, None, None], Ncol[..., None],
+                      Tex[:, None, None], dV[:, None, None])      # (N, K, L)
+    opac = opacity_pallas(
+        taus.reshape(N * K, -1), vlsr.reshape(N * K),
+        jnp.broadcast_to(dV[:, None], (N, K)).reshape(N * K),
+        vel_grid, block_mask, mask_center=mask_center,
+        interpret=interpret).reshape(N, K, -1)
+    if axis_name is not None:
+        opac = jax.lax.psum(opac, axis_name)
+    J_T = planck_J(jnp, grid_freq, Tex[:, None, None], guard=1e-10)
+    J_Tbg = planck_J(jnp, grid_freq, jnp.asarray(Tbg, dtype=dtype), guard=1e-10)
+    dil = beam_dilution(jnp, grid_freq, ss[..., None], dish_size)
+    return jnp.sum(dil * (J_T - J_Tbg) * (1.0 - jnp.exp(-opac)), axis=1)
 
 
 def build_lnlike(model: SpectralModel, spec: ParamSpec, grid_ints, grid_yerrs):
@@ -82,8 +117,7 @@ def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
     C = model.n_channels
 
     if use_pallas:
-        from cha1_mcmc_tpu.models.pallas_kernels import (
-            block_activity_mask, opacity_pallas)
+        from cha1_mcmc_tpu.models.pallas_kernels import block_activity_mask
 
         if dv_max is None:
             raise ValueError("use_pallas=True requires dv_max (from prior bounds)")
@@ -94,36 +128,32 @@ def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
 
     def lnprob_batch(thetas):
         thetas = jnp.asarray(thetas, dtype=dtype)
-        N = thetas.shape[0]
-        ss, Ncol, Tex, vlsr, dV = spec.unpack(thetas)   # ss (N,K), Tex (N,)
-        Q = model.q_model(Tex)                           # (N,)
-        taus = tau_sticks(
-            jnp, model.line_freq, model.line_elower, model.line_aij,
-            model.line_gup, model.line_glow,
-            Q[:, None, None], Ncol[..., None], Tex[:, None, None],
-            dV[:, None, None])                           # (N, K, L)
-
         if use_pallas:
-            opac = opacity_pallas(
-                taus.reshape(N * K, -1),
-                vlsr.reshape(N * K),
-                jnp.broadcast_to(dV[:, None], (N, K)).reshape(N * K),
-                model.vel_grid, block_mask,
-                mask_center=model.mask_center, interpret=interpret,
-            ).reshape(N, K, C)
+            m = batched_model_pallas(
+                model.line_freq, model.line_elower, model.line_aij,
+                model.line_gup, model.line_glow, model.vel_grid,
+                model.q_model, model.grid_freq, model.mask_center,
+                model.dish_size, model.Tbg, dtype, spec, thetas, block_mask,
+                interpret=interpret)
         else:
+            ss, Ncol, Tex, vlsr, dV = spec.unpack(thetas)  # ss (N,K), Tex (N,)
+            Q = model.q_model(Tex)                          # (N,)
+            taus = tau_sticks(
+                jnp, model.line_freq, model.line_elower, model.line_aij,
+                model.line_gup, model.line_glow,
+                Q[:, None, None], Ncol[..., None], Tex[:, None, None],
+                dV[:, None, None])                          # (N, K, L)
             sigma = (dV / FWHM_TO_SIGMA_MODEL)[:, None, None, None]
             window = (jnp.abs(model.vel_grid - model.mask_center)
                       < VELOCITY_WINDOW_DV * dV[:, None, None, None])
             z = (model.vel_grid - vlsr[..., None, None]) / sigma
             gauss = jnp.where(window, jnp.exp(-0.5 * z * z), 0.0)  # (N,K,L,C)
             opac = jnp.einsum("nkl,nklc->nkc", taus, gauss)
-
-        J_T = planck_J(jnp, model.grid_freq, Tex[:, None, None], guard=1e-10)
-        J_Tbg = planck_J(jnp, model.grid_freq,
-                         jnp.asarray(model.Tbg, dtype=dtype), guard=1e-10)
-        dil = beam_dilution(jnp, model.grid_freq, ss[..., None], model.dish_size)
-        m = jnp.sum(dil * (J_T - J_Tbg) * (1.0 - jnp.exp(-opac)), axis=1)  # (N,C)
+            J_T = planck_J(jnp, model.grid_freq, Tex[:, None, None], guard=1e-10)
+            J_Tbg = planck_J(jnp, model.grid_freq,
+                             jnp.asarray(model.Tbg, dtype=dtype), guard=1e-10)
+            dil = beam_dilution(jnp, model.grid_freq, ss[..., None], model.dish_size)
+            m = jnp.sum(dil * (J_T - J_Tbg) * (1.0 - jnp.exp(-opac)), axis=1)
 
         resid = y - m
         ll = -0.5 * jnp.sum(resid * resid * inv_sigma2 - jnp.log(inv_sigma2), axis=-1)

@@ -32,6 +32,14 @@ def initialize_multihost(coordinator_address: str | None = None,
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
+    else:
+        try:
+            # Auto-detect cluster environment (TPU pods, SLURM, ...). On a
+            # plain single host with no cluster variables this raises; that
+            # is the legitimate single-process case.
+            jax.distributed.initialize()
+        except Exception:
+            pass
     return jax.process_index(), jax.process_count()
 
 

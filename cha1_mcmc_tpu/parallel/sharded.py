@@ -148,39 +148,21 @@ def run_ensemble_sharded(
         lp = lnprior_fn(theta)
         return jnp.where(jnp.isfinite(lp) & jnp.isfinite(ll), lp + ll, -jnp.inf)
 
-    def local_lnprob_batch_pallas(lines_local, thetas):
+    def local_lnprob_batch_pallas(lines_local, block_mask, thetas):
         """Walker-batched local lnprob with the Pallas opacity kernel over
         the device's line shard; partial opacity psum'ed over the lines
-        axis. Closes the dp x tp x Pallas composition."""
-        from cha1_mcmc_tpu.constants import T_CMB  # noqa: F401 (doc anchor)
-        from cha1_mcmc_tpu.models.pallas_kernels import (
-            block_activity_mask_traced, opacity_pallas)
-        from cha1_mcmc_tpu.ops.lte import beam_dilution, planck_J, tau_sticks
+        axis (dp x tp x Pallas). The forward body is shared with the
+        single-device batched path (inference.likelihood)."""
+        from cha1_mcmc_tpu.inference.likelihood import batched_model_pallas
 
         lf, le, la, lg, lgl, vg = lines_local
-        thetas = jnp.asarray(thetas, dtype=dtype)
-        N = thetas.shape[0]
-        K = spec.ncomp
-        ss, Ncol, Tex, vlsr, dV = spec.unpack(thetas)
-        Q = model.q_model(Tex)
-        taus = tau_sticks(jnp, lf, le, la, lg, lgl, Q[:, None, None],
-                          Ncol[..., None], Tex[:, None, None], dV[:, None, None])
-        block_mask = block_activity_mask_traced(vg, model.mask_center, dv_max)
-        opac = opacity_pallas(
-            taus.reshape(N * K, -1), vlsr.reshape(N * K),
-            jnp.broadcast_to(dV[:, None], (N, K)).reshape(N * K),
-            vg, block_mask, mask_center=model.mask_center,
-            interpret=interpret).reshape(N, K, -1)
-        if axis_name is not None:
-            opac = jax.lax.psum(opac, axis_name)
-        J_T = planck_J(jnp, model.grid_freq, Tex[:, None, None], guard=1e-10)
-        J_Tbg = planck_J(jnp, model.grid_freq,
-                         jnp.asarray(model.Tbg, dtype=dtype), guard=1e-10)
-        dil = beam_dilution(jnp, model.grid_freq, ss[..., None], model.dish_size)
-        m = jnp.sum(dil * (J_T - J_Tbg) * (1.0 - jnp.exp(-opac)), axis=1)
+        m = batched_model_pallas(
+            lf, le, la, lg, lgl, vg, model.q_model, model.grid_freq,
+            model.mask_center, model.dish_size, model.Tbg, dtype, spec,
+            thetas, block_mask, interpret=interpret, axis_name=axis_name)
         resid = y - m
         ll = -0.5 * jnp.sum(resid * resid * inv_sigma2 - jnp.log(inv_sigma2), axis=-1)
-        lp = jax.vmap(lnprior_fn)(thetas)
+        lp = jax.vmap(lnprior_fn)(jnp.asarray(thetas, dtype=dtype))
         return jnp.where(jnp.isfinite(lp) & jnp.isfinite(ll), lp + ll, -jnp.inf)
 
     line_specs = (P(LINE_AXIS), P(LINE_AXIS), P(LINE_AXIS), P(LINE_AXIS),
@@ -197,7 +179,13 @@ def run_ensemble_sharded(
     def sharded_run(lines_local, pos_local, key):
         w_idx = jax.lax.axis_index(WALKER_AXIS)
         if use_pallas:
-            lnprob_batch = partial(local_lnprob_batch_pallas, lines_local)
+            from cha1_mcmc_tpu.models.pallas_kernels import block_activity_mask_traced
+
+            # Static per run: hoisted out of the per-step lnprob so the
+            # scan body does not recompute the O(L x C) reduction.
+            block_mask = block_activity_mask_traced(
+                lines_local[5], model.mask_center, dv_max)
+            lnprob_batch = partial(local_lnprob_batch_pallas, lines_local, block_mask)
         else:
             lnprob_batch = jax.vmap(partial(local_lnprob, lines_local))
         lnp_local = lnprob_batch(pos_local)

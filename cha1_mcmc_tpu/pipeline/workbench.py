@@ -242,8 +242,13 @@ class Workbench:
         data = np.load(path + ".npz")
         for name in state["stored_names"]:
             T, C, dV, vlsr, ss = data[f"{name}__params"]
+            # Older sessions (pre tau_freq) stored stick sims where
+            # freq == tau_freq; fall back for compatibility.
+            tau_freq = (data[f"{name}__tau_freq"]
+                        if f"{name}__tau_freq" in data.files
+                        else data[f"{name}__freq"])
             wb.stored[name] = dict(
                 freq=data[f"{name}__freq"], ints=data[f"{name}__ints"],
-                tau=data[f"{name}__tau"], tau_freq=data[f"{name}__tau_freq"],
+                tau=data[f"{name}__tau"], tau_freq=tau_freq,
                 params=dict(T=T, C=C, dV=dV, vlsr=vlsr, source_size=ss))
         return wb
