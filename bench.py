@@ -63,10 +63,16 @@ def bench_tpu() -> dict:
     # Warmup/compile.
     chain, lnps, acc, (pos, lnp) = run_ensemble(lnprob, pos0, lnp0, key, nsteps=TPU_STEPS)
     jax.block_until_ready(chain)
-    t0 = time.perf_counter()
-    chain, lnps, acc, (pos, lnp) = run_ensemble(lnprob, pos, lnp, key, nsteps=TPU_STEPS)
-    jax.block_until_ready(chain)
-    dt = time.perf_counter() - t0
+    # Best of three: the TPU here is a shared pool, so single measurements
+    # occasionally catch a contended patch several times slower than the
+    # device's actual rate.
+    dt = float("inf")
+    for rep in range(3):
+        key = jax.random.fold_in(key, rep)  # distinct inputs defeat result caching
+        t0 = time.perf_counter()
+        chain, lnps, acc, (pos, lnp) = run_ensemble(lnprob, pos, lnp, key, nsteps=TPU_STEPS)
+        jax.block_until_ready(chain)
+        dt = min(dt, time.perf_counter() - t0)
     return {
         "rate": TPU_STEPS * NWALKERS / dt,
         "steps": TPU_STEPS,
