@@ -64,6 +64,7 @@ class FitConfig:
     stretch_a: float = 2.0
     use_pallas: bool = False         # Pallas opacity kernel (dense catalogs)
     resume: bool = False             # continue an existing chain file
+    profile_dir: str | None = None   # write a jax.profiler trace of sampling
 
     def __post_init__(self):
         if self.fixed_source_size is not None and len(self.template_means) == 5:

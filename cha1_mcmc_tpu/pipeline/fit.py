@@ -166,10 +166,14 @@ class SpectralFit:
             pos = initialize_walkers(initial, prior_stds, cfg.nwalkers,
                                      self._is_within_bounds, rng=rng)
             key = jax.random.PRNGKey(cfg.seed)
-        self.sampler.run_mcmc(
-            pos, cfg.nruns, key,
-            checkpoint_every=cfg.checkpoint_every,
-            chain_file=cfg.chain_path, progress=True)
+
+        from cha1_mcmc_tpu.utils import trace_profile
+
+        with trace_profile(cfg.profile_dir):
+            self.sampler.run_mcmc(
+                pos, cfg.nruns, key,
+                checkpoint_every=cfg.checkpoint_every,
+                chain_file=cfg.chain_path, progress=True)
         print(f"{GRAY}Acceptance fraction: {self.sampler.acceptance_fraction:.3f}{RESET}")
         return self.sampler.chain
 
