@@ -145,3 +145,43 @@ def test_scale_temp_roundtrip(hc5n_catalog):
     scaled = scale_temp(np, hc5n_catalog.intensity, hc5n_catalog.elower, T, CT, Q_T, Q_CT)
     back = scale_temp(np, scaled, hc5n_catalog.elower, CT, T, Q_CT, Q_T)
     np.testing.assert_allclose(back, hc5n_catalog.intensity, rtol=1e-10)
+
+
+@requires_reference
+def test_parity_label_qns_synthetic(tmp_path):
+    """No shipped catalog contains '+'/'-' parity QN fields, so that decode
+    path (reference fix_pm, functions.py:330-335) is verified here on a
+    synthetic catalog against the reference parser and both tokenizers."""
+    from cha1_mcmc_tpu.catalogs.native import native_available, tokenize_native
+    from cha1_mcmc_tpu.catalogs.spcat import _tokenize_python
+    from tests import reference_oracle
+
+    # SPCAT fixed-width rows; QN columns at 55+2q. Column qn3 carries
+    # '+'/'-'/'' entries, column qn4 mixes ints with an empty field.
+    def row(freq, elow, gup, qns):
+        qn_str = "".join(f"{q:>2}" for q in qns)
+        return (f"{freq:13.4f}{0.001:8.4f}{-5.0:8.4f} 2{elow:10.4f}"
+                f"{gup:3d}    123 304{qn_str}")
+
+    lines = [
+        row(10000.0, 0.0, 3, ["1", "0", "+", "1", "", "", "0", "0", "-", "1", "", ""]),
+        row(12000.0, 0.3, 5, ["2", "0", "-", "2", "", "", "1", "0", "+", "1", "", ""]),
+        row(14000.0, 0.7, 7, ["3", "0", "+", "", "", "", "2", "0", "-", "2", "", ""]),
+    ]
+    path = str(tmp_path / "synthetic_pm.cat")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    classes, _, _ = reference_oracle.load_reference()
+    ref = classes.MolCat("pm", path)
+    mine = load_catalog(path)
+    # parity labels decoded column-wide: '+'->1, '-'->2, ''->0
+    ref_qn = np.vstack([getattr(ref, f"qn{i}") for i in range(1, 13)]).T.astype(int)
+    np.testing.assert_array_equal(mine.qn, ref_qn)
+    np.testing.assert_array_equal(ref.gup, mine.gup)
+    np.testing.assert_array_equal(ref.glow, mine.glow)
+    np.testing.assert_allclose(ref.sijmu, mine.sijmu)
+    if native_available():
+        with open(path, "rb") as fh:
+            nat = tokenize_native(fh.read())
+        np.testing.assert_array_equal(nat["qn"], mine.qn)
