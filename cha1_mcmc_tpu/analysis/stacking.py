@@ -183,9 +183,12 @@ def velocity_stack(
         if obs.tag in drops:
             obs.flag = True
             continue
+        # Independent ifs, as in the reference (simulate_lte.py:4649-4656):
+        # despite its own warning that flag_lines supersedes blank_lines,
+        # the reference applies both when both are set.
         if flag_lines:
             obs.intensity[obs.intensity > flag_int_thresh * obs.rms] = np.nan
-        elif blank_lines:
+        if blank_lines:
             if blank_keep_range is None:
                 obs.intensity[np.abs(obs.intensity) > flag_int_thresh * obs.rms] = np.nan
             else:

@@ -24,10 +24,11 @@ def _flatten_chain(chain: np.ndarray, burn_in_frac: float = 0.2) -> np.ndarray:
 
 
 def _title(samples_1d: np.ndarray) -> str:
-    """Adaptive sci-notation quantile title (reference inference.py:517-536)."""
+    """Adaptive sci-notation quantile title (reference inference.py:517-536;
+    a zero median — where log10 diverges — falls back to plain formatting)."""
     p16, p50, p84 = np.percentile(samples_1d, [16, 50, 84])
     lower, upper = p50 - p16, p84 - p50
-    if abs(p50) < 1e-3 or abs(p50) > 1e3:
+    if p50 != 0.0 and (abs(p50) < 1e-3 or abs(p50) > 1e3):
         exp = int(np.floor(np.log10(abs(p50))))
         scale = 10.0 ** exp
         return (f"({p50 / scale:.2f}_-{lower / scale:.2f}^+{upper / scale:.2f})"

@@ -34,6 +34,13 @@ from cha1_mcmc_tpu.sampler.chain import last_position
 __all__ = ["run_ensemble", "EnsembleSampler"]
 
 
+def _state_path(chain_file: str) -> str:
+    import os
+
+    root, _ = os.path.splitext(chain_file)
+    return root + ".state.npz"
+
+
 def _half_step(lnprob_batch, ndim, a, coords, lnp, active_idx, comp_idx,
                z_u, pair, acc_u):
     """Update walkers `active_idx` using complement `comp_idx` with
@@ -231,7 +238,7 @@ class EnsembleSampler:
             done += block
             if chain_file is not None:
                 np.save(chain_file, self.chain)
-                np.savez(chain_file[:-4] + ".state.npz",
+                np.savez(_state_path(chain_file),
                          pos=np.asarray(pos), lnp=np.asarray(lnp),
                          key=np.asarray(key),
                          accepted=self.accepted,
@@ -247,7 +254,7 @@ class EnsembleSampler:
         continuation; returns None if no sidecar exists."""
         import os
 
-        state_path = chain_file[:-4] + ".state.npz"
+        state_path = _state_path(chain_file)
         if not os.path.exists(state_path):
             return None
         state = np.load(state_path)

@@ -262,3 +262,28 @@ def test_host_molecule_assignment():
     parts = [host_molecule_assignment(mols, i, 3) for i in range(3)]
     assert sorted(sum(parts, [])) == sorted(mols)
     assert all(len(set(p)) == len(p) for p in parts)
+
+
+@requires_reference
+def test_flag_and_blank_both_apply(sim_lte):
+    """flag_lines and blank_lines together apply both passes, as the
+    reference's code (not its warning) does (simulate_lte.py:4649-4660)."""
+    freq_obs, int_obs, freq_sim, int_sim, _, _ = _synthetic_obs(amp=2e-2)
+    int_obs = int_obs - 3e-2 * (np.abs(freq_obs - 18500) < 0.2)  # negative interloper
+    dV, res = 0.5, 0.01
+    sim_lte.freq_obs, sim_lte.int_obs = freq_obs.copy(), int_obs.copy()
+    sim_lte.freq_sim, sim_lte.int_sim = freq_sim.copy(), int_sim.copy()
+    sim_lte.dV, sim_lte.res, sim_lte.vlsr = dV, res, 0.0
+    sim_lte.velocity_stack(line_stats=False, flag_lines=True, blank_lines=True,
+                           flag_int_thresh=4)
+    mine = velocity_stack(freq_obs, int_obs, freq_sim, int_sim, dV, res,
+                          flag_lines=True, blank_lines=True, flag_int_thresh=4,
+                          ckm=sim_lte.ckm)
+    np.testing.assert_allclose(mine.snr, sim_lte.int_stacked, rtol=1e-10)
+
+
+def test_title_zero_median():
+    from cha1_mcmc_tpu.pipeline.plotting import _title
+
+    assert "0.00" in _title(np.zeros(100))
+    assert "x10^" in _title(np.full(100, 1e-5) + np.linspace(0, 1e-6, 100))

@@ -137,3 +137,17 @@ def test_run_ensemble_chains_matches_individual():
     for k in range(K):
         ck, *_ = run_ensemble(lnprob, pos0[k], lnp0[k], keys[k], nsteps=50)
         np.testing.assert_array_equal(np.asarray(chains[k]), np.asarray(ck))
+
+
+def test_state_sidecar_path_without_npy_suffix(tmp_path):
+    """Resume sidecars pair correctly when the chain path has no .npy
+    extension (regression: chain_file[:-4] mangled such paths)."""
+    lnprob = _gauss_target(np.zeros(2), np.eye(2))
+    s = EnsembleSampler(lnprob_fn=lnprob, nwalkers=8, ndim=2)
+    chain_file = str(tmp_path / "chain")  # no extension
+    pos0 = np.random.default_rng(0).normal(size=(8, 2))
+    s.run_mcmc(pos0, 10, jax.random.PRNGKey(0), checkpoint_every=10,
+               chain_file=chain_file)
+    import os
+    assert os.path.exists(str(tmp_path / "chain.state.npz"))
+    assert s.load_state(chain_file) is not None
