@@ -77,3 +77,21 @@ def test_device_tau_matches_host_f64(hc5n_catalog):
                      jnp.float32(Q), jnp.float32(3.4e12), jnp.float32(7.0),
                      jnp.float32(0.89))
     np.testing.assert_allclose(np.asarray(dev), host, rtol=5e-5)
+
+
+@requires_reference
+def test_multichunk_stick_sim(hc5n_catalog):
+    """Multiple [ll, ul] windows concatenate exactly as MolSim's per-chunk
+    trim does (reference classes.py:356-364)."""
+    classes, _, _ = reference_oracle.load_reference()
+    ref_cat = classes.MolCat("hc5n_hfs", HC5N_CAT)
+    obs = classes.ObsParams("t", dish_size=70, source_size=52.0)
+    lls, uls = [18000, 23000], [19000, 25000]
+    sim = classes.MolSim("s", ref_cat, obs, vlsr=[4.1], C=[3.4e12], dV=[0.89],
+                         T=[7.0], ll=lls, ul=uls, gauss=False)
+    f2, i2, t2 = simulate_sticks_host(
+        hc5n_catalog, C=[3.4e12], dV=[0.89], T=[7.0], ll=lls, ul=uls,
+        source_size=52.0, dish_size=70)
+    np.testing.assert_allclose(np.array(sim.freq_sim), f2)
+    np.testing.assert_allclose(np.array(sim.int_sim), i2, rtol=1e-12)
+    np.testing.assert_allclose(np.array(sim.tau_sim), t2, rtol=1e-12)
