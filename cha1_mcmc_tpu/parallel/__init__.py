@@ -15,9 +15,12 @@ Multi-host (DCN) is reserved for independent chains/molecules.
 """
 
 from cha1_mcmc_tpu.parallel.sharded import (
+    ShardedEnsembleSampler,
     make_mesh,
+    make_sharded_runner,
     pad_model_lines,
     run_ensemble_sharded,
 )
 
-__all__ = ["make_mesh", "pad_model_lines", "run_ensemble_sharded"]
+__all__ = ["ShardedEnsembleSampler", "make_mesh", "make_sharded_runner",
+           "pad_model_lines", "run_ensemble_sharded"]

@@ -5,6 +5,19 @@ Collective pattern per ensemble step (all over ICI):
   psum(partial opacity)         — inside each lnprob eval, only if the
                                   lines axis has > 1 shard
 
+Split semantics: emcee's RedBlueMove shuffles the *global* walker index
+vector each step (randomize_split). A global shuffle does not shard — a
+device's two half-populations would be unequal and data-dependent. The
+sharded move instead draws an independent random permutation of each
+device's local walkers per step (so every device contributes exactly
+W_local/2 walkers to each half), and each active walker pairs with a
+uniform draw from the *globally gathered* complementary half. This is a
+valid Goodman–Weare partition scheme (halves are random, updates are
+sequential, partners span the full complement) that differs from emcee
+only in constraining the split to be balanced per shard; a distributional
+test against the single-device sampler gates the equivalence
+(tests/test_parallel.py).
+
 Randomness: every device folds the step key with its walker-shard index
 only, so the devices of one walker shard (across the lines axis) see
 identical randomness and stay in lockstep, while different walker shards
@@ -28,8 +41,10 @@ except ImportError:  # pragma: no cover
 
 from cha1_mcmc_tpu.models.forward import SpectralModel, forward_from_lines
 from cha1_mcmc_tpu.inference.params import ParamSpec
+from cha1_mcmc_tpu.sampler.stretch import EnsembleSampler
 
-__all__ = ["make_mesh", "pad_model_lines", "run_ensemble_sharded"]
+__all__ = ["make_mesh", "pad_model_lines", "run_ensemble_sharded",
+           "make_sharded_runner", "ShardedEnsembleSampler"]
 
 WALKER_AXIS = "walkers"
 LINE_AXIS = "lines"
@@ -74,56 +89,49 @@ def pad_model_lines(model: SpectralModel, multiple: int) -> SpectralModel:
     )
 
 
-def _half_step_sharded(lnprob_batch, ndim, a, coords, lnp, update_first: bool,
+def _half_step_sharded(lnprob_batch, ndim, a, coords, lnp, active_idx, comp_idx,
                        z_u, pair, acc_u):
-    """Update one local half using the globally gathered complement, with
-    pre-generated uniforms (see sampler/stretch.py for the rationale)."""
-    W_local = coords.shape[0]
-    h = W_local // 2
-    sl_active = slice(0, h) if update_first else slice(h, W_local)
-    sl_comp = slice(h, W_local) if update_first else slice(0, h)
-    s = coords[sl_active]
-    comp = jax.lax.all_gather(coords[sl_comp], WALKER_AXIS, axis=0, tiled=True)
+    """Update the local walkers `active_idx` using the globally gathered
+    complement `comp_idx`, with pre-generated uniforms (see
+    sampler/stretch.py for the bulk-RNG rationale)."""
+    s = coords[active_idx]
+    comp = jax.lax.all_gather(coords[comp_idx], WALKER_AXIS, axis=0, tiled=True)
 
     z = ((a - 1.0) * z_u + 1.0) ** 2 / a
     c = comp[pair]
     proposal = c + z[:, None] * (s - c)
 
     lnp_new = lnprob_batch(proposal)
-    lnpdiff = (ndim - 1.0) * jnp.log(z) + lnp_new - lnp[sl_active]
+    lnpdiff = (ndim - 1.0) * jnp.log(z) + lnp_new - lnp[active_idx]
     accept = jnp.log(acc_u) < lnpdiff
 
-    coords = coords.at[sl_active].set(jnp.where(accept[:, None], proposal, s))
-    lnp = lnp.at[sl_active].set(jnp.where(accept, lnp_new, lnp[sl_active]))
+    coords = coords.at[active_idx].set(jnp.where(accept[:, None], proposal, s))
+    lnp = lnp.at[active_idx].set(jnp.where(accept, lnp_new, lnp[active_idx]))
     return coords, lnp, jnp.sum(accept)
 
 
-def run_ensemble_sharded(
+def make_sharded_runner(
     model: SpectralModel,
     spec: ParamSpec,
     grid_ints,
     grid_yerrs,
     lnprior_fn,
-    pos0,
-    key,
-    nsteps: int,
     mesh: Mesh,
+    nsteps: int,
     a: float = 2.0,
     use_pallas: bool = False,
     dv_max: float | None = None,
     interpret: bool = False,
 ):
-    """Run `nsteps` stretch-move steps with walkers and catalog lines sharded.
+    """Build a jitted `runner(pos0, key) -> (chain, lnps, accepted,
+    (pos, lnp))` executing `nsteps` sharded stretch-move steps.
 
-    pos0: (W, D) with W divisible by 2 * mesh walker shards. Returns
-    (chain (nsteps, W, D), lnps (nsteps, W), accepted (nsteps,),
-    final (pos, lnp)) as global arrays.
+    The returned callable is reusable across blocks (the jit cache is keyed
+    on it), which is what makes checkpointed block execution compile once
+    per block size instead of once per block.
     """
     n_w = mesh.shape[WALKER_AXIS]
     n_l = mesh.shape[LINE_AXIS]
-    W, D = pos0.shape
-    if W % (2 * n_w):
-        raise ValueError(f"nwalkers={W} must be divisible by 2*{n_w} walker shards")
     model = pad_model_lines(model, n_l)
     dtype = model.dtype
 
@@ -189,14 +197,19 @@ def run_ensemble_sharded(
         else:
             lnprob_batch = jax.vmap(partial(local_lnprob, lines_local))
         lnp_local = lnprob_batch(pos_local)
-        W_local = pos_local.shape[0]
+        W_local, D = pos_local.shape
         h = W_local // 2
 
         # Bulk pre-generated randomness per device; the walker-shard fold
         # keeps a walker shard's devices (across the lines axis) in lockstep
         # while different shards draw independently.
         k = jax.random.fold_in(key, w_idx)
-        k_z, k_pair, k_acc = jax.random.split(k, 3)
+        k_perm, k_z, k_pair, k_acc = jax.random.split(k, 4)
+        # Randomized per-device half-split per step (argsort of uniforms);
+        # see the module docstring for how this maps emcee's global
+        # randomize_split onto a sharded ensemble.
+        perms = jnp.argsort(
+            jax.random.uniform(k_perm, (nsteps, W_local)), axis=1)
         z_u = jax.random.uniform(k_z, (nsteps, 2, h), dtype=pos_local.dtype)
         n_comp = h * mesh.shape[WALKER_AXIS]
         pair = jax.random.randint(k_pair, (nsteps, 2, h), 0, n_comp)
@@ -204,18 +217,107 @@ def run_ensemble_sharded(
 
         def one_step(carry, xs):
             coords, lnp = carry
-            zu, pr, au = xs
+            perm, zu, pr, au = xs
+            first, second = perm[:h], perm[h:]
             coords, lnp, a0 = _half_step_sharded(lnprob_batch, D, a, coords, lnp,
-                                                 True, zu[0], pr[0], au[0])
+                                                 first, second, zu[0], pr[0], au[0])
             coords, lnp, a1 = _half_step_sharded(lnprob_batch, D, a, coords, lnp,
-                                                 False, zu[1], pr[1], au[1])
+                                                 second, first, zu[1], pr[1], au[1])
             acc = jax.lax.psum(a0 + a1, WALKER_AXIS)
             return (coords, lnp), (coords, lnp, acc)
 
         (pos, lnp), (chain, lnps, accepted) = jax.lax.scan(
-            one_step, (pos_local, lnp_local), (z_u, pair, acc_u))
+            one_step, (pos_local, lnp_local), (perms, z_u, pair, acc_u))
         return chain, lnps, accepted, pos, lnp
 
-    pos0 = jax.device_put(jnp.asarray(pos0, dtype=dtype))
-    chain, lnps, accepted, pos, lnp = jax.jit(sharded_run)(line_args, pos0, key)
-    return chain, lnps, accepted, (pos, lnp)
+    jitted = jax.jit(sharded_run)
+
+    def runner(pos0, key):
+        W, D = pos0.shape
+        if W % (2 * n_w):
+            raise ValueError(
+                f"nwalkers={W} must be divisible by 2*{n_w} walker shards")
+        pos0 = jax.device_put(jnp.asarray(pos0, dtype=dtype))
+        chain, lnps, accepted, pos, lnp = jitted(line_args, pos0, key)
+        return chain, lnps, accepted, (pos, lnp)
+
+    return runner
+
+
+def run_ensemble_sharded(
+    model: SpectralModel,
+    spec: ParamSpec,
+    grid_ints,
+    grid_yerrs,
+    lnprior_fn,
+    pos0,
+    key,
+    nsteps: int,
+    mesh: Mesh,
+    a: float = 2.0,
+    use_pallas: bool = False,
+    dv_max: float | None = None,
+    interpret: bool = False,
+):
+    """Run `nsteps` stretch-move steps with walkers and catalog lines sharded.
+
+    pos0: (W, D) with W divisible by 2 * mesh walker shards. Returns
+    (chain (nsteps, W, D), lnps (nsteps, W), accepted (nsteps,),
+    final (pos, lnp)) as global arrays. One-shot convenience over
+    make_sharded_runner (which callers with block checkpointing should use
+    directly to reuse the compiled executable).
+    """
+    runner = make_sharded_runner(
+        model, spec, grid_ints, grid_yerrs, lnprior_fn, mesh, nsteps, a=a,
+        use_pallas=use_pallas, dv_max=dv_max, interpret=interpret)
+    return runner(pos0, key)
+
+
+@dataclasses.dataclass
+class ShardedEnsembleSampler(EnsembleSampler):
+    """Multi-chip EnsembleSampler: same chain-file / checkpoint / resume
+    contract as the single-device sampler, executed over a
+    ('walkers', 'lines') mesh.
+
+    This is what `FitConfig.n_devices` routes to — the TPU replacement for
+    the reference's multiprocessing pool fan-out (reference
+    inference.py:456-463) with the pipeline's full persistence contract
+    (cumulative chain .npy + .state.npz sidecar, block retries).
+    """
+
+    mesh: Mesh = None
+    model: SpectralModel = None
+    spec: ParamSpec = None
+    grid_ints: object = None
+    grid_yerrs: object = None
+    lnprior_fn: object = None
+    use_pallas: bool = False
+    dv_max: float | None = None
+    interpret: bool = False
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.mesh is None or self.model is None:
+            raise ValueError("ShardedEnsembleSampler requires mesh and model")
+        self._runners: dict[int, object] = {}
+
+    def _runner(self, nsteps: int):
+        if nsteps not in self._runners:
+            self._runners[nsteps] = make_sharded_runner(
+                self.model, self.spec, self.grid_ints, self.grid_yerrs,
+                self.lnprior_fn, self.mesh, nsteps, a=self.a,
+                use_pallas=self.use_pallas, dv_max=self.dv_max,
+                interpret=self.interpret)
+        return self._runners[nsteps]
+
+    def _init_lnp(self, pos):
+        # The sharded runner recomputes local lnp from positions inside the
+        # mesh program (deterministic, so resume stays exact); no host-side
+        # lnprob evaluation exists or is needed.
+        return jnp.zeros(pos.shape[0], dtype=self.dtype)
+
+    def _run_block(self, pos, lnp, key, nsteps: int, thin: int):
+        if thin != 1:
+            raise NotImplementedError("thin > 1 is not supported on the "
+                                      "sharded path")
+        return self._runner(nsteps)(pos, key)

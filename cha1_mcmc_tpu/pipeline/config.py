@@ -60,7 +60,8 @@ class FitConfig:
     seed: int = 0
     checkpoint_every: int = 512
     dtype: str = "float32"
-    n_devices: int | None = None     # shard walkers over this many chips
+    n_devices: int | None = None     # shard the fit over this many chips
+    n_line_shards: int = 1           # of which, this many shard the line axis
     stretch_a: float = 2.0
     use_pallas: bool = False         # Pallas opacity kernel (dense catalogs)
     resume: bool = False             # continue an existing chain file

@@ -121,7 +121,10 @@ class SpectralFit:
 
         lnprior = single_component_lnprior(self.spec, cfg.bounds, prior_means, prior_stds)
         lnlike = build_lnlike(model, self.spec, grid.ints, grid.yerrs)
-        if cfg.use_pallas:
+        sharded = cfg.n_devices is not None and cfg.n_devices > 1
+        if sharded:
+            lnprob = None  # the mesh program builds its own local lnprob
+        elif cfg.use_pallas:
             from cha1_mcmc_tpu.inference.likelihood import build_lnprob_batched
 
             lnprob = build_lnprob_batched(
@@ -145,9 +148,39 @@ class SpectralFit:
                 print(f"{RED}Failed to initialize Ncol via MLE: {e}{RESET}")
                 raise
 
-        self.sampler = EnsembleSampler(
-            lnprob_fn=lnprob, nwalkers=cfg.nwalkers, ndim=self.spec.ndim,
-            a=cfg.stretch_a, dtype=self.dtype, batched=cfg.use_pallas)
+        if sharded:
+            # Multi-chip sampling: shard walkers (and optionally catalog
+            # lines) over an ICI mesh, with the full single-device sampler
+            # contract (checkpoints, .state.npz resume, retries). Replaces
+            # the reference's multiprocessing pool (inference.py:456-463).
+            import jax as _jax
+
+            from cha1_mcmc_tpu.parallel import ShardedEnsembleSampler, make_mesh
+
+            if cfg.n_devices > len(_jax.devices()):
+                raise ValueError(
+                    f"n_devices={cfg.n_devices} exceeds the {len(_jax.devices())} "
+                    f"available devices")
+            if cfg.n_devices % cfg.n_line_shards:
+                raise ValueError(
+                    f"n_devices={cfg.n_devices} must be divisible by "
+                    f"n_line_shards={cfg.n_line_shards}")
+            mesh = make_mesh(cfg.n_devices // cfg.n_line_shards,
+                             cfg.n_line_shards)
+            print(f"{GRAY}Sampling on a {cfg.n_devices}-device mesh "
+                  f"(walkers={mesh.shape['walkers']}, "
+                  f"lines={mesh.shape['lines']}).{RESET}")
+            self.sampler = ShardedEnsembleSampler(
+                lnprob_fn=None, nwalkers=cfg.nwalkers, ndim=self.spec.ndim,
+                a=cfg.stretch_a, dtype=self.dtype, mesh=mesh, model=model,
+                spec=self.spec, grid_ints=grid.ints, grid_yerrs=grid.yerrs,
+                lnprior_fn=lnprior, use_pallas=cfg.use_pallas,
+                dv_max=cfg.bounds["dV"][1],
+                interpret=cfg.use_pallas and jax.default_backend() == "cpu")
+        else:
+            self.sampler = EnsembleSampler(
+                lnprob_fn=lnprob, nwalkers=cfg.nwalkers, ndim=self.spec.ndim,
+                a=cfg.stretch_a, dtype=self.dtype, batched=cfg.use_pallas)
 
         if resuming:
             # Continue an existing chain from its last positions

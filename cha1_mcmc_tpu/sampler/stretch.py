@@ -23,6 +23,7 @@ Fixed PRNG keys make chains bitwise reproducible.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from functools import partial
 
 import numpy as np
@@ -32,6 +33,13 @@ import jax.numpy as jnp
 from cha1_mcmc_tpu.sampler.chain import last_position
 
 __all__ = ["run_ensemble", "EnsembleSampler"]
+
+logger = logging.getLogger(__name__)
+
+try:  # jax >= 0.4.14 re-exports the runtime error type
+    from jax.errors import JaxRuntimeError as _DeviceError
+except ImportError:  # pragma: no cover
+    from jaxlib.xla_extension import XlaRuntimeError as _DeviceError
 
 
 def _state_path(chain_file: str) -> str:
@@ -193,6 +201,14 @@ class EnsembleSampler:
     def acceptance_fraction(self) -> float:
         return self.accepted / max(self.total_proposals, 1)
 
+    def _init_lnp(self, pos):
+        return self.lnprob_fn(pos) if self.batched else jax.vmap(self.lnprob_fn)(pos)
+
+    def _run_block(self, pos, lnp, key, nsteps: int, thin: int):
+        """One checkpoint block; overridden by the sharded sampler."""
+        return run_ensemble(self.lnprob_fn, pos, lnp, key, nsteps=nsteps,
+                            a=self.a, thin=thin, batched=self.batched)
+
     def run_mcmc(self, pos, nsteps: int, key, checkpoint_every: int = 256,
                  chain_file: str | None = None, progress: bool = False,
                  thin: int = 1, max_retries: int = 2):
@@ -201,13 +217,17 @@ class EnsembleSampler:
         Alongside the chain .npy, a `<chain>.state.npz` sidecar records the
         exact sampler state (positions, lnprob, PRNG key, acceptance
         counters) so a later run can continue the random stream exactly.
-        A failed block (device error, preemption) is retried from the last
-        checkpoint up to `max_retries` times — the failure-recovery
-        subsystem the reference approximates with its per-step np.save loop
-        (reference inference.py:460-473).
+        A failed block (device fault, preemption — surfaced by JAX as a
+        runtime error) is retried from the last checkpoint up to
+        `max_retries` times with the *same* block key, so a fault-recovered
+        chain is bitwise-identical to an unfaulted one. Program bugs
+        (shape/type/value errors) are not retried — they propagate on first
+        occurrence. This is the failure-recovery subsystem the reference
+        approximates with its per-step np.save loop (reference
+        inference.py:460-473).
         """
         pos = jnp.asarray(pos, dtype=self.dtype)
-        lnp = self.lnprob_fn(pos) if self.batched else jax.vmap(self.lnprob_fn)(pos)
+        lnp = self._init_lnp(pos)
         done = 0
         retries = 0  # per-block; reset after each successful block
         iterator = None
@@ -218,16 +238,20 @@ class EnsembleSampler:
         while done < nsteps:
             block = min(checkpoint_every, nsteps - done)
             key, sub = jax.random.split(key)
-            try:
-                chain, lnps, accepted, (new_pos, new_lnp) = run_ensemble(
-                    self.lnprob_fn, pos, lnp, sub, nsteps=block, a=self.a,
-                    thin=thin, batched=self.batched)
-                chain_host = np.asarray(chain)  # materialize: surfaces device faults
-            except Exception:
-                if retries >= max_retries:
-                    raise
-                retries += 1
-                continue  # re-split the key and retry the block
+            while True:
+                try:
+                    chain, lnps, accepted, (new_pos, new_lnp) = self._run_block(
+                        pos, lnp, sub, block, thin)
+                    chain_host = np.asarray(chain)  # materialize: surfaces device faults
+                    break
+                except _DeviceError:
+                    if retries >= max_retries:
+                        raise
+                    retries += 1
+                    logger.warning(
+                        "device runtime error in MCMC block at step %d; "
+                        "retrying with the same key (%d/%d)",
+                        done, retries, max_retries)
             retries = 0
             pos, lnp = new_pos, new_lnp
             # device (K, W, D) -> emcee layout (W, K, D)

@@ -50,6 +50,72 @@ def test_sharded_ensemble_runs_and_samples(hc5n_problem, hc5n_datagrid, mesh_sha
 
 
 @requires_reference
+def test_sharded_split_randomizes(hc5n_problem, hc5n_datagrid):
+    """The per-device half-split must vary step to step (emcee
+    randomize_split analogue): with a fixed split, a walker in the first
+    half could never pair with another first-half walker of its own shard;
+    under the randomized split such pairings must occur."""
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    grid = hc5n_datagrid
+    mesh = make_mesh(2, 1)
+    W = 16
+    rng = np.random.default_rng(0)
+    pos0 = np.array([3.24e12, 7.5, 4.11, 0.78]) * (1 + 0.01 * rng.standard_normal((W, 4)))
+    chain, *_ = run_ensemble_sharded(
+        model, spec, grid.ints, grid.yerrs, hc5n_problem["lnprior"], pos0,
+        jax.random.PRNGKey(0), nsteps=40, mesh=mesh)
+    chain = np.asarray(chain)
+    # Under a FIXED split, walker 0 (local index 0, first half) only moves
+    # in half-step 1 and walker 8 only in half-step 2, so across many steps
+    # their per-step update patterns are distinguishable: with a randomized
+    # split every walker is in the first half roughly half the time. Proxy:
+    # each walker's move indicator should not be perfectly correlated with
+    # a fixed half assignment — check both "halves" of each shard move at
+    # statistically similar rates and that the chain is not lockstep.
+    moved = (np.diff(chain, axis=0) != 0).any(-1)  # (steps-1, W)
+    rates = moved.mean(0)
+    assert rates.std() < 0.35 and (rates > 0.05).all()
+
+
+@requires_reference
+def test_sharded_matches_single_device_posterior(hc5n_problem, hc5n_datagrid):
+    """Distributional parity: the sharded ensemble (randomized per-device
+    split, globally gathered complement) and the single-device sampler
+    (global randomized split) must sample the same HC5N posterior —
+    matching means/stds and KS-compatible marginals at matched step
+    counts."""
+    from scipy import stats
+
+    from cha1_mcmc_tpu.sampler import run_ensemble
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    lnprob = hc5n_problem["lnprob"]
+    grid = hc5n_datagrid
+    W, steps, burn = 32, 2000, 400
+    rng = np.random.default_rng(0)
+    pos0 = np.array([3.24e12, 7.5, 4.11, 0.78]) * (
+        1 + 0.01 * rng.standard_normal((W, 4)))
+
+    lnp0 = jax.vmap(lnprob)(jnp.asarray(pos0, jnp.float32))
+    single, *_ = run_ensemble(lnprob, jnp.asarray(pos0, jnp.float32), lnp0,
+                              jax.random.PRNGKey(7), nsteps=steps)
+    sharded, *_ = run_ensemble_sharded(
+        model, spec, grid.ints, grid.yerrs, hc5n_problem["lnprior"], pos0,
+        jax.random.PRNGKey(8), nsteps=steps, mesh=make_mesh(4, 2))
+
+    a = np.asarray(single[burn:]).reshape(-1, 4)
+    b = np.asarray(sharded[burn:]).reshape(-1, 4)
+    scale = np.concatenate([a, b]).std(0)
+    # means within 0.15 pooled sigma; stds within 10%
+    assert (np.abs(a.mean(0) - b.mean(0)) / scale < 0.15).all(), (
+        a.mean(0), b.mean(0), scale)
+    np.testing.assert_allclose(a.std(0), b.std(0), rtol=0.10)
+    for d in range(4):  # thinned KS per marginal (correlated samples)
+        ks = stats.ks_2samp(a[::131, d], b[::131, d])
+        assert ks.pvalue > 1e-4, (d, ks)
+
+
+@requires_reference
 def test_line_sharding_matches_unsharded_lnprob(hc5n_problem, hc5n_datagrid):
     """psum over line shards must reproduce the single-device lnprob."""
     from functools import partial

@@ -66,6 +66,47 @@ def test_posterior_as_prior_refit(tmp_path):
 
 
 @requires_reference
+def test_sharded_pipeline_end_to_end(tmp_path):
+    """FitConfig.n_devices routes the fit through the multi-chip sampler
+    with the full chain-file + state-sidecar contract (the TPU replacement
+    for the reference's parallelize flag, inference.py:456-463)."""
+    cfg = _config(tmp_path, n_devices=8, n_line_shards=2, nwalkers=16,
+                  nruns=30, checkpoint_every=10)
+    fit = SpectralFit(cfg)
+    with contextlib.redirect_stdout(io.StringIO()):
+        chain = fit.run()
+    assert chain.shape == (16, 30, 4)
+    assert os.path.exists(cfg.chain_path)
+    assert os.path.exists(cfg.chain_path[:-4] + ".state.npz")
+    saved = np.load(cfg.chain_path)
+    np.testing.assert_array_equal(saved, chain)
+    assert 0.05 < fit.sampler.acceptance_fraction < 0.95
+    assert np.isfinite(fit.sampler.lnprobability).all()
+    # samples respect the box bounds
+    assert saved[..., 1].min() > 3.5 and saved[..., 1].max() < 12.0
+
+
+@requires_reference
+def test_sharded_exact_resume(tmp_path):
+    """A sharded run interrupted at a checkpoint and resumed via the state
+    sidecar reproduces the uninterrupted sharded chain bit for bit."""
+    base = dict(mol_name="hc5n_hfs", template_run=True, nwalkers=16,
+                cat_folder=CATALOG_DIR, data_path=HC5N_DATA, seed=3,
+                checkpoint_every=10, MLE_for_Ncol=False, n_devices=8)
+    cfg_full = FitConfig(nruns=20, fit_folder=str(tmp_path / "full"), **base)
+    with contextlib.redirect_stdout(io.StringIO()):
+        chain_full = SpectralFit(cfg_full).run()
+    cfg_a = FitConfig(nruns=10, fit_folder=str(tmp_path / "split"), **base)
+    with contextlib.redirect_stdout(io.StringIO()):
+        SpectralFit(cfg_a).run()
+    cfg_b = FitConfig(nruns=10, resume=True,
+                      fit_folder=str(tmp_path / "split"), **base)
+    with contextlib.redirect_stdout(io.StringIO()):
+        chain_split = SpectralFit(cfg_b).run()
+    np.testing.assert_array_equal(chain_full, chain_split)
+
+
+@requires_reference
 def test_reference_config_dict_translates(tmp_path):
     """A reference-style config dict maps onto FitConfig 1:1
     (reference inference.py:585-631)."""
