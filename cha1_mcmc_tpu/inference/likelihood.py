@@ -22,21 +22,63 @@ from cha1_mcmc_tpu.ops.lte import planck_J, beam_dilution, tau_sticks
 from cha1_mcmc_tpu.inference.params import ParamSpec
 
 __all__ = ["build_lnlike", "build_lnprob", "build_lnprob_batched",
-           "batched_model_pallas"]
+           "batched_model_pallas", "batched_model_pallas_csr"]
+
+
+def _rt_tail(opac, ss, Tex, grid_freq, dish_size, Tbg, dtype):
+    """Radiative transfer + beam dilution over per-component opacity
+    (reference inference.py:54-60): (N, K, C) opacity -> (N, C) model."""
+    J_T = planck_J(jnp, grid_freq, Tex[:, None, None], guard=1e-10)
+    J_Tbg = planck_J(jnp, grid_freq, jnp.asarray(Tbg, dtype=dtype), guard=1e-10)
+    dil = beam_dilution(jnp, grid_freq, ss[..., None], dish_size)
+    return jnp.sum(dil * (J_T - J_Tbg) * (1.0 - jnp.exp(-opac)), axis=1)
 
 
 def batched_model_pallas(line_freq, line_elower, line_aij, line_gup, line_glow,
                          vel_grid, q_model, grid_freq, mask_center, dish_size,
                          Tbg, dtype, spec, thetas, block_mask, *,
                          interpret: bool = False, axis_name: str | None = None):
-    """(N, C) walker-batched forward model with the Pallas opacity kernel.
+    """(N, C) walker-batched forward model with the block-sparse Pallas
+    opacity kernel (MXU contraction).
 
     Shared by the single-device batched likelihood and the line-sharded
     shard_map path: the line arrays may be a device-local shard, in which
     case `axis_name` names the mesh axis to psum the partial opacity over.
     """
-    from cha1_mcmc_tpu.constants import T_CMB  # noqa: F401 (doc anchor)
-    from cha1_mcmc_tpu.models.pallas_kernels import opacity_pallas
+    from cha1_mcmc_tpu.models.pallas_kernels import (opacity_pallas,
+                                                     opacity_pallas_mxu)
+
+    # Interpret mode (CPU tests) exercises the reference-shaped masked
+    # kernel; compiled TPU runs take the faster MXU variant (identical
+    # output to f32 rounding, see _opacity_kernel_mxu).
+    kernel = opacity_pallas if interpret else opacity_pallas_mxu
+    thetas = jnp.asarray(thetas, dtype=dtype)
+    N = thetas.shape[0]
+    K = spec.ncomp
+    ss, Ncol, Tex, vlsr, dV = spec.unpack(thetas)
+    Q = q_model(Tex)
+    taus = tau_sticks(jnp, line_freq, line_elower, line_aij, line_gup,
+                      line_glow, Q[:, None, None], Ncol[..., None],
+                      Tex[:, None, None], dV[:, None, None])      # (N, K, L)
+    opac = kernel(
+        taus.reshape(N * K, -1), vlsr.reshape(N * K),
+        jnp.broadcast_to(dV[:, None], (N, K)).reshape(N * K),
+        vel_grid, block_mask, mask_center=mask_center,
+        interpret=interpret).reshape(N, K, -1)
+    if axis_name is not None:
+        opac = jax.lax.psum(opac, axis_name)
+    return _rt_tail(opac, ss, Tex, grid_freq, dish_size, Tbg, dtype)
+
+
+def batched_model_pallas_csr(line_freq, line_elower, line_aij, line_gup,
+                             line_glow, q_model, grid_freq, mask_center,
+                             dish_size, Tbg, dtype, spec, thetas, line_table,
+                             vel_compact, n_channels: int, *,
+                             interpret: bool = False):
+    """(N, C) walker-batched forward model with the compacted (CSR) Pallas
+    opacity kernel — the fastest dense-catalog path (4.2x the block-sparse
+    kernel on 1-cyanonaphthalene, see models/pallas_kernels.py)."""
+    from cha1_mcmc_tpu.models.pallas_kernels import opacity_pallas_csr
 
     thetas = jnp.asarray(thetas, dtype=dtype)
     N = thetas.shape[0]
@@ -46,17 +88,12 @@ def batched_model_pallas(line_freq, line_elower, line_aij, line_gup, line_glow,
     taus = tau_sticks(jnp, line_freq, line_elower, line_aij, line_gup,
                       line_glow, Q[:, None, None], Ncol[..., None],
                       Tex[:, None, None], dV[:, None, None])      # (N, K, L)
-    opac = opacity_pallas(
+    opac = opacity_pallas_csr(
         taus.reshape(N * K, -1), vlsr.reshape(N * K),
         jnp.broadcast_to(dV[:, None], (N, K)).reshape(N * K),
-        vel_grid, block_mask, mask_center=mask_center,
+        line_table, vel_compact, n_channels=n_channels,
         interpret=interpret).reshape(N, K, -1)
-    if axis_name is not None:
-        opac = jax.lax.psum(opac, axis_name)
-    J_T = planck_J(jnp, grid_freq, Tex[:, None, None], guard=1e-10)
-    J_Tbg = planck_J(jnp, grid_freq, jnp.asarray(Tbg, dtype=dtype), guard=1e-10)
-    dil = beam_dilution(jnp, grid_freq, ss[..., None], dish_size)
-    return jnp.sum(dil * (J_T - J_Tbg) * (1.0 - jnp.exp(-opac)), axis=1)
+    return _rt_tail(opac, ss, Tex, grid_freq, dish_size, Tbg, dtype)
 
 
 def build_lnlike(model: SpectralModel, spec: ParamSpec, grid_ints, grid_yerrs):
@@ -98,16 +135,20 @@ def build_lnprob(model: SpectralModel, spec: ParamSpec, grid_ints, grid_yerrs, l
 
 def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
                          grid_yerrs, lnprior_fn, *, use_pallas: bool = False,
-                         dv_max: float | None = None, interpret: bool = False):
+                         dv_max: float | None = None, interpret: bool = False,
+                         pallas_kernel: str = "csr"):
     """Batched lnprob(thetas (N, D)) -> (N,), optionally Pallas-backed.
 
     The vmapped scalar path (build_lnprob) materializes a (N, L, C) Gaussian
     intermediate; for dense catalogs that is HBM-bandwidth-bound or simply
     too large to compile. This builder keeps the walker batch explicit so
-    the opacity accumulation can run through the Pallas kernel
-    (models/pallas_kernels.py) with the +-10*dV window as block sparsity.
+    the opacity accumulation can run through a Pallas kernel
+    (models/pallas_kernels.py) exploiting the +-10*dV window sparsity:
+    pallas_kernel="csr" (default) compacts each channel tile to its active
+    lines; "block" uses tile-level block sparsity (the fallback when the
+    compaction tables would be degenerate).
 
-    dv_max: upper bound on dV used for the *static* block-activity mask
+    dv_max: upper bound on dV used for the *static* sparsity structure
     (take it from the prior box bounds); required when use_pallas=True.
     """
     dtype = model.dtype
@@ -117,18 +158,32 @@ def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
     C = model.n_channels
 
     if use_pallas:
-        from cha1_mcmc_tpu.models.pallas_kernels import block_activity_mask
+        from cha1_mcmc_tpu.models.pallas_kernels import (block_activity_mask,
+                                                         build_opacity_csr)
 
         if dv_max is None:
             raise ValueError("use_pallas=True requires dv_max (from prior bounds)")
-        block_mask = jnp.asarray(block_activity_mask(
-            np.asarray(model.vel_grid), model.mask_center, dv_max))
+        if pallas_kernel == "csr":
+            line_table, vel_compact = build_opacity_csr(
+                np.asarray(model.vel_grid), model.mask_center, dv_max)
+            line_table = jnp.asarray(line_table)
+            vel_compact = jnp.asarray(vel_compact, dtype)
+        else:
+            block_mask = jnp.asarray(block_activity_mask(
+                np.asarray(model.vel_grid), model.mask_center, dv_max))
 
     from cha1_mcmc_tpu.constants import FWHM_TO_SIGMA_MODEL, VELOCITY_WINDOW_DV
 
     def lnprob_batch(thetas):
         thetas = jnp.asarray(thetas, dtype=dtype)
-        if use_pallas:
+        if use_pallas and pallas_kernel == "csr":
+            m = batched_model_pallas_csr(
+                model.line_freq, model.line_elower, model.line_aij,
+                model.line_gup, model.line_glow, model.q_model,
+                model.grid_freq, model.mask_center, model.dish_size,
+                model.Tbg, dtype, spec, thetas, line_table, vel_compact,
+                C, interpret=interpret)
+        elif use_pallas:
             m = batched_model_pallas(
                 model.line_freq, model.line_elower, model.line_aij,
                 model.line_gup, model.line_glow, model.vel_grid,

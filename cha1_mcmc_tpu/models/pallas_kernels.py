@@ -30,7 +30,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cha1_mcmc_tpu.constants import FWHM_TO_SIGMA_MODEL, VELOCITY_WINDOW_DV
 
-__all__ = ["opacity_pallas", "block_activity_mask", "block_activity_mask_traced"]
+__all__ = ["opacity_pallas", "opacity_pallas_mxu", "opacity_pallas_fused",
+           "opacity_pallas_csr", "build_opacity_csr", "block_activity_mask",
+           "block_activity_mask_traced"]
 
 # Tile sizes: walker tile x channel tile x line tile. Chosen so the largest
 # in-kernel intermediate (TL x TC f32) is 256 KB and the velocity block DMA
@@ -43,28 +45,30 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def block_activity_mask(vel_grid: np.ndarray, mask_center: float,
-                        dv_max: float) -> np.ndarray:
+                        dv_max: float, *, tl: int = TL,
+                        tc: int = TC) -> np.ndarray:
     """(nL, nC) int32 mask: does any (line, channel) in the tile fall inside
     the widest possible velocity window 10 * dv_max? Static per datagrid."""
     L, C = vel_grid.shape
-    nL, nC = _ceil_to(L, TL) // TL, _ceil_to(C, TC) // TC
+    nL, nC = _ceil_to(L, tl) // tl, _ceil_to(C, tc) // tc
     inside = np.abs(np.asarray(vel_grid) - mask_center) < VELOCITY_WINDOW_DV * dv_max
-    padded = np.zeros((nL * TL, nC * TC), dtype=bool)
+    padded = np.zeros((nL * tl, nC * tc), dtype=bool)
     padded[:L, :C] = inside
-    blocks = padded.reshape(nL, TL, nC, TC).any(axis=(1, 3))
+    blocks = padded.reshape(nL, tl, nC, tc).any(axis=(1, 3))
     return blocks.astype(np.int32)
 
 
 def block_activity_mask_traced(vel_grid, mask_center: float,
-                               dv_max: float) -> jnp.ndarray:
+                               dv_max: float, *, tl: int = TL,
+                               tc: int = TC) -> jnp.ndarray:
     """Traceable variant of block_activity_mask for use inside jit /
     shard_map, where the velocity grid is a (possibly sharded) traced
     array rather than host NumPy."""
     L, C = vel_grid.shape
-    Lp, Cp = _ceil_to(L, TL), _ceil_to(C, TC)
+    Lp, Cp = _ceil_to(L, tl), _ceil_to(C, tc)
     inside = jnp.abs(vel_grid - mask_center) < VELOCITY_WINDOW_DV * dv_max
     padded = jnp.zeros((Lp, Cp), dtype=bool).at[:L, :C].set(inside)
-    blocks = padded.reshape(Lp // TL, TL, Cp // TC, TC).any(axis=(1, 3))
+    blocks = padded.reshape(Lp // tl, tl, Cp // tc, tc).any(axis=(1, 3))
     return blocks.astype(jnp.int32)
 
 
@@ -95,7 +99,7 @@ def _opacity_kernel(tables_ref, tau_ref, vlsr_ref, dv_ref, vel_ref, out_ref,
         vel = vel_ref[:]                      # (TL, TC)
         rows = []
         # Per-walker row: 2D (TL, TC) intermediates stay in VMEM.
-        for w in range(TW):
+        for w in range(tau_ref.shape[0]):
             vlsr = vlsr_ref[w, 0]
             dv = dv_ref[w, 0]
             sigma = dv / FWHM_TO_SIGMA_MODEL
@@ -104,6 +108,124 @@ def _opacity_kernel(tables_ref, tau_ref, vlsr_ref, dv_ref, vel_ref, out_ref,
             gauss = jnp.where(window, jnp.exp(-0.5 * z * z), 0.0)  # (TL, TC)
             rows.append(jnp.sum(tau_ref[w, :][:, None] * gauss, axis=0))
         out_ref[:] += jnp.stack(rows, axis=0)  # (TW, TC)
+
+
+def _opacity_kernel_mxu(tables_ref, tau_ref, vlsr_ref, dv_ref, vel_ref,
+                        out_ref, *, mask_center: float):
+    """Variant: one fused (TW, TL, TC) Gaussian evaluation on the VPU, then
+    the line contraction as TW (1, TL) x (TL, TC) jnp.dot products on the
+    MXU instead of the per-walker broadcast-multiply-reduce. (A single
+    batched dot_general would be ideal, but this Mosaic version cannot
+    lower batched dot dimension numbers.)"""
+    l_idx = pl.program_id(2)
+    c_idx = pl.program_id(1)
+
+    @pl.when(l_idx == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(tables_ref[0, l_idx, c_idx] != 0)
+    def _accumulate():
+        vel = vel_ref[:][None, :, :]                      # (1, TL, TC)
+        vlsr = vlsr_ref[:][:, :, None]                    # (TW, 1, 1)
+        dv = dv_ref[:][:, :, None]                        # (TW, 1, 1)
+        sigma = dv / FWHM_TO_SIGMA_MODEL
+        # exp(-0.5 z^2) as exp2(a (vel-vlsr)^2), a = -log2(e)/(2 sigma^2):
+        # folds the 1/sigma and -0.5 multiplies into one per-walker scalar.
+        # The per-element +-10 dV window select is omitted: at the window
+        # edge |z| >= 10 dV / (dV/2.355) - |vlsr - center|/sigma > 15, so
+        # exp underflows to exactly 0.0 in f32 — identical output to the
+        # masked kernel for every in-bounds parameter (verified against
+        # _opacity_kernel in tests and in tools/bench_pallas_dense.py).
+        a = (-0.5 * np.log2(np.e)) / (sigma * sigma)
+        d = vel - vlsr
+        gauss = jnp.exp2(a * (d * d))                          # (TW, TL, TC)
+        rows = [
+            jnp.dot(tau_ref[w:w + 1, :], gauss[w],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)      # (1, TC)
+            for w in range(tau_ref.shape[0])
+        ]
+        out_ref[:] += jnp.concatenate(rows, axis=0)           # (TW, TC)
+
+
+def _opacity_kernel_fused(tables_ref, tau_ref, vlsr_ref, dv_ref, vel_ref,
+                          out_ref, *, mask_center: float):
+    """Variant: fully fused VPU path — one (TW, TL, TC) Gaussian evaluation
+    and one broadcast-multiply-reduce, no Python unroll."""
+    l_idx = pl.program_id(2)
+    c_idx = pl.program_id(1)
+
+    @pl.when(l_idx == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(tables_ref[0, l_idx, c_idx] != 0)
+    def _accumulate():
+        vel = vel_ref[:][None, :, :]                      # (1, TL, TC)
+        vlsr = vlsr_ref[:][:, :, None]                    # (TW, 1, 1)
+        dv = dv_ref[:][:, :, None]                        # (TW, 1, 1)
+        sigma = dv / FWHM_TO_SIGMA_MODEL
+        window = jnp.abs(vel - mask_center) < VELOCITY_WINDOW_DV * dv
+        z = (vel - vlsr) / sigma
+        gauss = jnp.where(window, jnp.exp(-0.5 * z * z), 0.0)  # (TW, TL, TC)
+        out_ref[:] += jnp.sum(tau_ref[:][:, :, None] * gauss, axis=1)
+
+
+def _opacity_call(kernel_body, taus, vlsr, dV, vel_grid, block_mask,
+                  mask_center: float, interpret: bool,
+                  tiles: tuple[int, int, int] = (TW, TC, TL)):
+    """Shared pallas_call plumbing for the opacity kernel variants.
+    tiles = (tw, tc, tl); block_mask must have been built with the same
+    (tl, tc)."""
+    tw, tc, tl = tiles
+    W, L = taus.shape
+    L2, C = vel_grid.shape
+    assert L == L2
+    dtype = taus.dtype
+    Wp, Lp, Cp = _ceil_to(W, tw), _ceil_to(L, tl), _ceil_to(C, tc)
+
+    taus = jnp.pad(taus, ((0, Wp - W), (0, Lp - L)))
+    # Padded walkers get dV=1 (harmless; their rows are dropped at the end).
+    vlsr_p = jnp.pad(vlsr.reshape(-1, 1), ((0, Wp - W), (0, 0)))
+    dv_p = jnp.pad(dV.reshape(-1, 1), ((0, Wp - W), (0, 0)), constant_values=1.0)
+    # Padded velocity entries sit far outside every window.
+    vel_p = jnp.pad(vel_grid, ((0, Lp - L), (0, Cp - C)),
+                    constant_values=jnp.asarray(1e30, dtype))
+
+    grid = (Wp // tw, Cp // tc, Lp // tl)
+    # tables[0] = activity mask (compute predicate); tables[1] = DMA
+    # redirect: inactive steps re-fetch the previous block index, which the
+    # Pallas pipeline recognizes as "same block" and elides the DMA.
+    # Measured (v5e, 35,460-line 1-cyanonaphthalene x 2048 channels x 128
+    # walkers, 7.3% block density; tools/bench_pallas_dense.py):
+    #   jnp einsum                31.0 ms/eval
+    #   _opacity_kernel (this)     6.2 ms/eval  (block sparsity)
+    #   _opacity_kernel_mxu        4.8 ms/eval  (+MXU dot, exp2; 4.2 at
+    #                                            tiles (16,128,512))
+    #   _opacity_kernel_csr        1.55 ms/eval (line compaction, tw=16)
+    # The remaining gap to the CSR kernel is elementwise sparsity: only
+    # ~0.1% of the elements of *active* blocks are in-window, so the
+    # block-sparse kernels still burn most VPU exp work on zeros.
+    block_mask = jnp.asarray(block_mask, jnp.int32)
+    tables = jnp.stack([block_mask, _dma_redirect_table(block_mask)])
+    out = pl.pallas_call(
+        functools.partial(kernel_body, mask_center=mask_center),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # tables
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tw, tl), lambda w, c, l, t: (w, t[1, l, c])),
+                pl.BlockSpec((tw, 1), lambda w, c, l, t: (w, 0)),
+                pl.BlockSpec((tw, 1), lambda w, c, l, t: (w, 0)),
+                pl.BlockSpec((tl, tc), lambda w, c, l, t: (t[1, l, c], c)),
+            ],
+            out_specs=pl.BlockSpec((tw, tc), lambda w, c, l, t: (w, c)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((Wp, Cp), dtype),
+        interpret=interpret,
+    )(tables, taus, vlsr_p, dv_p, vel_p)
+    return out[:W, :C]
 
 
 @functools.partial(jax.jit, static_argnames=("mask_center", "interpret"))
@@ -115,44 +237,136 @@ def opacity_pallas(taus, vlsr, dV, vel_grid, block_mask, *,
     block_mask: (ceil(L/TL), ceil(C/TC)) int32 from block_activity_mask
     (pass all-ones to disable sparsity).
     """
+    return _opacity_call(_opacity_kernel, taus, vlsr, dV, vel_grid,
+                         block_mask, mask_center, interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mask_center", "interpret", "tiles"))
+def opacity_pallas_mxu(taus, vlsr, dV, vel_grid, block_mask, *,
+                       mask_center: float, interpret: bool = False,
+                       tiles: tuple[int, int, int] = (TW, TC, TL)):
+    """opacity_pallas with the line contraction on the MXU (see
+    _opacity_kernel_mxu). tiles = (tw, tc, tl); block_mask must come from
+    block_activity_mask with the same (tl, tc)."""
+    return _opacity_call(_opacity_kernel_mxu, taus, vlsr, dV, vel_grid,
+                         block_mask, mask_center, interpret, tiles)
+
+
+@functools.partial(jax.jit, static_argnames=("mask_center", "interpret"))
+def opacity_pallas_fused(taus, vlsr, dV, vel_grid, block_mask, *,
+                         mask_center: float, interpret: bool = False):
+    """opacity_pallas with a single fused VPU reduction (see
+    _opacity_kernel_fused)."""
+    return _opacity_call(_opacity_kernel_fused, taus, vlsr, dV, vel_grid,
+                         block_mask, mask_center, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Compacted (CSR-style) kernel: per channel tile, gather only the lines whose
+# +-10 dv_max window touches that tile. For dense catalogs the velocity
+# window is extremely sparse at the element level (1-cyanonaphthalene:
+# 0.007% of (line, channel) pairs are in-window, ~0.1% of the elements of
+# *active* blocks), so block sparsity alone still burns >99% of the VPU's
+# exp work on zeros. Compaction pads each channel tile's active-line list to
+# the global max (the band is roughly uniform, so max ~ 2.8x mean), shrinking
+# both the exp count and the velocity-grid HBM traffic by ~30x vs the
+# block-sparse kernel on the 35k-line catalog.
+# ---------------------------------------------------------------------------
+
+
+def build_opacity_csr(vel_grid: np.ndarray, mask_center: float,
+                      dv_max: float, *, tc: int = TC, tl: int = 128):
+    """Precompute the static compaction tables for opacity_pallas_csr.
+
+    Returns (line_table (nC, K) int32, vel_compact (nC * K, tc) f32) where
+    K is the max number of active lines over channel tiles, padded to a
+    multiple of tl. Padding entries point at velocity 1e30, which
+    underflows the Gaussian to exactly 0 regardless of tau. Static per
+    (datagrid, prior dV bound) — same inputs as block_activity_mask.
+    """
+    vel_grid = np.asarray(vel_grid)
+    L, C = vel_grid.shape
+    nC = _ceil_to(C, tc) // tc
+    inside = np.abs(vel_grid - mask_center) < VELOCITY_WINDOW_DV * dv_max
+    active = [np.flatnonzero(inside[:, j * tc:(j + 1) * tc].any(axis=1))
+              for j in range(nC)]
+    K = _ceil_to(max((len(a) for a in active), default=1), tl)
+    line_table = np.zeros((nC, K), dtype=np.int32)
+    vel_compact = np.full((nC, K, tc), 1e30, dtype=vel_grid.dtype)
+    for j, idx in enumerate(active):
+        line_table[j, :len(idx)] = idx
+        chunk = vel_grid[idx, j * tc:min((j + 1) * tc, C)]
+        vel_compact[j, :len(idx), :chunk.shape[1]] = chunk
+    return line_table, vel_compact.reshape(nC * K, tc)
+
+
+def _opacity_kernel_csr(tau_ref, vlsr_ref, dv_ref, vel_ref, out_ref):
+    """Compacted variant of _opacity_kernel_mxu: every grid step is active
+    (padding rows carry vel = 1e30 -> gauss exactly 0), so no predicate or
+    scalar-prefetch tables are needed."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    vel = vel_ref[:][None, :, :]                      # (1, TLc, TC)
+    vlsr = vlsr_ref[:][:, :, None]                    # (TW, 1, 1)
+    dv = dv_ref[:][:, :, None]                        # (TW, 1, 1)
+    sigma = dv / FWHM_TO_SIGMA_MODEL
+    # See _opacity_kernel_mxu for the exp2 form and the f32-underflow
+    # argument that makes the per-element window select a no-op.
+    a = (-0.5 * np.log2(np.e)) / (sigma * sigma)
+    d = vel - vlsr
+    gauss = jnp.exp2(a * (d * d))                     # (TW, TLc, TC)
+    rows = [
+        jnp.dot(tau_ref[w:w + 1, :], gauss[w],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        for w in range(tau_ref.shape[0])
+    ]
+    out_ref[:] += jnp.concatenate(rows, axis=0)       # (TW, TC)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_channels", "interpret", "tiles"))
+def opacity_pallas_csr(taus, vlsr, dV, line_table, vel_compact, *,
+                       n_channels: int, interpret: bool = False,
+                       tiles: tuple[int, int] = (16, 128)):
+    """Accumulated Gaussian opacity via line compaction, (W, n_channels).
+
+    taus: (W, L); vlsr, dV: (W,); (line_table, vel_compact) from
+    build_opacity_csr (whose tc must equal tiles[1] and whose tl must
+    divide the table's K). tiles = (tw, tlc).
+    """
+    tw, tlc = tiles
     W, L = taus.shape
-    L2, C = vel_grid.shape
-    assert L == L2
+    nC, K = line_table.shape
+    tc = vel_compact.shape[1]
     dtype = taus.dtype
-    Wp, Lp, Cp = _ceil_to(W, TW), _ceil_to(L, TL), _ceil_to(C, TC)
+    Wp = _ceil_to(W, tw)
 
-    taus = jnp.pad(taus, ((0, Wp - W), (0, Lp - L)))
-    # Padded walkers get dV=1 (harmless; their rows are dropped at the end).
+    # Per-eval gather: only the active lines' taus reach the kernel.
+    tau_c = jnp.take(taus, line_table.reshape(-1), axis=1)   # (W, nC * K)
+    tau_c = jnp.pad(tau_c, ((0, Wp - W), (0, 0)))
     vlsr_p = jnp.pad(vlsr.reshape(-1, 1), ((0, Wp - W), (0, 0)))
-    dv_p = jnp.pad(dV.reshape(-1, 1), ((0, Wp - W), (0, 0)), constant_values=1.0)
-    # Padded velocity entries sit far outside every window.
-    vel_p = jnp.pad(vel_grid, ((0, Lp - L), (0, Cp - C)),
-                    constant_values=jnp.asarray(1e30, dtype))
+    dv_p = jnp.pad(dV.reshape(-1, 1), ((0, Wp - W), (0, 0)),
+                   constant_values=1.0)
 
-    grid = (Wp // TW, Cp // TC, Lp // TL)
-    # tables[0] = activity mask (compute predicate); tables[1] = DMA
-    # redirect: inactive steps re-fetch the previous block index, which the
-    # Pallas pipeline recognizes as "same block" and elides the DMA.
-    # Measured (v5e, 35k lines x 2000 channels x 128 walkers, 5.2% density):
-    # dense 44.9 ms/eval, sparse 5.9 ms/eval — the sparsity win comes from
-    # the compute predicate; the DMA redirect is neutral there because the
-    # pipeline already overlaps inactive-block fetches behind active compute.
-    block_mask = jnp.asarray(block_mask, jnp.int32)
-    tables = jnp.stack([block_mask, _dma_redirect_table(block_mask)])
+    grid = (Wp // tw, nC, K // tlc)
+    kpt = K // tlc  # line-tile steps per channel tile
     out = pl.pallas_call(
-        functools.partial(_opacity_kernel, mask_center=mask_center),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # tables
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((TW, TL), lambda w, c, l, t: (w, t[1, l, c])),
-                pl.BlockSpec((TW, 1), lambda w, c, l, t: (w, 0)),
-                pl.BlockSpec((TW, 1), lambda w, c, l, t: (w, 0)),
-                pl.BlockSpec((TL, TC), lambda w, c, l, t: (t[1, l, c], c)),
-            ],
-            out_specs=pl.BlockSpec((TW, TC), lambda w, c, l, t: (w, c)),
-        ),
-        out_shape=jax.ShapeDtypeStruct((Wp, Cp), dtype),
+        _opacity_kernel_csr,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tw, tlc), lambda w, j, k: (w, j * kpt + k)),
+            pl.BlockSpec((tw, 1), lambda w, j, k: (w, 0)),
+            pl.BlockSpec((tw, 1), lambda w, j, k: (w, 0)),
+            pl.BlockSpec((tlc, tc), lambda w, j, k: (j * kpt + k, 0)),
+        ],
+        out_specs=pl.BlockSpec((tw, tc), lambda w, j, k: (w, j)),
+        out_shape=jax.ShapeDtypeStruct((Wp, nC * tc), dtype),
         interpret=interpret,
-    )(tables, taus, vlsr_p, dv_p, vel_p)
-    return out[:W, :C]
+    )(tau_c, vlsr_p, dv_p, jnp.asarray(vel_compact, dtype))
+    return out[:W, :n_channels]

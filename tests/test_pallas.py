@@ -7,7 +7,8 @@ import jax
 import jax.numpy as jnp
 
 from cha1_mcmc_tpu.models.pallas_kernels import (
-    TC, TL, block_activity_mask, opacity_pallas)
+    TC, TL, block_activity_mask, build_opacity_csr, opacity_pallas,
+    opacity_pallas_csr, opacity_pallas_mxu)
 from cha1_mcmc_tpu.inference.likelihood import build_lnprob, build_lnprob_batched
 from tests.conftest import requires_reference
 
@@ -41,6 +42,39 @@ def test_opacity_pallas_matches_dense(W, L, C):
     out = opacity_pallas(jnp.asarray(taus), jnp.asarray(vlsr), jnp.asarray(dV),
                          jnp.asarray(vel), jnp.asarray(mask),
                          mask_center=center, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4,
+                               atol=1e-6 * max(1.0, expected.max()))
+
+
+@pytest.mark.parametrize("W,L,C", [(12, 700, 300), (3, 50, 700)])
+def test_opacity_mxu_matches_dense(W, L, C):
+    """The MXU-contraction kernel (exp2 form, window select elided via f32
+    underflow) is numerically interchangeable with the masked kernel."""
+    center = 4.10
+    vel, taus, vlsr, dV = _random_problem(W, L, C)
+    expected = _dense_reference(vel, taus, vlsr, dV, center)
+    mask = block_activity_mask(vel, center, dv_max=1.5)
+    out = opacity_pallas_mxu(
+        jnp.asarray(taus), jnp.asarray(vlsr), jnp.asarray(dV),
+        jnp.asarray(vel), jnp.asarray(mask), mask_center=center,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4,
+                               atol=1e-6 * max(1.0, expected.max()))
+
+
+@pytest.mark.parametrize("W,L,C,tiles", [(12, 700, 300, (16, 128)),
+                                         (3, 50, 700, (8, 128))])
+def test_opacity_csr_matches_dense(W, L, C, tiles):
+    """The compacted (CSR) kernel reproduces the dense accumulation."""
+    center = 4.10
+    vel, taus, vlsr, dV = _random_problem(W, L, C)
+    expected = _dense_reference(vel, taus, vlsr, dV, center)
+    line_table, vel_compact = build_opacity_csr(vel, center, dv_max=1.5,
+                                                tl=tiles[1])
+    out = opacity_pallas_csr(
+        jnp.asarray(taus), jnp.asarray(vlsr), jnp.asarray(dV),
+        jnp.asarray(line_table), jnp.asarray(vel_compact), n_channels=C,
+        tiles=tiles, interpret=True)
     np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4,
                                atol=1e-6 * max(1.0, expected.max()))
 
@@ -84,18 +118,20 @@ def test_batched_lnprob_pallas_path(hc5n_problem, hc5n_datagrid):
                             hc5n_problem["lnprior"])
     grid = hc5n_datagrid
     jnp_path = build_lnprob_batched(model, spec, grid.ints, grid.yerrs, lnprior)
-    pallas_path = build_lnprob_batched(
-        model, spec, grid.ints, grid.yerrs, lnprior,
-        use_pallas=True, dv_max=1.5, interpret=True)
     rng = np.random.default_rng(1)
     thetas = np.array([3.24e12, 7.5, 4.11, 0.78]) * (
         1 + 0.02 * rng.standard_normal((8, 4)))
     thetas[3] = [1e15, 8.0, 4.3, 0.7]  # out of bounds
     a = np.asarray(jnp_path(jnp.asarray(thetas, jnp.float32)))
-    b = np.asarray(pallas_path(jnp.asarray(thetas, jnp.float32)))
-    assert a[3] == -np.inf and b[3] == -np.inf
+    assert a[3] == -np.inf
     keep = np.isfinite(a)
-    np.testing.assert_allclose(a[keep], b[keep], rtol=1e-5, atol=2e-3)
+    for kernel in ("csr", "block"):
+        pallas_path = build_lnprob_batched(
+            model, spec, grid.ints, grid.yerrs, lnprior,
+            use_pallas=True, dv_max=1.5, interpret=True, pallas_kernel=kernel)
+        b = np.asarray(pallas_path(jnp.asarray(thetas, jnp.float32)))
+        assert b[3] == -np.inf
+        np.testing.assert_allclose(a[keep], b[keep], rtol=1e-5, atol=2e-3)
 
 
 @requires_reference
