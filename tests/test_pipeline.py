@@ -151,20 +151,53 @@ def test_mle_init_shifts_ncol(tmp_path):
 @requires_reference
 @pytest.mark.slow
 def test_posterior_statistical_parity(tmp_path):
-    """Posterior center within tolerance of the reference's published
-    best fit (reference notebooks/DSN_spectra.ipynb cell 7:
-    Ncol 3.24e12, Tex 7.53, vlsr 4.11, dV 0.78) on a seeded medium chain."""
-    cfg = _config(tmp_path, nruns=1500, nwalkers=64, MLE_for_Ncol=True,
-                  checkpoint_every=500)
+    """The 1% same-data parity gate (BASELINE.md north star).
+
+    The golden posterior (tests/golden/hc5n_reference_posterior.json,
+    regenerable via tools/make_reference_posterior.py) samples the
+    *reference's own* lnprob stack — executed in place from
+    /root/reference via tests/reference_oracle.py — on the shipped HC5N
+    Cha-MMS1 spectrum with a NumPy emcee-v3 stretch move for 128 x 40k
+    steps (ESS >~ 40k per dimension, so the Monte-Carlo error of every
+    mean/std is well under 1%). This test runs the full TPU-path pipeline
+    (reduction -> MLE -> jitted lax.scan sampler) on the same data at the
+    same length and requires every posterior mean, std, and 16/50/84
+    percentile to agree within 1%.
+
+    Replaces the published-number check: the published best fit
+    (reference notebooks/DSN_spectra.ipynb cell 7) came from an unshipped
+    "rereduced" spectrum (reference inference.py:623) and can only gate
+    at 15-25%; the same-data golden gates at the north star."""
+    import json
+
+    golden_path = os.path.join(os.path.dirname(__file__), "golden",
+                               "hc5n_reference_posterior.json")
+    with open(golden_path) as fh:
+        golden = json.load(fh)
+
+    cfg = _config(tmp_path, nruns=40_000, nwalkers=128, MLE_for_Ncol=True,
+                  checkpoint_every=40_000)
     fit = SpectralFit(cfg)
     with contextlib.redirect_stdout(io.StringIO()):
         chain = fit.run()
-    burn = chain[:, 300:, :].reshape(-1, 4)
-    med = np.median(burn, axis=0)
-    assert np.isclose(med[0], 3.24e12, rtol=0.25)   # Ncol basin
-    assert np.isclose(med[1], 7.53, rtol=0.15)      # Tex
-    assert np.isclose(med[2], 4.11, atol=0.05)      # vlsr
-    assert np.isclose(med[3], 0.78, rtol=0.15)      # dV
+    # f64 for the *statistics*: a naive f32 mean over 4.6M samples loses
+    # ~2% once the accumulator saturates (the chain itself is f32 — only
+    # the reduction needs widening).
+    flat = chain[:, golden["provenance"]["burn"]:, :].reshape(-1, 4).astype(np.float64)
+
+    stats = {
+        "mean": flat.mean(axis=0),
+        "std": flat.std(axis=0),
+        "p16": np.percentile(flat, 16, axis=0),
+        "p50": np.percentile(flat, 50, axis=0),
+        "p84": np.percentile(flat, 84, axis=0),
+    }
+    for stat, ours in stats.items():
+        for i, p in enumerate(golden["params"]):
+            ref = golden[stat][p]
+            assert np.isclose(ours[i], ref, rtol=0.01), (
+                f"{stat}[{p}]: tpu={ours[i]:.6e} ref={ref:.6e} "
+                f"rel={abs(ours[i] - ref) / abs(ref):.4f}")
 
 
 @requires_reference
