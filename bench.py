@@ -83,6 +83,122 @@ def bench_tpu() -> dict:
     }
 
 
+DENSE_CAT = os.path.join(REFERENCE_ROOT, "catalog", "1-cyanonapthalene.cat")
+DENSE_CHANNELS = 2048
+DENSE_EVALS = 30
+
+
+def bench_dense() -> dict:
+    """Dense-catalog stress case (SURVEY §6): full batched lnprob over the
+    35,460-transition 1-cyanonaphthalene catalog, 2048 channels, 128
+    walkers — the HBM-bandwidth headline. Times build_lnprob_batched with
+    the CSR Pallas kernel (compiled, not interpreted — this is the one
+    place the driver exercises the kernel on the real chip every round)
+    against the pure-jnp einsum path (what XLA does unaided).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cha1_mcmc_tpu.catalogs import load_catalog
+    from cha1_mcmc_tpu.constants import FWHM_TO_SIGMA_MODEL, VELOCITY_WINDOW_DV
+    from cha1_mcmc_tpu.inference import ParamSpec, single_component_lnprior
+    from cha1_mcmc_tpu.inference.likelihood import build_lnprob_batched
+    from cha1_mcmc_tpu.models.forward import SpectralModel
+    from cha1_mcmc_tpu.ops.lte import tau_sticks
+
+    catalog = load_catalog(DENSE_CAT)
+    lo, hi = float(catalog.frequency.min()), float(catalog.frequency.max())
+    ll, ul = lo - 1.0, hi + 1.0
+    grid_freq = np.linspace(lo, hi, DENSE_CHANNELS)
+    i, i2 = catalog.trim_indices(ll, ul)
+    covered = np.arange(i2 - i)
+    center = 5.8
+    model = SpectralModel.build(
+        catalog, covered, grid_freq, ll=ll, ul=ul, dish_size=100.0,
+        vel_offset=center, mask_center=center)
+    L = int(model.line_freq.shape[0])
+
+    spec = ParamSpec(ncomp=1, fixed_source_size=52.0)
+    bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
+              "vlsr": (4.0, 7.5), "dV": (0.4, 1.5)}
+    lnprior = single_component_lnprior(
+        spec, bounds, np.array([3.4e10, 8.0, center, 0.7575]),
+        np.array([0.34e10, 3.0, 0.06, 0.22]))
+    rng = np.random.default_rng(2)
+    ints = rng.standard_normal(DENSE_CHANNELS).astype(np.float32) * 1e-3
+    yerrs = np.full(DENSE_CHANNELS, 1e-3, np.float32)
+    thetas = jnp.asarray(
+        np.array([3.24e12, 7.5, center, 0.78])
+        * (1 + 0.01 * rng.standard_normal((NWALKERS, 4))), jnp.float32)
+
+    lnprob_csr = build_lnprob_batched(
+        model, spec, ints, yerrs, lnprior, use_pallas=True, dv_max=1.5)
+
+    # jnp comparison path: same math as build_lnprob_batched's non-Pallas
+    # branch, but with the (L, C) velocity grid passed as an *argument* —
+    # closed over, the ~290 MB constant exceeds the compile relay's
+    # request limit (CLAUDE.md).
+    dtype = jnp.float32
+    y = jnp.asarray(ints, dtype)
+    inv_sigma2 = 1.0 / jnp.asarray(yerrs, dtype) ** 2
+
+    def lnprob_jnp(thetas, vel_grid):
+        from cha1_mcmc_tpu.ops.lte import planck_J, beam_dilution
+
+        ss, Ncol, Tex, vlsr, dV = spec.unpack(thetas)
+        Q = model.q_model(Tex)
+        taus = tau_sticks(jnp, model.line_freq, model.line_elower,
+                          model.line_aij, model.line_gup, model.line_glow,
+                          Q[:, None, None], Ncol[..., None],
+                          Tex[:, None, None], dV[:, None, None])
+        sigma = (dV / FWHM_TO_SIGMA_MODEL)[:, None, None, None]
+        window = (jnp.abs(vel_grid - center)
+                  < VELOCITY_WINDOW_DV * dV[:, None, None, None])
+        z = (vel_grid - vlsr[..., None, None]) / sigma
+        gauss = jnp.where(window, jnp.exp(-0.5 * z * z), 0.0)
+        opac = jnp.einsum("nkl,nklc->nkc", taus, gauss)
+        J_T = planck_J(jnp, model.grid_freq, Tex[:, None, None], guard=1e-10)
+        J_Tbg = planck_J(jnp, model.grid_freq, jnp.asarray(model.Tbg, dtype),
+                         guard=1e-10)
+        dil = beam_dilution(jnp, model.grid_freq, ss[..., None], model.dish_size)
+        m = jnp.sum(dil * (J_T - J_Tbg) * (1.0 - jnp.exp(-opac)), axis=1)
+        resid = y - m
+        ll = -0.5 * jnp.sum(resid * resid * inv_sigma2 - jnp.log(inv_sigma2),
+                            axis=-1)
+        lp = __import__("jax").vmap(lnprior)(thetas)
+        return jnp.where(jnp.isfinite(lp) & jnp.isfinite(ll), lp + ll, -jnp.inf)
+
+    def timed(fn, *extra):
+        @jax.jit
+        def run(thetas, *extra):
+            def body(carry, _):
+                lnp = fn(thetas * (1.0 + 1e-6 * carry), *extra)
+                return jnp.float32(jnp.mean(lnp)), ()
+
+            carry, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                    length=DENSE_EVALS)
+            return carry
+
+        jax.block_until_ready(run(thetas, *extra))  # compile + warm
+        best = float("inf")
+        for rep in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(thetas * (1.0 + 1e-9 * rep), *extra))
+            best = min(best, (time.perf_counter() - t0) / DENSE_EVALS)
+        return best
+
+    csr_s = timed(lnprob_csr)
+    jnp_s = timed(lnprob_jnp, model.vel_grid)
+    return {
+        "n_lines": L,
+        "n_channels": DENSE_CHANNELS,
+        "nwalkers": NWALKERS,
+        "csr_ms_per_eval": round(csr_s * 1e3, 3),
+        "jnp_ms_per_eval": round(jnp_s * 1e3, 3),
+        "speedup_vs_jnp": round(jnp_s / csr_s, 2),
+    }
+
+
 def _reference_lnprob_factory():
     """One reference-fidelity lnprob evaluation on the CPU (see module doc)."""
     means = np.array([3.4e10, 8.0, 4.3, 0.7575])
@@ -179,6 +295,10 @@ def bench_baseline() -> dict:
 def main():
     tpu = bench_tpu()
     base = bench_baseline()
+    try:
+        dense = bench_dense() if os.path.exists(DENSE_CAT) else None
+    except Exception as exc:  # dense case must never mask the headline metric
+        dense = {"error": f"{type(exc).__name__}: {exc}"}
     result = {
         "metric": "walker_steps_per_sec_hc5n",
         "value": round(tpu["rate"], 1),
@@ -190,6 +310,7 @@ def main():
         "tpu_device": tpu["device"],
         "tpu_acceptance": round(tpu["acceptance"], 3),
         "nwalkers": NWALKERS,
+        "dense_catalog_1cyanonaphthalene": dense,
     }
     print(json.dumps(result))
 
