@@ -91,6 +91,86 @@ def simulate_sticks_host(
     return freq_sim, np.sum(int_comps, axis=0), np.sum(tau_comps, axis=0)
 
 
+def simulate_gauss_host(
+    catalog: Catalog,
+    C,
+    dV,
+    T,
+    vlsr,
+    ll,
+    ul,
+    res,
+    source_size: float,
+    dish_size: float,
+    q_model: QModel | None = None,
+):
+    """Gaussian-rendered simulation, equivalent to MolSim(..., gauss=True)
+    (reference classes.py:336-397 with functions.py:544-623), float64 host.
+
+    Per component and per [ll, ul] chunk: render the trimmed opacity
+    sticks onto the adaptive-then-uniform grid (render_gaussian_profile ==
+    reference sim_gaussian), apply beam dilution, shift the simulated
+    frame by the component's vlsr and re-interpolate back onto the
+    unshifted uniform grid (reference classes.py:379-386), then sum the
+    components.
+
+    Reference quirk reproduced deliberately: in gauss mode the radiative
+    transfer (J_T - J_Tbg)(1 - exp(-tau)) is commented out inside
+    sim_gaussian (reference functions.py:613-617 sets
+    ``int_gauss_tau = int_gauss``), so the returned "intensity" is the
+    beam-diluted rendered *opacity*, not brightness temperature.
+
+    C, dV, T, vlsr are per-component sequences; ll, ul, res per-chunk
+    sequences. Returns (freq_sim, int_sim, tau_sim): freq_sim the
+    concatenated uniform chunk grids, int_sim summed over components on
+    that grid, tau_sim the per-line stick opacities summed over components
+    (sticks stay per-line even in gauss mode, reference classes.py:361).
+    """
+    from cha1_mcmc_tpu.analysis.renderer import render_gaussian_profile
+    from cha1_mcmc_tpu.ops.lte import apply_beam
+
+    C = np.atleast_1d(np.asarray(C, dtype=np.float64))
+    dV = np.atleast_1d(np.asarray(dV, dtype=np.float64))
+    T = np.atleast_1d(np.asarray(T, dtype=np.float64))
+    vlsr = np.atleast_1d(np.asarray(vlsr, dtype=np.float64))
+    ll = np.atleast_1d(np.asarray(ll, dtype=np.float64))
+    ul = np.atleast_1d(np.asarray(ul, dtype=np.float64))
+    res = np.atleast_1d(np.asarray(res, dtype=np.float64))
+    if res.size == 1 and ll.size > 1:
+        res = np.full(ll.size, res[0])
+    if q_model is None:
+        q_model = q_model_for_catalog(catalog)
+
+    chunks = [catalog.trim_indices(l, u) for l, u in zip(ll, ul)]
+    freq_sim = None
+    int_comps, tau_comps = [], []
+    with np.errstate(under="ignore", over="ignore"):
+        for ci in range(len(C)):
+            Q = float(q_model.host_eval(T[ci]))
+            tau_full = tau_sticks(
+                np, catalog.frequency, catalog.elower, catalog.aij,
+                catalog.gup, catalog.glow, Q, C[ci], T[ci], dV[ci],
+            )
+            int_chunks, freq_chunks = [], []
+            for cj, (i, i2) in enumerate(chunks):
+                fg, int_g = render_gaussian_profile(
+                    catalog.frequency[i:i2], tau_full[i:i2], dV=dV[ci],
+                    ll=ll[cj], ul=ul[cj], res=res[cj])
+                int_g = apply_beam(np, fg, int_g, source_size, dish_size)
+                # vlsr shift of the simulated frame, re-interpolated back
+                # onto the unshifted grid (reference classes.py:379-386)
+                freq_obs = fg + (-vlsr[ci]) * fg / CKM
+                int_chunks.append(np.interp(fg, freq_obs, int_g))
+                freq_chunks.append(fg)
+            if freq_sim is None:  # reference extends freq_sim for i==0 only
+                freq_sim = np.concatenate(freq_chunks)
+            int_comps.append(np.concatenate(int_chunks))
+            tau_comps.append(np.concatenate(
+                [tau_full[i:i2] for i, i2 in chunks]))
+
+    return freq_sim, np.sum(int_comps, axis=0), np.sum(tau_comps, axis=0)
+
+
 def forward_from_lines(
     line_freq, line_elower, line_aij, line_gup, line_glow, vel_grid,
     q_model: QModel, grid_freq, mask_center, dish_size, Tbg, dtype,

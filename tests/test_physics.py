@@ -61,6 +61,38 @@ def test_multicomponent_stick_sum(hc5n_catalog):
 
 
 @requires_reference
+def test_gauss_sim_matches_reference_molsim(hc5n_catalog):
+    """Full gauss=True MolSim path — adaptive-grid Gaussian rendering,
+    beam dilution, per-component vlsr shift with re-interpolation onto the
+    unshifted grid, component summing (reference classes.py:336-397 +
+    functions.py:544-623) — against simulate_gauss_host, multi-component
+    and multi-chunk."""
+    from cha1_mcmc_tpu.models.forward import simulate_gauss_host
+
+    classes, _, _ = reference_oracle.load_reference()
+    ref_cat = classes.MolCat("hc5n_hfs", HC5N_CAT)
+    obs = classes.ObsParams("t", dish_size=70, source_size=52.0)
+    cases = [
+        dict(vlsr=[4.1], C=[3.4e12], dV=[0.89], T=[7.0],
+             ll=[18630], ul=[18650], res=[0.01]),
+        dict(vlsr=[4.1, 5.3], C=[3.4e12, 8e11], dV=[0.89, 0.55],
+             T=[7.0, 9.5], ll=[18630], ul=[18650], res=[0.01]),
+        dict(vlsr=[4.1, 5.3, 3.2], C=[3.4e12, 8e11, 2e12],
+             dV=[0.89, 0.55, 1.2], T=[7.0, 9.5, 5.0],
+             ll=[18630, 21290], ul=[18650, 21310], res=[0.01, 0.02]),
+    ]
+    for kw in cases:
+        sim = classes.MolSim("s", ref_cat, obs, gauss=True, **kw)
+        f2, i2, t2 = simulate_gauss_host(
+            hc5n_catalog, C=kw["C"], dV=kw["dV"], T=kw["T"], vlsr=kw["vlsr"],
+            ll=kw["ll"], ul=kw["ul"], res=kw["res"],
+            source_size=52.0, dish_size=70)
+        np.testing.assert_allclose(np.array(sim.freq_sim), f2)
+        np.testing.assert_allclose(np.array(sim.int_sim), i2, rtol=1e-10)
+        np.testing.assert_allclose(np.array(sim.tau_sim), t2, rtol=1e-12)
+
+
+@requires_reference
 def test_device_tau_matches_host_f64(hc5n_catalog):
     """jnp float32 opacities agree with the float64 host oracle."""
     qm = q_model_for_catalog(hc5n_catalog)
