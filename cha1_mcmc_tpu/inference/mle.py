@@ -1,36 +1,56 @@
 """Maximum-likelihood initialization of the column density.
 
-Mirrors the reference's bounded scalar minimization of the negative
-log-likelihood over Ncol with all other parameters pinned at their prior
-means (reference inference.py:344-376): scipy.optimize.minimize_scalar
-(method='bounded', xatol=1e-6) driving the *jitted* lnlike — each objective
-evaluation is one device call instead of a full Python MolSim rebuild.
+Role of reference inference.py:344-376: bounded scalar maximization of
+lnlike over Ncol with all other parameters pinned at their prior means.
+
+Two implementations:
+
+* ``method="device"`` (default) — a batched bracketing search compiled to
+  ONE device program: each refinement round evaluates lnlike on a K-point
+  grid of Ncol candidates in the current bracket (vmapped — the grid rides
+  the same batched path as the walkers) and shrinks the bracket around the
+  argmax; `lax.fori_loop` chains the rounds on device. A log-spaced first
+  round covers the six-decade prior box, then linear rounds contract by
+  ~K/2 each, so 6 rounds reach float32 resolution. This replaces the last
+  per-fit host loop (SURVEY §7.7).
+* ``method="scipy"`` — the reference-shaped host loop
+  (scipy.optimize.minimize_scalar, method='bounded', xatol=1e-6) driving
+  the jitted lnlike; kept as the parity oracle for the device search.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import scipy.optimize as opt
 
 from cha1_mcmc_tpu.inference.params import ParamSpec
 
 __all__ = ["estimate_ncol_mle"]
 
+_GRID_K = 65
+_ROUNDS = 6
+
 
 def estimate_ncol_mle(lnlike_fn, spec: ParamSpec, fixed_theta, ncol_bounds,
-                      xatol: float = 1e-6) -> float:
-    """Return the Ncol minimizing -lnlike with other params fixed.
+                      xatol: float = 1e-6, method: str = "device") -> float:
+    """Return the Ncol maximizing lnlike with other params fixed.
 
     `fixed_theta` is a full theta vector whose Ncol entry is overwritten per
     trial (layout per `spec`; reference inference.py:354-359 builds the same
-    trial vectors). Raises RuntimeError if the optimizer fails to converge
-    (reference inference.py:371-373).
+    trial vectors). Raises RuntimeError if the scipy optimizer fails to
+    converge (reference inference.py:371-373); the device search always
+    terminates (fixed round count).
     """
     theta0 = np.asarray(fixed_theta, dtype=np.float64).copy()
     ncol_index = spec.ncomp if spec.free_source_size else 0
     if spec.ncomp != 1:
         raise ValueError("MLE init is defined for single-component fits")
+
+    if method == "device":
+        return _device_search(lnlike_fn, theta0, ncol_index, ncol_bounds)
+
     jitted = jax.jit(lnlike_fn)
 
     def nll(ncol):
@@ -43,3 +63,29 @@ def estimate_ncol_mle(lnlike_fn, spec: ParamSpec, fixed_theta, ncol_bounds,
     if not result.success:
         raise RuntimeError("MLE for Ncol did not converge.")
     return float(result.x)
+
+
+def _device_search(lnlike_fn, theta0, ncol_index: int, ncol_bounds) -> float:
+    lo0, hi0 = float(ncol_bounds[0]), float(ncol_bounds[1])
+    theta0 = jnp.asarray(theta0, jnp.float32)
+    batched = jax.vmap(lnlike_fn)
+
+    @jax.jit
+    def search():
+        def body(i, bracket):
+            lo, hi = bracket
+            xs = jnp.where(
+                i == 0,
+                jnp.logspace(jnp.log10(lo), jnp.log10(hi), _GRID_K),
+                jnp.linspace(lo, hi, _GRID_K),
+            ).astype(jnp.float32)
+            thetas = jnp.tile(theta0, (_GRID_K, 1)).at[:, ncol_index].set(xs)
+            ll = batched(thetas)
+            j = jnp.argmax(ll)
+            return (xs[jnp.maximum(j - 1, 0)], xs[jnp.minimum(j + 1, _GRID_K - 1)])
+
+        lo, hi = jax.lax.fori_loop(
+            0, _ROUNDS, body, (jnp.float32(lo0), jnp.float32(hi0)))
+        return 0.5 * (lo + hi)
+
+    return float(search())

@@ -50,13 +50,20 @@ class SpectralFit:
     def __init__(self, config: FitConfig):
         self.config = config
         self.spec = ParamSpec(ncomp=1, fixed_source_size=config.fixed_source_size)
-        if config.dtype == "float64" and not jax.config.jax_enable_x64:
-            # Full-precision verification mode (CPU; TPUs have no native f64).
-            # Must be enabled before any array op of this run.
-            jax.config.update("jax_enable_x64", True)
         self.dtype = jnp.dtype(config.dtype)
         self.catalog = None
         self.sampler: EnsembleSampler | None = None
+
+    def _precision_scope(self):
+        """Scoped full-precision verification mode (CPU; TPUs have no
+        native f64): dtype="float64" runs inside jax.experimental's
+        enable_x64 context instead of flipping the process-global
+        jax_enable_x64 flag for the rest of the interpreter."""
+        if self.config.dtype == "float64" and not jax.config.jax_enable_x64:
+            return jax.enable_x64()
+        import contextlib
+
+        return contextlib.nullcontext()
 
     # -- data reduction ----------------------------------------------------
     def init_setup(self) -> Datagrid:
@@ -105,6 +112,10 @@ class SpectralFit:
     def fit(self, grid: Datagrid) -> np.ndarray:
         """Sample the posterior; returns the (W, S, D) chain
         (reference fit_multi_gaussian, inference.py:379-473)."""
+        with self._precision_scope():
+            return self._fit(grid)
+
+    def _fit(self, grid: Datagrid) -> np.ndarray:
         cfg = self.config
         print(f"{CYAN}Estimating free parameters for {cfg.mol_name}.{RESET}")
         model = self.build_model(grid)

@@ -197,6 +197,12 @@ def test_mle_ncol_matches_reference(hc5n_problem, hc5n_datagrid):
                                (1e8, 1e14))
     # f32 likelihood surface: agree within 0.5% on a ~1e12 scale
     assert np.isclose(my_est, ref_est, rtol=5e-3), (my_est, ref_est)
+    # the on-device bracketing search and the reference-shaped scipy host
+    # loop must find the same optimum
+    scipy_est = estimate_ncol_mle(
+        lnlike, spec, np.array([3.4e10, 8.0, 4.3, 0.7575]), (1e8, 1e14),
+        method="scipy")
+    assert np.isclose(my_est, scipy_est, rtol=5e-3), (my_est, scipy_est)
 
 
 @requires_reference

@@ -149,6 +149,30 @@ def test_mle_init_shifts_ncol(tmp_path):
 
 
 @requires_reference
+def test_float64_mode_is_scoped(tmp_path):
+    """dtype="float64" runs the fit in full precision *without* flipping
+    the process-global jax_enable_x64 flag (round-1 weak spot: the
+    constructor mutated interpreter-wide state)."""
+    import jax
+
+    assert not jax.config.jax_enable_x64
+    cfg = _config(tmp_path, dtype="float64", nruns=20, nwalkers=16,
+                  checkpoint_every=20)
+    fit = SpectralFit(cfg)
+    with contextlib.redirect_stdout(io.StringIO()):
+        grid = fit.init_setup()
+        chain = fit.fit(grid)
+    assert chain.dtype == np.float64
+    assert not jax.config.jax_enable_x64  # no global leak
+    # f32 default still works in the same process afterwards
+    cfg2 = _config(tmp_path, nruns=5, nwalkers=16, checkpoint_every=5,
+                   fit_folder=str(tmp_path / "f32"))
+    with contextlib.redirect_stdout(io.StringIO()):
+        chain2 = SpectralFit(cfg2).run()
+    assert chain2.dtype == np.float32
+
+
+@requires_reference
 @pytest.mark.slow
 def test_posterior_statistical_parity(tmp_path):
     """The 1% same-data parity gate (BASELINE.md north star).
