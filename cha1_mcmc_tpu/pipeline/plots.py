@@ -95,15 +95,64 @@ def range_plot(freq_obs, int_obs, ranges, *, freq_sim=None, int_sim=None,
     return fig
 
 
-def harmonic_plot(freq_obs, int_obs, base_freq: float, n_harmonics: int,
-                  *, width_mhz: float = 2.0, ncols: int = 4):
-    """Stamps at integer harmonics of a base frequency — the linear-rotor
-    progression view (reference HarmonicPlot semantics)."""
-    lines = base_freq * np.arange(1, n_harmonics + 1)
-    lines = lines[(lines > np.min(freq_obs)) & (lines < np.max(freq_obs))]
-    # express width in velocity terms for postage_plot
-    dV_equiv = width_mhz / (np.mean(lines) / CKM) / 40.0 if lines.size else 1.0
-    return postage_plot(freq_obs, int_obs, lines, dV_equiv, ncols=ncols)
+def harmonic_plot(cfreqs, chunk_range: float, *, freq_obs=None, int_obs=None,
+                  sims=(), sim_colors=(), ylims=None, GHz: bool = False,
+                  milli: bool = False, xticks: int = 5, yticks: int = 5,
+                  obs_color: str = "black", figsize=None):
+    """Harmonic-progression view (reference HarmonicPlot + make_harmonic_plot,
+    simulate_lte.py:8242/:6886): one stacked row per center frequency, each
+    showing every spectrum re-centered so cfreq sits at x=0 over
+    +-chunk_range — vertically aligned rows reveal a linear rotor's
+    harmonically related lines at a glance.
+
+    cfreqs: center frequencies (MHz), e.g. B0*(J+1) progressions.
+    chunk_range: half-width of each row, MHz.
+    freq_obs/int_obs: observation overlay (reference HP.obs flag).
+    sims: iterable of (freq_sim, int_sim) pairs (the reference digs these
+    out of its session archive by name; here they are passed explicitly).
+    GHz multiplies frequencies by 1000 before recentering and milli scales
+    intensities to mK, matching the reference's unit toggles.
+    """
+    plt = _mpl()
+    cfreqs = np.atleast_1d(np.asarray(cfreqs, dtype=np.float64))
+    n = cfreqs.size
+    fig, axes = plt.subplots(n, 1, figsize=figsize or (12, 2.0 * n),
+                             squeeze=False)
+    fscale = 1e3 if GHz else 1.0
+    iscale = 1e3 if milli else 1.0
+    colors = list(sim_colors) or ["red", "dodgerblue", "limegreen", "orange"]
+    for x, cf in enumerate(cfreqs):
+        ax = axes[x][0]
+        lo, hi = cf - chunk_range, cf + chunk_range
+        if ylims is not None:
+            ax.set_ylim(*ylims)
+        ax.set_xlim(-chunk_range * fscale, chunk_range * fscale)
+        if freq_obs is not None:
+            fo = np.asarray(freq_obs)
+            # index-window chunking, as the reference's find_nearest pair
+            l_idx, u_idx = np.searchsorted(fo, [lo, hi])
+            ax.step((fo[l_idx:u_idx] - cf) * fscale,
+                    np.asarray(int_obs)[l_idx:u_idx] * iscale,
+                    color=obs_color, lw=1.0, where="mid", zorder=1)
+        for i, (fs, isim) in enumerate(sims):
+            fs = np.asarray(fs)
+            l_idx, u_idx = np.searchsorted(fs, [lo, hi])
+            ax.step((fs[l_idx:u_idx] - cf) * fscale,
+                    np.asarray(isim)[l_idx:u_idx] * iscale,
+                    color=colors[i % len(colors)], lw=1.0, where="mid",
+                    zorder=i + 3)
+        ax.locator_params(axis="x", tight=True, nbins=xticks)
+        ax.locator_params(axis="y", tight=True, nbins=yticks)
+        ax.get_xaxis().get_major_formatter().set_scientific(False)
+        ax.get_xaxis().get_major_formatter().set_useOffset(False)
+        ax.minorticks_on()
+        ax.tick_params(axis="both", which="both", direction="in")
+        ax.annotate(f"{cf:.2f} MHz", xy=(0.99, 0.9), xycoords="axes fraction",
+                    ha="right", fontsize=8)
+    fig.supxlabel("Offset Frequency (GHz)" if GHz else "Offset Frequency (MHz)")
+    fig.supylabel("T (mK)" if milli else "T (K)")
+    fig.subplots_adjust(hspace=0.2, wspace=0.1)
+    return fig
 
 
 def animate_corner(chain, labels, out_path: str, *, burn_in_frac: float = 0.2,

@@ -142,7 +142,16 @@ def test_plot_engines(tmp_path, hc5n_datagrid):
     fig2 = range_plot(g.freqs, g.ints, [(18636, 18641), (21299, 21304)],
                       markers=lines)
     fig2.savefig(tmp_path / "range.png", dpi=60)
-    fig3 = harmonic_plot(g.freqs, g.ints, base_freq=2662.6644, n_harmonics=10)
+    # HC5N B0 ~ 1331.33 MHz: rows at the J=7-6/8-7/9-8 harmonics
+    cfreqs = 2 * 1331.33 * np.array([7, 8, 9])
+    fig3 = harmonic_plot(cfreqs, chunk_range=4.0, freq_obs=g.freqs,
+                         int_obs=g.ints,
+                         sims=[(g.freqs, g.ints * 0.5)], milli=True)
+    assert len(fig3.axes) == 3
+    # every row is recentred: x-limits symmetric about 0
+    for ax in fig3.axes:
+        lo, hi = ax.get_xlim()
+        assert lo == -hi
     fig3.savefig(tmp_path / "harmonic.png", dpi=60)
     for f in ("postage.png", "range.png", "harmonic.png"):
         assert (tmp_path / f).stat().st_size > 1000
