@@ -54,6 +54,13 @@ def main(argv=None):
 
     sub.add_parser("bench", help="run the HC5N benchmark and print one JSON line")
 
+    p_wb = sub.add_parser(
+        "workbench",
+        help="interactive simulation shell (the vendored tool's command "
+             "vocabulary over the arrays-in/arrays-out Workbench)")
+    p_wb.add_argument("--session", default=None,
+                      help="saved session path (from the shell's `save`)")
+
     args = parser.parse_args(argv)
 
     if args.command == "fit":
@@ -74,6 +81,10 @@ def main(argv=None):
         cfg = MultiFitConfig(**{k: v for k, v in d.items()
                                 if k in MultiFitConfig.__dataclass_fields__})
         MultiComponentFit(cfg).run()
+    elif args.command == "workbench":
+        from cha1_mcmc_tpu.pipeline.repl import run_repl
+
+        run_repl(session=args.session)
     elif args.command == "bench":
         import importlib.util
         import os

@@ -1,0 +1,246 @@
+"""Interactive workbench shell.
+
+The reference's vendored tool is driven from an IPython session whose
+global functions mutate a live matplotlib window (reference
+spectral_simulator/simulate_lte.py: load_mol :2512, modT :1951, obs
+on/off :2196-2243, store/recall/sum_stored :2366-3075, status :2771,
+print_lines :3662, velocity_stack :4476). This shell exposes the same
+command vocabulary over the arrays-in/arrays-out Workbench: simulations
+update in place, plots render to PNG files instead of a GUI window, and
+sessions save/restore through the Workbench's .json/.npz format.
+
+Run it with  python -m cha1_mcmc_tpu workbench  (optionally
+--session saved_session to restore one); scriptable via a piped stdin.
+"""
+
+from __future__ import annotations
+
+import cmd
+import shlex
+
+import numpy as np
+
+from cha1_mcmc_tpu.pipeline.workbench import Workbench
+
+__all__ = ["WorkbenchShell", "run_repl"]
+
+
+class WorkbenchShell(cmd.Cmd):
+    intro = ("cha1-mcmc-tpu workbench. Type help or ? for commands; "
+             "quit to exit.")
+    prompt = "(workbench) "
+
+    def __init__(self, wb: Workbench | None = None, stdin=None, stdout=None):
+        super().__init__(stdin=stdin, stdout=stdout)
+        if stdin is not None:
+            self.use_rawinput = False
+        self.wb = wb or Workbench()
+
+    # -- helpers --------------------------------------------------------
+    def _say(self, msg: str):
+        self.stdout.write(msg + "\n")
+
+    def _fail(self, exc: Exception):
+        self._say(f"error: {type(exc).__name__}: {exc}")
+
+    def onecmd(self, line):  # never let one bad command kill the session
+        try:
+            return super().onecmd(line)
+        except SystemExit:
+            raise
+        except Exception as exc:  # noqa: BLE001 - REPL surface
+            self._fail(exc)
+            return False
+
+    def _mod(self, attr: str, arg: str):
+        getattr(self.wb, attr)(float(arg))
+        self._say(f"{attr} -> {arg}; re-simulated "
+                  f"({self.wb.freq_sim.size} points)")
+
+    # -- molecule / simulation ------------------------------------------
+    def do_load_mol(self, arg):
+        """load_mol CATALOG.cat — load an SPCAT catalog and simulate."""
+        self.wb.load_mol(arg.strip())
+        self._say(f"loaded {arg.strip()}: {self.wb.catalog.frequency.size} "
+                  f"transitions, {self.wb.freq_sim.size} simulated points")
+
+    def do_modT(self, arg):
+        """modT K — set excitation temperature and re-simulate."""
+        self._mod("modT", arg)
+
+    def do_modC(self, arg):
+        """modC NCOL — set column density (cm^-2) and re-simulate."""
+        self._mod("modC", arg)
+
+    def do_modS(self, arg):
+        """modS ARCSEC — set source size and re-simulate."""
+        self._mod("modS", arg)
+
+    def do_moddV(self, arg):
+        """moddV KM_S — set linewidth (FWHM) and re-simulate."""
+        self._mod("moddV", arg)
+
+    def do_modVLSR(self, arg):
+        """modVLSR KM_S — set source velocity and re-simulate."""
+        self._mod("modVLSR", arg)
+
+    def do_limits(self, arg):
+        """limits LL UL [RES] — set the simulation window (MHz)."""
+        parts = arg.split()
+        self.wb.ll, self.wb.ul = float(parts[0]), float(parts[1])
+        if len(parts) > 2:
+            self.wb.res = float(parts[2])
+        if self.wb.catalog is not None:
+            self.wb.run_sim()
+        self._say(f"window [{self.wb.ll}, {self.wb.ul}] @ {self.wb.res} MHz")
+
+    def do_gauss(self, arg):
+        """gauss on|off — Gaussian-rendered vs stick simulation."""
+        self.wb.gauss = arg.strip().lower() in ("on", "true", "1")
+        if self.wb.catalog is not None:
+            self.wb.run_sim()
+        self._say(f"gauss = {self.wb.gauss}")
+
+    def do_tbg(self, arg):
+        """tbg PARAMS [TYPE] — set the background model (reference update())."""
+        parts = arg.split()
+        kind = parts[1] if len(parts) > 1 else "constant"
+        self.wb.update_tbg(float(parts[0]), tbg_type=kind)
+        self._say(f"tbg = {parts[0]} ({kind})")
+
+    # -- status / inspection ---------------------------------------------
+    def do_status(self, arg):
+        """status — current parameters (reference status() :2771)."""
+        wb = self.wb
+        self._say(f"T={wb.T} K  C={wb.C:.3e} cm-2  dV={wb.dV} km/s  "
+                  f"vlsr={wb.vlsr} km/s  source={wb.source_size}\"  "
+                  f"dish={wb.dish_size} m  gauss={wb.gauss}")
+        self._say(f"window [{wb.ll}, {wb.ul}] MHz @ {wb.res}; "
+                  f"catalog={'-' if wb.catalog is None else wb.catalog.catalog_file}; "
+                  f"obs={'-' if wb.freq_obs is None else f'{wb.freq_obs.size} chans'}; "
+                  f"stored: {', '.join(wb.stored) or '-'}")
+
+    def do_print_lines(self, arg):
+        """print_lines [N] — strongest N simulated lines (reference :3662)."""
+        n = int(arg) if arg.strip() else 10
+        wb = self.wb
+        if wb.tau_sim.size == 0:
+            self._say("no simulation")
+            return
+        i, i2 = wb.catalog.trim_indices(wb.ll, wb.ul)
+        freqs = wb.catalog.frequency[i:i2]
+        order = np.argsort(wb.tau_sim)[::-1][:n]
+        self._say(f"{'freq (MHz)':>14}  {'tau':>12}")
+        for j in order:
+            self._say(f"{freqs[j]:>14.4f}  {wb.tau_sim[j]:>12.4e}")
+
+    # -- storage ----------------------------------------------------------
+    def do_store(self, arg):
+        """store NAME — store the current simulation (reference :2366)."""
+        self.wb.store(arg.strip())
+        self._say(f"stored '{arg.strip()}'")
+
+    def do_recall(self, arg):
+        """recall NAME — restore a stored simulation (reference :2390)."""
+        self.wb.recall(arg.strip())
+        self._say(f"recalled '{arg.strip()}'")
+
+    def do_sum(self, arg):
+        """sum [thin] [OUT.npy] — composite of stored sims (reference :2928)."""
+        parts = arg.split()
+        thick = "thin" not in parts
+        out = next((p for p in parts if p.endswith(".npy")), None)
+        grid, ints = self.wb.sum_stored(thick=thick)
+        self._say(f"summed {len(self.wb.stored)} stored sims "
+                  f"({'thick' if thick else 'thin'}): {grid.size} points, "
+                  f"peak {ints.max():.4e} K")
+        if out:
+            np.save(out, np.vstack([grid, ints]))
+            self._say(f"wrote {out}")
+
+    # -- observations / detection ------------------------------------------
+    def do_obs(self, arg):
+        """obs PATH — load an observation (.npy pair / .lis / .txt)."""
+        self.wb.load_obs(arg.strip())
+        self._say(f"loaded {self.wb.freq_obs.size} channels "
+                  f"[{self.wb.freq_obs.min():.1f}, {self.wb.freq_obs.max():.1f}] MHz")
+
+    def do_stack(self, arg):
+        """stack — velocity-stack the observation (reference :4476)."""
+        s = self.wb.stack()
+        self._say(f"stack peak SNR {np.nanmax(s.snr):.2f} over "
+                  f"{s.velocity.size} velocity channels")
+
+    def do_mf(self, arg):
+        """mf — matched-filter the stack; prints the peak response."""
+        vel, resp = self.wb.matched_filter()
+        j = int(np.nanargmax(resp))
+        self._say(f"matched filter peak {resp[j]:.2f} sigma at "
+                  f"{vel[j]:+.2f} km/s")
+
+    # -- plots (PNG files instead of the reference's GUI window) -----------
+    def do_plot(self, arg):
+        """plot postage|range|harmonic ARGS... OUT.png — render to a file.
+
+        plot postage OUT.png            — per-line stamps of obs vs sim
+        plot range LL UL OUT.png        — one spectrum panel
+        plot harmonic CF1,CF2,... RANGE OUT.png — recentered harmonic rows
+        """
+        from cha1_mcmc_tpu.pipeline.plots import (postage_plot, range_plot,
+                                                  harmonic_plot)
+
+        parts = shlex.split(arg)
+        kind, out = parts[0], parts[-1]
+        wb = self.wb
+        if wb.freq_obs is None:
+            self._say("load an observation first (obs PATH)")
+            return
+        if kind == "postage":
+            i, i2 = wb.catalog.trim_indices(wb.ll, wb.ul)
+            freqs = wb.catalog.frequency[i:i2]
+            lines = freqs[np.argsort(wb.tau_sim)[::-1][:8]]
+            fig = postage_plot(wb.freq_obs, wb.int_obs, np.sort(lines),
+                               dV=wb.dV, vlsr=wb.vlsr,
+                               freq_sim=wb.freq_sim, int_sim=wb.int_sim)
+        elif kind == "range":
+            fig = range_plot(wb.freq_obs, wb.int_obs,
+                             [(float(parts[1]), float(parts[2]))],
+                             freq_sim=wb.freq_sim, int_sim=wb.int_sim)
+        elif kind == "harmonic":
+            cfreqs = [float(x) for x in parts[1].split(",")]
+            fig = harmonic_plot(cfreqs, float(parts[2]),
+                                freq_obs=wb.freq_obs, int_obs=wb.int_obs,
+                                sims=[(wb.freq_sim, wb.int_sim)])
+        else:
+            self._say(f"unknown plot kind '{kind}'")
+            return
+        fig.savefig(out, dpi=100)
+        self._say(f"wrote {out}")
+
+    # -- session ------------------------------------------------------------
+    def do_save(self, arg):
+        """save PATH — save the session (PATH.json + PATH.npz)."""
+        self.wb.save_session(arg.strip())
+        self._say(f"saved session to {arg.strip()}.json/.npz")
+
+    def do_restore(self, arg):
+        """restore PATH — replace the session with a saved one."""
+        self.wb = Workbench.restore_session(arg.strip())
+        self._say(f"restored session from {arg.strip()} "
+                  f"({len(self.wb.stored)} stored sims)")
+
+    # -- exit ----------------------------------------------------------------
+    def do_quit(self, arg):
+        """quit — leave the shell."""
+        return True
+
+    do_exit = do_quit
+    do_EOF = do_quit
+
+    def emptyline(self):
+        return False
+
+
+def run_repl(session: str | None = None, stdin=None, stdout=None) -> None:
+    wb = Workbench.restore_session(session) if session else None
+    WorkbenchShell(wb, stdin=stdin, stdout=stdout).cmdloop()

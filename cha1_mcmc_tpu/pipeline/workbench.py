@@ -184,7 +184,22 @@ class Workbench:
 
     # -- observations / detection --------------------------------------
     def load_obs(self, path: str, rms=None):
-        self.freq_obs, self.int_obs, self.obs_res, self.obs_rms = read_obs(path, rms=rms)
+        if path.endswith(".npy"):
+            # (2, N) [freq_MHz, intensity] array, the DSN raw format
+            # (reference data/DSN/*.npy, consumed by inference read_file)
+            import numpy as _np
+
+            from cha1_mcmc_tpu.reduce.noise import calc_noise_std
+
+            data = _np.load(path)
+            order = _np.argsort(data[0])
+            self.freq_obs, self.int_obs = data[0][order], data[1][order]
+            diffs = _np.diff(self.freq_obs)
+            self.obs_res = float(diffs[diffs > 0].min()) if diffs.size else 0.01
+            self.obs_rms = (rms if rms is not None
+                            else float(calc_noise_std(self.int_obs)[1]))
+        else:
+            self.freq_obs, self.int_obs, self.obs_res, self.obs_rms = read_obs(path, rms=rms)
         return self
 
     def stack(self, **kwargs):

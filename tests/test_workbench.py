@@ -130,6 +130,54 @@ def test_cli_fit(tmp_path):
 
 
 @requires_reference
+def test_workbench_repl(tmp_path):
+    """The interactive shell drives the full vocabulary from a piped
+    script: load/mutate/store/sum/obs/stack/mf/plot/save/restore."""
+    from cha1_mcmc_tpu.pipeline.repl import WorkbenchShell
+    from cha1_mcmc_tpu.pipeline.workbench import Workbench
+    import io as _io
+
+    png = tmp_path / "h.png"
+    sess = tmp_path / "sess"
+    script = "\n".join([
+        "limits 18000 25000 0.03",
+        f"load_mol {CATALOG_DIR}/hc5n_hfs.cat",
+        "modT 7.0", "modC 3.4e12", "moddV 0.89", "modVLSR 4.1",
+        "status",
+        "print_lines 3",
+        "store cold",
+        "modT 9.5",
+        "store warm",
+        "sum",
+        f"obs {HC5N_DATA}",
+        "stack",
+        "mf",
+        f"plot harmonic 18638.6,21301.26 4.0 {png}",
+        f"save {sess}",
+        "bogus_command 1 2",   # unknown syntax must not kill the session
+        "recall nonexistent",  # nor must a raising command
+        "quit",
+    ]) + "\n"
+    out = _io.StringIO()
+    wb = Workbench(ll=18000, ul=25000, res=0.03, dish_size=70,
+                   source_size=52.0, dV=0.89, T=7.0, C=3.4e12, vlsr=4.1)
+    shell = WorkbenchShell(wb, stdin=_io.StringIO(script), stdout=out)
+    shell.cmdloop()
+    text = out.getvalue()
+    assert "re-simulated" in text
+    assert "stored 'cold'" in text and "stored 'warm'" in text
+    assert "summed 2 stored sims" in text
+    assert "stack peak SNR" in text and "matched filter peak" in text
+    assert "Unknown syntax" in text   # bogus command reported, not fatal
+    assert "error: KeyError" in text  # raising command reported, not fatal
+    assert png.stat().st_size > 1000
+    assert (tmp_path / "sess.json").exists()
+
+    restored = Workbench.restore_session(str(sess))
+    assert set(restored.stored) == {"cold", "warm"}
+
+
+@requires_reference
 def test_plot_engines(tmp_path, hc5n_datagrid):
     """Postage/range/harmonic plots render; corner animation writes a GIF."""
     from cha1_mcmc_tpu.pipeline.plots import (
