@@ -178,6 +178,19 @@ class WorkbenchShell(cmd.Cmd):
         self._say(f"matched filter peak {resp[j]:.2f} sigma at "
                   f"{vel[j]:+.2f} km/s")
 
+    def do_ulim(self, arg):
+        """ulim LL UL — rescale C to the upper limit set by the observed
+        rms over [LL, UL] (reference set_ulim_c)."""
+        parts = arg.split()
+        self.wb.ulim(float(parts[0]), float(parts[1]))
+        self._say(f"C -> {self.wb.C:.2e} cm-2 (upper limit)")
+
+    def do_auto_ulim(self, arg):
+        """auto_ulim — upper limit from the best-SNR line (reference
+        autoset_ulim_c)."""
+        best, C = self.wb.auto_ulim()
+        self._say(f"best line {best:.4f} MHz; C -> {C:.2e} cm-2")
+
     # -- plots (PNG files instead of the reference's GUI window) -----------
     def do_plot(self, arg):
         """plot postage|range|harmonic ARGS... OUT.png — render to a file.

@@ -223,6 +223,40 @@ class Workbench:
             response = response[: len(vel)]
         return vel, response
 
+    # -- upper limits (reference :7183-7335) -----------------------------
+    def ulim(self, ll: float, ul: float, *, level=None, absorption=False):
+        """Rescale C so the simulated peak in [ll, ul] matches the observed
+        rms (or `level`) and re-simulate — set_ulim_c (reference :7183)."""
+        from cha1_mcmc_tpu.analysis.ulim import upper_limit_column
+
+        if self.freq_obs is None and level is None:
+            raise RuntimeError("load_obs() first (or pass level=)")
+        self.run_sim()
+        new_C = upper_limit_column(
+            self.C, self.freq_sim, self.int_sim, self.freq_obs, self.int_obs,
+            ll, ul, level=level, absorption=absorption)
+        return self.modC(new_C)
+
+    def auto_ulim(self, *, rms_spread: float = 10.0, absorption=False):
+        """Upper limit from the highest-expected-SNR line — autoset_ulim_c
+        (reference :7285): find the best line, rescale around it, then
+        repeat on the re-simulated spectrum (converges the marginally
+        optically thick case). Returns (best_freq, C)."""
+        from cha1_mcmc_tpu.analysis.ulim import find_best_ulim_lines
+
+        if self.freq_obs is None:
+            raise RuntimeError("load_obs() first")
+        for _ in range(2):
+            self.run_sim()
+            freqs, _snr = find_best_ulim_lines(
+                self.freq_sim, self.int_sim, self.freq_obs, self.int_obs,
+                self.dV, self.res)
+            best = float(freqs[0])
+            dV_f = self.dV * best / CKM
+            self.ulim(best - rms_spread * dV_f, best + rms_spread * dV_f,
+                      absorption=absorption)
+        return best, self.C
+
     # -- session persistence (reference :2723, :3076) -------------------
     def save_session(self, path: str):
         state = dict(

@@ -177,6 +177,61 @@ def test_gaussian_renderer_matches_oracle(sim_lte, hc5n_catalog):
     np.testing.assert_allclose(my_i, ref_i, rtol=1e-10, atol=1e-18)
 
 
+def test_ulim_matches_oracle(sim_lte):
+    """get_obs_rms / get_sim_peak / find_best_ulim against the vendored
+    tool executed in place (reference simulate_lte.py:5772/:5783/:7203),
+    and the set_ulim_c rescale identity (reference :7183-7199)."""
+    from cha1_mcmc_tpu.analysis.ulim import (
+        get_obs_rms, get_sim_peak, upper_limit_column, find_best_ulim_lines)
+
+    freq_obs, int_obs, freq_sim, int_sim, line_freqs, amps = _synthetic_obs()
+    sim_lte.freq_obs, sim_lte.int_obs = freq_obs.copy(), int_obs.copy()
+    sim_lte.freq_sim, sim_lte.int_sim = freq_sim.copy(), int_sim.copy()
+    sim_lte.dV, sim_lte.res = 0.5, 0.01
+
+    for lo, hi in [(18100, 18300), (18500, 18900), (18000, 19000)]:
+        assert get_obs_rms(freq_obs, int_obs, lo, hi) == \
+            sim_lte.get_obs_rms(lo, hi)
+        assert get_sim_peak(freq_sim, int_sim, lo, hi) == \
+            sim_lte.get_sim_peak(lo, hi)
+
+    ref_best = sim_lte.find_best_ulim(sep=0.5, n=3, auto_limits=False)
+    my_best, my_snr = find_best_ulim_lines(
+        freq_sim, int_sim, freq_obs, int_obs, dV=0.5, res=0.01, sep=0.5, n=3)
+    np.testing.assert_allclose(my_best, ref_best)
+    assert (my_snr > 0).all() and (np.diff(my_snr) <= 0).all()
+
+    # the rescale identity: C' = C * rms / peak
+    lo, hi = 18100, 18900
+    C = 1e12
+    got = upper_limit_column(C, freq_sim, int_sim, freq_obs, int_obs, lo, hi)
+    want = C * sim_lte.get_obs_rms(lo, hi) / sim_lte.get_sim_peak(lo, hi)
+    assert np.isclose(got, want, rtol=1e-12)
+
+
+@requires_reference
+def test_workbench_ulim_scales_to_rms(hc5n_problem):
+    """Workbench.ulim: after the rescale the re-simulated peak in the
+    window equals the observed rms (linear-in-C thin limit)."""
+    from cha1_mcmc_tpu.pipeline.workbench import Workbench
+    from cha1_mcmc_tpu.analysis.ulim import get_obs_rms, get_sim_peak
+    from tests.conftest import CATALOG_DIR, HC5N_DATA
+
+    wb = Workbench(ll=18630, ul=18650, res=0.01, dish_size=70,
+                   source_size=52.0, dV=0.89, T=7.0, C=3.4e12, vlsr=4.1,
+                   gauss=True)
+    wb.load_mol(f"{CATALOG_DIR}/hc5n_hfs.cat")
+    wb.load_obs(HC5N_DATA)
+    # twice, as the reference's autoset_ulim_c does: at C=3.4e12 the lines
+    # are mildly optically thick, so one linear rescale leaves ~2%
+    wb.ulim(18630, 18650)
+    assert wb.C < 3.4e12  # HC5N is detected, so the 1-sigma ulim is lower
+    wb.ulim(18630, 18650)
+    peak = get_sim_peak(wb.freq_sim, wb.int_sim, 18630, 18650)
+    rms = get_obs_rms(wb.freq_obs, wb.int_obs, 18630, 18650)
+    assert np.isclose(peak, rms, rtol=1e-4)
+
+
 def test_gauss_fit_recovers_parameters():
     rng = np.random.default_rng(0)
     freq = np.arange(18000.0, 18010.0, 0.01)
