@@ -83,6 +83,44 @@ def bench_tpu() -> dict:
     }
 
 
+LARGE_WALKERS = 8192
+LARGE_STEPS = 500
+
+
+def bench_large() -> dict:
+    """Saturation throughput: the same HC5N problem at 8192 walkers — the
+    regime where the chip's utilization, not per-step latency, sets the
+    rate (production serving: many independent chains / cross-chain
+    R-hat)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cha1_mcmc_tpu.inference import build_lnprob
+    from cha1_mcmc_tpu.sampler import run_ensemble
+
+    model, spec, lnprior, ints, yerrs = _problem()
+    lnprob = build_lnprob(model, spec, ints, yerrs, lnprior)
+    rng = np.random.default_rng(3)
+    pos0 = jnp.asarray(
+        np.array([3.24e12, 7.5, 4.11, 0.78])
+        * (1 + 0.01 * rng.standard_normal((LARGE_WALKERS, 4))), jnp.float32)
+    lnp0 = jax.vmap(lnprob)(pos0)
+    key = jax.random.PRNGKey(3)
+    chain, lnps, acc, (pos, lnp) = run_ensemble(
+        lnprob, pos0, lnp0, key, nsteps=LARGE_STEPS)
+    jax.block_until_ready(chain)  # compile + warm
+    dt = float("inf")
+    for rep in range(3):
+        key = jax.random.fold_in(key, rep)
+        t0 = time.perf_counter()
+        chain, lnps, acc, (pos, lnp) = run_ensemble(
+            lnprob, pos, lnp, key, nsteps=LARGE_STEPS)
+        jax.block_until_ready(chain)
+        dt = min(dt, time.perf_counter() - t0)
+    return {"nwalkers": LARGE_WALKERS,
+            "walker_steps_per_sec": round(LARGE_STEPS * LARGE_WALKERS / dt, 1)}
+
+
 DENSE_CAT = os.path.join(REFERENCE_ROOT, "catalog", "1-cyanonapthalene.cat")
 DENSE_CHANNELS = 2048
 DENSE_EVALS = 30
@@ -299,6 +337,10 @@ def main():
         dense = bench_dense() if os.path.exists(DENSE_CAT) else None
     except Exception as exc:  # dense case must never mask the headline metric
         dense = {"error": f"{type(exc).__name__}: {exc}"}
+    try:
+        large = bench_large()
+    except Exception as exc:
+        large = {"error": f"{type(exc).__name__}: {exc}"}
     result = {
         "metric": "walker_steps_per_sec_hc5n",
         "value": round(tpu["rate"], 1),
@@ -311,6 +353,7 @@ def main():
         "tpu_acceptance": round(tpu["acceptance"], 3),
         "nwalkers": NWALKERS,
         "dense_catalog_1cyanonaphthalene": dense,
+        "saturation_8192_walkers": large,
     }
     print(json.dumps(result))
 

@@ -62,6 +62,8 @@ class FitConfig:
     dtype: str = "float32"
     n_devices: int | None = None     # shard the fit over this many chips
     n_line_shards: int = 1           # of which, this many shard the line axis
+    n_chains: int = 1                # independent ensembles (nwalkers is the
+                                     # total; enables cross-chain R-hat)
     stretch_a: float = 2.0
     use_pallas: bool = False         # Pallas opacity kernel (dense catalogs)
     resume: bool = False             # continue an existing chain file

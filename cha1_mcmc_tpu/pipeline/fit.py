@@ -133,6 +133,10 @@ class SpectralFit:
         lnprior = single_component_lnprior(self.spec, cfg.bounds, prior_means, prior_stds)
         lnlike = build_lnlike(model, self.spec, grid.ints, grid.yerrs)
         sharded = cfg.n_devices is not None and cfg.n_devices > 1
+        if sharded and cfg.n_chains > 1:
+            raise ValueError("n_chains > 1 and n_devices > 1 are mutually "
+                             "exclusive (shard one big ensemble, or run "
+                             "independent chains on one chip)")
         if sharded:
             lnprob = None  # the mesh program builds its own local lnprob
         elif cfg.use_pallas:
@@ -188,6 +192,13 @@ class SpectralFit:
                 lnprior_fn=lnprior, use_pallas=cfg.use_pallas,
                 dv_max=cfg.bounds["dV"][1],
                 interpret=cfg.use_pallas and jax.default_backend() == "cpu")
+        elif cfg.n_chains > 1:
+            from cha1_mcmc_tpu.sampler import MultiChainSampler
+
+            self.sampler = MultiChainSampler(
+                lnprob_fn=lnprob, nwalkers=cfg.nwalkers, ndim=self.spec.ndim,
+                a=cfg.stretch_a, dtype=self.dtype, batched=cfg.use_pallas,
+                n_chains=cfg.n_chains)
         else:
             self.sampler = EnsembleSampler(
                 lnprob_fn=lnprob, nwalkers=cfg.nwalkers, ndim=self.spec.ndim,
@@ -219,6 +230,13 @@ class SpectralFit:
                 checkpoint_every=cfg.checkpoint_every,
                 chain_file=cfg.chain_path, progress=True)
         print(f"{GRAY}Acceptance fraction: {self.sampler.acceptance_fraction:.3f}{RESET}")
+        if cfg.n_chains > 1:
+            from cha1_mcmc_tpu.sampler import summarize_convergence
+
+            conv = summarize_convergence(self.sampler.chain)
+            rhat = ", ".join(f"{lbl}={r:.3f}" for lbl, r in
+                             zip(self.spec.labels, conv["r_hat"]))
+            print(f"{GRAY}Cross-chain R-hat ({cfg.n_chains} chains): {rhat}{RESET}")
         return self.sampler.chain
 
     # -- full run ----------------------------------------------------------

@@ -1,6 +1,7 @@
 """Affine-invariant ensemble MCMC on device."""
 
-from cha1_mcmc_tpu.sampler.stretch import EnsembleSampler, run_ensemble, run_ensemble_chains
+from cha1_mcmc_tpu.sampler.stretch import (EnsembleSampler, MultiChainSampler,
+                                            run_ensemble, run_ensemble_chains)
 from cha1_mcmc_tpu.sampler.chain import (
     save_chain,
     load_chain,
@@ -17,6 +18,7 @@ from cha1_mcmc_tpu.sampler.diagnostics import (
 
 __all__ = [
     "EnsembleSampler",
+    "MultiChainSampler",
     "run_ensemble",
     "run_ensemble_chains",
     "save_chain",

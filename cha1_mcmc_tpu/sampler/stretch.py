@@ -32,7 +32,8 @@ import jax.numpy as jnp
 
 from cha1_mcmc_tpu.sampler.chain import last_position
 
-__all__ = ["run_ensemble", "EnsembleSampler"]
+__all__ = ["run_ensemble", "run_ensemble_chains", "EnsembleSampler",
+           "MultiChainSampler"]
 
 logger = logging.getLogger(__name__)
 
@@ -285,3 +286,56 @@ class EnsembleSampler:
         self.accepted = int(state["accepted"])
         self.total_proposals = int(state["total_proposals"])
         return state["pos"], jnp.asarray(state["key"], dtype=jnp.uint32)
+
+
+@dataclasses.dataclass
+class MultiChainSampler(EnsembleSampler):
+    """K independent ensembles advanced concurrently (vmapped over the
+    chain axis via run_ensemble_chains) with the same chain-file contract.
+
+    The reference has no multi-chain concept; this exists because (a) at
+    small per-chain walker counts independent chains saturate the chip —
+    throughput scales like one ensemble of K*W walkers — and (b) truly
+    independent chains make the Gelman-Rubin R-hat an honest convergence
+    gate. run_mcmc takes pos of shape (K, W, D); the recorded chain pools
+    to the emcee (K*W, S, D) layout with whole chains contiguous, so
+    `chain.reshape(K, W, S, D)` recovers per-chain histories and
+    `diagnostics.gelman_rubin` on the pooled layout measures *cross-chain*
+    mixing (each walker row already is a valid chain).
+    """
+
+    n_chains: int = 2  # nwalkers is the TOTAL (K * per-chain) walker count
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.nwalkers % self.n_chains:
+            raise ValueError(
+                f"nwalkers={self.nwalkers} must be divisible by "
+                f"n_chains={self.n_chains}")
+        self.walkers_per_chain = self.nwalkers // self.n_chains
+
+    def _shape_pos(self, pos):
+        pos = jnp.asarray(pos, dtype=self.dtype)
+        if pos.ndim == 2:  # pooled (K*W, D) — e.g. a resumed chain's tail
+            pos = pos.reshape(self.n_chains, self.walkers_per_chain, -1)
+        return pos
+
+    def _init_lnp(self, pos):
+        f = self.lnprob_fn if self.batched else jax.vmap(self.lnprob_fn)
+        return jax.vmap(f)(self._shape_pos(pos))
+
+    def _run_block(self, pos, lnp, key, nsteps: int, thin: int):
+        pos = self._shape_pos(pos)
+        keys = jax.random.split(key, self.n_chains)
+        chain, lnps, acc, final = run_ensemble_chains(
+            self.lnprob_fn, pos, lnp, keys, nsteps=nsteps, a=self.a,
+            thin=thin, batched=self.batched)
+        K, S, W, D = chain.shape
+        # (K, S, W, D) -> (S, K*W, D): the base class transposes each block
+        # to the pooled (K*W, S, D) emcee layout
+        chain = jnp.transpose(chain, (1, 0, 2, 3)).reshape(S, K * W, D)
+        lnps = jnp.transpose(lnps, (1, 0, 2)).reshape(S, K * W)
+        return chain, lnps, jnp.sum(acc), final
+
+    def run_mcmc(self, pos, nsteps: int, key, **kwargs):
+        return super().run_mcmc(self._shape_pos(pos), nsteps, key, **kwargs)

@@ -149,6 +149,24 @@ def test_mle_init_shifts_ncol(tmp_path):
 
 
 @requires_reference
+def test_multichain_pipeline(tmp_path, capsys):
+    """FitConfig.n_chains runs independent ensembles with a cross-chain
+    R-hat report and the standard chain-file contract."""
+    cfg = _config(tmp_path, n_chains=4, nwalkers=64, nruns=200,
+                  checkpoint_every=100, MLE_for_Ncol=True)
+    fit = SpectralFit(cfg)
+    chain = fit.run()
+    out = capsys.readouterr().out
+    assert "Cross-chain R-hat (4 chains)" in out
+    assert chain.shape == (64, 200, 4)
+    saved = np.load(cfg.chain_path)
+    np.testing.assert_array_equal(saved, chain)
+    # chains are genuinely independent: walkers 0-15 (chain 0) never see
+    # walkers 16-31 (chain 1), so their seeded histories differ
+    assert not np.array_equal(chain[:16], chain[16:32])
+
+
+@requires_reference
 def test_float64_mode_is_scoped(tmp_path):
     """dtype="float64" runs the fit in full precision *without* flipping
     the process-global jax_enable_x64 flag (round-1 weak spot: the

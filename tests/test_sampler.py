@@ -139,6 +139,54 @@ def test_run_ensemble_chains_matches_individual():
         np.testing.assert_array_equal(np.asarray(chains[k]), np.asarray(ck))
 
 
+def test_multichain_sampler_pools_chains(tmp_path):
+    """MultiChainSampler: the pooled (K*W, S, D) chain equals K separate
+    run_ensemble histories stacked chains-contiguous, the .npy/.state.npz
+    contract holds, and resume continues exactly."""
+    from cha1_mcmc_tpu.sampler import MultiChainSampler
+
+    lnprob = _gauss_target(np.zeros(2), np.eye(2))
+    K, W = 2, 8
+    pos0 = jax.random.normal(jax.random.PRNGKey(1), (K, W, 2), dtype=jnp.float32)
+    chain_file = str(tmp_path / "mc.npy")
+
+    s = MultiChainSampler(lnprob_fn=lnprob, nwalkers=K * W, ndim=2, n_chains=K)
+    s.run_mcmc(pos0, 30, jax.random.PRNGKey(5), checkpoint_every=10,
+               chain_file=chain_file)
+    pooled = s.chain
+    assert pooled.shape == (K * W, 30, 2)
+
+    # per-chain recovery: rows [k*W:(k+1)*W] are chain k
+    key = jax.random.PRNGKey(5)
+    done = 0
+    ref_blocks = {k: [] for k in range(K)}
+    pos, lnp = pos0, jax.vmap(jax.vmap(lnprob))(pos0)
+    while done < 30:
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, K)
+        new_pos, new_lnp = [], []
+        for k in range(K):
+            ck, lk, _, (pk, lpk) = run_ensemble(lnprob, pos[k], lnp[k],
+                                                keys[k], nsteps=10)
+            ref_blocks[k].append(np.asarray(ck).transpose(1, 0, 2))
+            new_pos.append(pk), new_lnp.append(lpk)
+        pos, lnp = jnp.stack(new_pos), jnp.stack(new_lnp)
+        done += 10
+    for k in range(K):
+        ref = np.concatenate(ref_blocks[k], axis=1)
+        np.testing.assert_array_equal(pooled[k * W:(k + 1) * W], ref)
+
+    # exact resume through the sidecar
+    s2 = MultiChainSampler(lnprob_fn=lnprob, nwalkers=K * W, ndim=2, n_chains=K)
+    prev = np.load(chain_file)
+    s2.preload(prev)
+    pos_r, key_r = s2.load_state(chain_file)
+    assert pos_r.shape == (K, W, 2)
+    s.run_mcmc(pos, 10, key, checkpoint_every=10)  # uninterrupted continuation
+    s2.run_mcmc(pos_r, 10, key_r, checkpoint_every=10)
+    np.testing.assert_array_equal(s.chain, s2.chain)
+
+
 def test_state_sidecar_path_without_npy_suffix(tmp_path):
     """Resume sidecars pair correctly when the chain path has no .npy
     extension (regression: chain_file[:-4] mangled such paths)."""
