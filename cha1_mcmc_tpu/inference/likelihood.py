@@ -73,7 +73,7 @@ def batched_model_pallas(line_freq, line_elower, line_aij, line_gup, line_glow,
 def batched_model_pallas_csr(line_freq, line_elower, line_aij, line_gup,
                              line_glow, q_model, grid_freq, mask_center,
                              dish_size, Tbg, dtype, spec, thetas, line_table,
-                             vel_compact, n_channels: int, *,
+                             vel_compact, tile_counts, n_channels: int, *,
                              interpret: bool = False):
     """(N, C) walker-batched forward model with the compacted (CSR) Pallas
     opacity kernel — the fastest dense-catalog path (4.2x the block-sparse
@@ -91,7 +91,7 @@ def batched_model_pallas_csr(line_freq, line_elower, line_aij, line_gup,
     opac = opacity_pallas_csr(
         taus.reshape(N * K, -1), vlsr.reshape(N * K),
         jnp.broadcast_to(dV[:, None], (N, K)).reshape(N * K),
-        line_table, vel_compact, n_channels=n_channels,
+        line_table, vel_compact, tile_counts, n_channels=n_channels,
         interpret=interpret).reshape(N, K, -1)
     return _rt_tail(opac, ss, Tex, grid_freq, dish_size, Tbg, dtype)
 
@@ -164,10 +164,11 @@ def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
         if dv_max is None:
             raise ValueError("use_pallas=True requires dv_max (from prior bounds)")
         if pallas_kernel == "csr":
-            line_table, vel_compact = build_opacity_csr(
+            line_table, vel_compact, tile_counts = build_opacity_csr(
                 np.asarray(model.vel_grid), model.mask_center, dv_max)
             line_table = jnp.asarray(line_table)
             vel_compact = jnp.asarray(vel_compact, dtype)
+            tile_counts = jnp.asarray(tile_counts)
         else:
             block_mask = jnp.asarray(block_activity_mask(
                 np.asarray(model.vel_grid), model.mask_center, dv_max))
@@ -182,7 +183,7 @@ def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
                 model.line_gup, model.line_glow, model.q_model,
                 model.grid_freq, model.mask_center, model.dish_size,
                 model.Tbg, dtype, spec, thetas, line_table, vel_compact,
-                C, interpret=interpret)
+                tile_counts, C, interpret=interpret)
         elif use_pallas:
             m = batched_model_pallas(
                 model.line_freq, model.line_elower, model.line_aij,

@@ -203,7 +203,8 @@ def _opacity_call(kernel_body, taus, vlsr, dV, vel_grid, block_mask,
     #   _opacity_kernel (this)     6.2 ms/eval  (block sparsity)
     #   _opacity_kernel_mxu        4.8 ms/eval  (+MXU dot, exp2; 4.2 at
     #                                            tiles (16,128,512))
-    #   _opacity_kernel_csr        1.55 ms/eval (line compaction, tw=16)
+    #   _opacity_kernel_csr        1.14 ms/eval (line compaction + per-tile
+    #                                            step predication, tw=32)
     # The remaining gap to the CSR kernel is elementwise sparsity: only
     # ~0.1% of the elements of *active* blocks are in-window, so the
     # block-sparse kernels still burn most VPU exp work on zeros.
@@ -279,11 +280,15 @@ def build_opacity_csr(vel_grid: np.ndarray, mask_center: float,
                       dv_max: float, *, tc: int = TC, tl: int = 128):
     """Precompute the static compaction tables for opacity_pallas_csr.
 
-    Returns (line_table (nC, K) int32, vel_compact (nC * K, tc) f32) where
-    K is the max number of active lines over channel tiles, padded to a
-    multiple of tl. Padding entries point at velocity 1e30, which
-    underflows the Gaussian to exactly 0 regardless of tau. Static per
-    (datagrid, prior dV bound) — same inputs as block_activity_mask.
+    Returns (line_table (nC, K) int32, vel_compact (nC * K, tc) f32,
+    tile_counts (nC,) int32) where K is the max number of active lines over
+    channel tiles, padded to a multiple of tl, and tile_counts[j] is the
+    number of active lines for channel tile j — the band is uneven, so
+    most tiles have far fewer than K active lines; the kernel predicates
+    the all-padding line-tile steps off. Padding entries point at velocity
+    1e30, which underflows the Gaussian to exactly 0 regardless of tau.
+    Static per (datagrid, prior dV bound) — same inputs as
+    block_activity_mask.
     """
     vel_grid = np.asarray(vel_grid)
     L, C = vel_grid.shape
@@ -294,50 +299,58 @@ def build_opacity_csr(vel_grid: np.ndarray, mask_center: float,
     K = _ceil_to(max((len(a) for a in active), default=1), tl)
     line_table = np.zeros((nC, K), dtype=np.int32)
     vel_compact = np.full((nC, K, tc), 1e30, dtype=vel_grid.dtype)
+    tile_counts = np.zeros(nC, dtype=np.int32)
     for j, idx in enumerate(active):
         line_table[j, :len(idx)] = idx
         chunk = vel_grid[idx, j * tc:min((j + 1) * tc, C)]
         vel_compact[j, :len(idx), :chunk.shape[1]] = chunk
-    return line_table, vel_compact.reshape(nC * K, tc)
+        tile_counts[j] = len(idx)
+    return line_table, vel_compact.reshape(nC * K, tc), tile_counts
 
 
-def _opacity_kernel_csr(tau_ref, vlsr_ref, dv_ref, vel_ref, out_ref):
-    """Compacted variant of _opacity_kernel_mxu: every grid step is active
-    (padding rows carry vel = 1e30 -> gauss exactly 0), so no predicate or
-    scalar-prefetch tables are needed."""
+def _opacity_kernel_csr(steps_ref, row_ref, tau_ref, vlsr_ref, dv_ref,
+                        vel_ref, out_ref):
+    """Compacted variant of _opacity_kernel_mxu. Padding rows carry
+    vel = 1e30 -> gauss exactly 0, so no per-element masking is needed;
+    line-tile steps that are *entirely* padding (most of them — K is the
+    max over channel tiles) are predicated off via the prefetched step
+    table, and their DMAs elided via the redirect table."""
+    j_idx = pl.program_id(1)
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    vel = vel_ref[:][None, :, :]                      # (1, TLc, TC)
-    vlsr = vlsr_ref[:][:, :, None]                    # (TW, 1, 1)
-    dv = dv_ref[:][:, :, None]                        # (TW, 1, 1)
-    sigma = dv / FWHM_TO_SIGMA_MODEL
-    # See _opacity_kernel_mxu for the exp2 form and the f32-underflow
-    # argument that makes the per-element window select a no-op.
-    a = (-0.5 * np.log2(np.e)) / (sigma * sigma)
-    d = vel - vlsr
-    gauss = jnp.exp2(a * (d * d))                     # (TW, TLc, TC)
-    rows = [
-        jnp.dot(tau_ref[w:w + 1, :], gauss[w],
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-        for w in range(tau_ref.shape[0])
-    ]
-    out_ref[:] += jnp.concatenate(rows, axis=0)       # (TW, TC)
+    @pl.when(k_idx < steps_ref[j_idx])
+    def _accumulate():
+        vel = vel_ref[:][None, :, :]                      # (1, TLc, TC)
+        vlsr = vlsr_ref[:][:, :, None]                    # (TW, 1, 1)
+        dv = dv_ref[:][:, :, None]                        # (TW, 1, 1)
+        sigma = dv / FWHM_TO_SIGMA_MODEL
+        # See _opacity_kernel_mxu for the exp2 form and the f32-underflow
+        # argument that makes the per-element window select a no-op.
+        a = (-0.5 * np.log2(np.e)) / (sigma * sigma)
+        d = vel - vlsr
+        gauss = jnp.exp2(a * (d * d))                     # (TW, TLc, TC)
+        rows = [
+            jnp.dot(tau_ref[w:w + 1, :], gauss[w],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+            for w in range(tau_ref.shape[0])
+        ]
+        out_ref[:] += jnp.concatenate(rows, axis=0)       # (TW, TC)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_channels", "interpret", "tiles"))
-def opacity_pallas_csr(taus, vlsr, dV, line_table, vel_compact, *,
-                       n_channels: int, interpret: bool = False,
-                       tiles: tuple[int, int] = (16, 128)):
+def opacity_pallas_csr(taus, vlsr, dV, line_table, vel_compact, tile_counts,
+                       *, n_channels: int, interpret: bool = False,
+                       tiles: tuple[int, int] = (32, 128)):
     """Accumulated Gaussian opacity via line compaction, (W, n_channels).
 
-    taus: (W, L); vlsr, dV: (W,); (line_table, vel_compact) from
-    build_opacity_csr (whose tc must equal tiles[1] and whose tl must
+    taus: (W, L); vlsr, dV: (W,); (line_table, vel_compact, tile_counts)
+    from build_opacity_csr (whose tc must equal tiles[1] and whose tl must
     divide the table's K). tiles = (tw, tlc).
     """
     tw, tlc = tiles
@@ -356,17 +369,29 @@ def opacity_pallas_csr(taus, vlsr, dV, line_table, vel_compact, *,
 
     grid = (Wp // tw, nC, K // tlc)
     kpt = K // tlc  # line-tile steps per channel tile
+    # tables[0, j]: used line-tile steps for channel tile j (>= 1 so step 0
+    # still zero-inits the output); tables[1, j, k]: the block row each
+    # step fetches — predicated-off steps re-fetch the previous row, which
+    # the Pallas pipeline recognizes as "same block" and elides the DMA.
+    steps = jnp.maximum(-(-jnp.asarray(tile_counts, jnp.int32) // tlc), 1)
+    k_ids = jnp.arange(kpt, dtype=jnp.int32)[None, :]
+    row = jnp.arange(nC, dtype=jnp.int32)[:, None] * kpt + jnp.minimum(
+        k_ids, steps[:, None] - 1)
+    tables = (steps, row)
     out = pl.pallas_call(
         _opacity_kernel_csr,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tw, tlc), lambda w, j, k: (w, j * kpt + k)),
-            pl.BlockSpec((tw, 1), lambda w, j, k: (w, 0)),
-            pl.BlockSpec((tw, 1), lambda w, j, k: (w, 0)),
-            pl.BlockSpec((tlc, tc), lambda w, j, k: (j * kpt + k, 0)),
-        ],
-        out_specs=pl.BlockSpec((tw, tc), lambda w, j, k: (w, j)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tw, tlc), lambda w, j, k, s, r: (w, r[j, k])),
+                pl.BlockSpec((tw, 1), lambda w, j, k, s, r: (w, 0)),
+                pl.BlockSpec((tw, 1), lambda w, j, k, s, r: (w, 0)),
+                pl.BlockSpec((tlc, tc), lambda w, j, k, s, r: (r[j, k], 0)),
+            ],
+            out_specs=pl.BlockSpec((tw, tc), lambda w, j, k, s, r: (w, j)),
+        ),
         out_shape=jax.ShapeDtypeStruct((Wp, nC * tc), dtype),
         interpret=interpret,
-    )(tau_c, vlsr_p, dv_p, jnp.asarray(vel_compact, dtype))
+    )(*tables, tau_c, vlsr_p, dv_p, jnp.asarray(vel_compact, dtype))
     return out[:W, :n_channels]

@@ -69,11 +69,13 @@ def test_opacity_csr_matches_dense(W, L, C, tiles):
     center = 4.10
     vel, taus, vlsr, dV = _random_problem(W, L, C)
     expected = _dense_reference(vel, taus, vlsr, dV, center)
-    line_table, vel_compact = build_opacity_csr(vel, center, dv_max=1.5,
-                                                tl=tiles[1])
+    line_table, vel_compact, tile_counts = build_opacity_csr(
+        vel, center, dv_max=1.5, tl=tiles[1])
+    assert tile_counts.max() <= line_table.shape[1]
     out = opacity_pallas_csr(
         jnp.asarray(taus), jnp.asarray(vlsr), jnp.asarray(dV),
-        jnp.asarray(line_table), jnp.asarray(vel_compact), n_channels=C,
+        jnp.asarray(line_table), jnp.asarray(vel_compact),
+        jnp.asarray(tile_counts), n_channels=C,
         tiles=tiles, interpret=True)
     np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4,
                                atol=1e-6 * max(1.0, expected.max()))

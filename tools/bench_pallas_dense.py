@@ -142,13 +142,15 @@ def main():
                                f"{key} d={dens:.3f}")
     # compacted (CSR) kernel: static gather tables, per-eval tau gather
     for tw, tlc in [(8, 128), (16, 128), (32, 128), (16, 256)]:
-        lt, vc = pk.build_opacity_csr(np.asarray(vel_grid), center, DV_MAX,
-                                      tc=128, tl=tlc)
+        lt, vc, cnt = pk.build_opacity_csr(np.asarray(vel_grid), center,
+                                           DV_MAX, tc=128, tl=tlc)
         lt_j, vc_j = jnp.asarray(lt), jnp.asarray(vc, jnp.float32)
+        cnt_j = jnp.asarray(cnt)
 
-        def csr(t, v, d, vg, lt_j=lt_j, vc_j=vc_j, tiles=(tw, tlc)):
-            return pk.opacity_pallas_csr(t, v, d, lt_j, vc_j, n_channels=C,
-                                         tiles=tiles)
+        def csr(t, v, d, vg, lt_j=lt_j, vc_j=vc_j, cnt_j=cnt_j,
+                tiles=(tw, tlc)):
+            return pk.opacity_pallas_csr(t, v, d, lt_j, vc_j, cnt_j,
+                                         n_channels=C, tiles=tiles)
 
         key = f"csr({tw},{tlc})"
         results[key] = time_fn(csr, taus, vlsr, dV, vel_grid,
