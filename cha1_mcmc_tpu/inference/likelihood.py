@@ -13,6 +13,8 @@ effect is obtained by mapping non-finite lnlike values to -inf.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -37,21 +39,27 @@ def _rt_tail(opac, ss, Tex, grid_freq, dish_size, Tbg, dtype):
 def batched_model_pallas(line_freq, line_elower, line_aij, line_gup, line_glow,
                          vel_grid, q_model, grid_freq, mask_center, dish_size,
                          Tbg, dtype, spec, thetas, block_mask, *,
-                         interpret: bool = False, axis_name: str | None = None):
+                         interpret: bool = False, axis_name: str | None = None,
+                         unmasked: bool = False):
     """(N, C) walker-batched forward model with the block-sparse Pallas
     opacity kernel (MXU contraction).
 
     Shared by the single-device batched likelihood and the line-sharded
     shard_map path: the line arrays may be a device-local shard, in which
     case `axis_name` names the mesh axis to psum the partial opacity over.
+    unmasked must only be set when window_is_exact() holds for the
+    parameter box (build_lnprob_batched decides this from the prior
+    bounds; default keeps the reference's exact window semantics).
     """
     from cha1_mcmc_tpu.models.pallas_kernels import (opacity_pallas,
                                                      opacity_pallas_mxu)
 
     # Interpret mode (CPU tests) exercises the reference-shaped masked
-    # kernel; compiled TPU runs take the faster MXU variant (identical
-    # output to f32 rounding, see _opacity_kernel_mxu).
-    kernel = opacity_pallas if interpret else opacity_pallas_mxu
+    # kernel; compiled TPU runs take the faster MXU variant.
+    if interpret:
+        kernel = opacity_pallas
+    else:
+        kernel = functools.partial(opacity_pallas_mxu, unmasked=unmasked)
     thetas = jnp.asarray(thetas, dtype=dtype)
     N = thetas.shape[0]
     K = spec.ncomp
@@ -74,10 +82,11 @@ def batched_model_pallas_csr(line_freq, line_elower, line_aij, line_gup,
                              line_glow, q_model, grid_freq, mask_center,
                              dish_size, Tbg, dtype, spec, thetas, line_table,
                              vel_compact, tile_counts, n_channels: int, *,
-                             interpret: bool = False):
+                             interpret: bool = False, unmasked: bool = False):
     """(N, C) walker-batched forward model with the compacted (CSR) Pallas
-    opacity kernel — the fastest dense-catalog path (4.2x the block-sparse
-    kernel on 1-cyanonaphthalene, see models/pallas_kernels.py)."""
+    opacity kernel — the fastest dense-catalog path (~5x the block-sparse
+    kernel on 1-cyanonaphthalene, see models/pallas_kernels.py). unmasked
+    as in batched_model_pallas."""
     from cha1_mcmc_tpu.models.pallas_kernels import opacity_pallas_csr
 
     thetas = jnp.asarray(thetas, dtype=dtype)
@@ -91,8 +100,9 @@ def batched_model_pallas_csr(line_freq, line_elower, line_aij, line_gup,
     opac = opacity_pallas_csr(
         taus.reshape(N * K, -1), vlsr.reshape(N * K),
         jnp.broadcast_to(dV[:, None], (N, K)).reshape(N * K),
-        line_table, vel_compact, tile_counts, n_channels=n_channels,
-        interpret=interpret).reshape(N, K, -1)
+        line_table, vel_compact, tile_counts, mask_center=mask_center,
+        n_channels=n_channels, interpret=interpret,
+        unmasked=unmasked).reshape(N, K, -1)
     return _rt_tail(opac, ss, Tex, grid_freq, dish_size, Tbg, dtype)
 
 
@@ -136,7 +146,9 @@ def build_lnprob(model: SpectralModel, spec: ParamSpec, grid_ints, grid_yerrs, l
 def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
                          grid_yerrs, lnprior_fn, *, use_pallas: bool = False,
                          dv_max: float | None = None, interpret: bool = False,
-                         pallas_kernel: str = "csr"):
+                         pallas_kernel: str = "csr",
+                         dv_min: float | None = None,
+                         vlsr_bounds: tuple | None = None):
     """Batched lnprob(thetas (N, D)) -> (N,), optionally Pallas-backed.
 
     The vmapped scalar path (build_lnprob) materializes a (N, L, C) Gaussian
@@ -150,6 +162,11 @@ def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
 
     dv_max: upper bound on dV used for the *static* sparsity structure
     (take it from the prior box bounds); required when use_pallas=True.
+    dv_min / vlsr_bounds: optional prior-box bounds. When given AND
+    window_is_exact() holds for them, the compiled kernels drop the
+    per-element window select (exp underflows to exactly 0 at the edge);
+    otherwise the select is kept, preserving the reference's exact
+    ±10·dV window semantics for any parameter box.
     """
     dtype = model.dtype
     y = jnp.asarray(grid_ints, dtype=dtype)
@@ -163,6 +180,12 @@ def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
 
         if dv_max is None:
             raise ValueError("use_pallas=True requires dv_max (from prior bounds)")
+        from cha1_mcmc_tpu.models.pallas_kernels import window_is_exact
+
+        unmasked = (dv_min is not None and vlsr_bounds is not None
+                    and window_is_exact(
+                        dv_min, max(abs(vlsr_bounds[0] - model.mask_center),
+                                    abs(vlsr_bounds[1] - model.mask_center))))
         if pallas_kernel == "csr":
             line_table, vel_compact, tile_counts = build_opacity_csr(
                 np.asarray(model.vel_grid), model.mask_center, dv_max)
@@ -183,14 +206,14 @@ def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
                 model.line_gup, model.line_glow, model.q_model,
                 model.grid_freq, model.mask_center, model.dish_size,
                 model.Tbg, dtype, spec, thetas, line_table, vel_compact,
-                tile_counts, C, interpret=interpret)
+                tile_counts, C, interpret=interpret, unmasked=unmasked)
         elif use_pallas:
             m = batched_model_pallas(
                 model.line_freq, model.line_elower, model.line_aij,
                 model.line_gup, model.line_glow, model.vel_grid,
                 model.q_model, model.grid_freq, model.mask_center,
                 model.dish_size, model.Tbg, dtype, spec, thetas, block_mask,
-                interpret=interpret)
+                interpret=interpret, unmasked=unmasked)
         else:
             ss, Ncol, Tex, vlsr, dV = spec.unpack(thetas)  # ss (N,K), Tex (N,)
             Q = model.q_model(Tex)                          # (N,)

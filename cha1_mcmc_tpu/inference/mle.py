@@ -5,20 +5,24 @@ lnlike over Ncol with all other parameters pinned at their prior means.
 
 Two implementations:
 
-* ``method="device"`` (default) — a batched bracketing search compiled to
-  ONE device program: each refinement round evaluates lnlike on a K-point
-  grid of Ncol candidates in the current bracket (vmapped — the grid rides
-  the same batched path as the walkers) and shrinks the bracket around the
-  argmax; `lax.fori_loop` chains the rounds on device. A log-spaced first
-  round covers the six-decade prior box, then linear rounds contract by
-  ~K/2 each, so 6 rounds reach float32 resolution. This replaces the last
-  per-fit host loop (SURVEY §7.7).
+* ``method="device"`` (default) — a bracketing search compiled to ONE
+  device program: each refinement round evaluates lnlike on a K-point
+  grid of Ncol candidates in the current bracket (`lax.map`, one candidate
+  at a time — a vmapped grid would materialize K (L, C) intermediates,
+  ~19 GB for dense catalogs) and shrinks the bracket around the argmax;
+  `lax.fori_loop` chains the rounds on device. A log-spaced first round
+  covers the six-decade prior box, then linear rounds contract by ~K/2
+  each; the round count is derived from xatol (and from f64 resolution
+  under the x64 verification mode). This replaces the last per-fit host
+  loop (SURVEY §7.7).
 * ``method="scipy"`` — the reference-shaped host loop
   (scipy.optimize.minimize_scalar, method='bounded', xatol=1e-6) driving
   the jitted lnlike; kept as the parity oracle for the device search.
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 import jax
@@ -30,7 +34,6 @@ from cha1_mcmc_tpu.inference.params import ParamSpec
 __all__ = ["estimate_ncol_mle"]
 
 _GRID_K = 65
-_ROUNDS = 6
 
 
 def estimate_ncol_mle(lnlike_fn, spec: ParamSpec, fixed_theta, ncol_bounds,
@@ -49,7 +52,8 @@ def estimate_ncol_mle(lnlike_fn, spec: ParamSpec, fixed_theta, ncol_bounds,
         raise ValueError("MLE init is defined for single-component fits")
 
     if method == "device":
-        return _device_search(lnlike_fn, theta0, ncol_index, ncol_bounds)
+        return _device_search(lnlike_fn, theta0, ncol_index, ncol_bounds,
+                              xatol=xatol)
 
     jitted = jax.jit(lnlike_fn)
 
@@ -65,10 +69,27 @@ def estimate_ncol_mle(lnlike_fn, spec: ParamSpec, fixed_theta, ncol_bounds,
     return float(result.x)
 
 
-def _device_search(lnlike_fn, theta0, ncol_index: int, ncol_bounds) -> float:
+def _device_search(lnlike_fn, theta0, ncol_index: int, ncol_bounds,
+                   xatol: float = 1e-6) -> float:
+    # f64 under the x64 verification mode, else the device f32.
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     lo0, hi0 = float(ncol_bounds[0]), float(ncol_bounds[1])
-    theta0 = jnp.asarray(theta0, jnp.float32)
-    batched = jax.vmap(lnlike_fn)
+    theta0 = jnp.asarray(theta0, dtype)
+    # lax.map, not vmap: the scalar lnlike materializes an (L, C) Gaussian
+    # intermediate, so a vmapped 65-point grid would need 65x that — ~19 GB
+    # for the 35k-line dense catalogs. Mapping evaluates one candidate at a
+    # time inside the same compiled program.
+    grid_lnlike = functools.partial(jax.lax.map, lnlike_fn)
+
+    # Bracket width after the log round is <= x * (r - 1) with
+    # r = (hi/lo)^(2/(K-1)); each linear round divides it by (K-1)/2.
+    # Choose rounds so the final width is below max(xatol, f32 resolution).
+    ratio = (hi0 / lo0) ** (2.0 / (_GRID_K - 1))
+    width0 = hi0 * (ratio - 1.0)
+    floor = max(xatol, hi0 * (1e-7 if dtype == jnp.float32 else 1e-15))
+    rounds = 1 + max(1, int(np.ceil(
+        np.log(max(width0 / floor, 1.0)) / np.log((_GRID_K - 1) / 2))))
+    rounds = min(rounds, 16)
 
     @jax.jit
     def search():
@@ -78,14 +99,14 @@ def _device_search(lnlike_fn, theta0, ncol_index: int, ncol_bounds) -> float:
                 i == 0,
                 jnp.logspace(jnp.log10(lo), jnp.log10(hi), _GRID_K),
                 jnp.linspace(lo, hi, _GRID_K),
-            ).astype(jnp.float32)
+            ).astype(dtype)
             thetas = jnp.tile(theta0, (_GRID_K, 1)).at[:, ncol_index].set(xs)
-            ll = batched(thetas)
+            ll = grid_lnlike(thetas)
             j = jnp.argmax(ll)
             return (xs[jnp.maximum(j - 1, 0)], xs[jnp.minimum(j + 1, _GRID_K - 1)])
 
         lo, hi = jax.lax.fori_loop(
-            0, _ROUNDS, body, (jnp.float32(lo0), jnp.float32(hi0)))
+            0, rounds, body, (jnp.asarray(lo0, dtype), jnp.asarray(hi0, dtype)))
         return 0.5 * (lo + hi)
 
     return float(search())

@@ -31,8 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 from cha1_mcmc_tpu.constants import FWHM_TO_SIGMA_MODEL, VELOCITY_WINDOW_DV
 
 __all__ = ["opacity_pallas", "opacity_pallas_mxu", "opacity_pallas_fused",
-           "opacity_pallas_csr", "build_opacity_csr", "block_activity_mask",
-           "block_activity_mask_traced"]
+           "opacity_pallas_csr", "build_opacity_csr", "window_is_exact",
+           "block_activity_mask", "block_activity_mask_traced"]
 
 # Tile sizes: walker tile x channel tile x line tile. Chosen so the largest
 # in-kernel intermediate (TL x TC f32) is 256 KB and the velocity block DMA
@@ -110,8 +110,29 @@ def _opacity_kernel(tables_ref, tau_ref, vlsr_ref, dv_ref, vel_ref, out_ref,
         out_ref[:] += jnp.stack(rows, axis=0)  # (TW, TC)
 
 
+def window_is_exact(dv_min: float, max_vlsr_offset: float,
+                    margin: float = 1.1) -> bool:
+    """Is dropping the per-element ±10·dV window select *exactly* lossless
+    in f32 for every in-bounds (vlsr, dV)?
+
+    At the window edge the Gaussian argument is
+        z_edge = (10·dV − |vlsr − center|) / (dV / 2.355),
+    worst-cased at dV = dv_min and |vlsr − center| = max_vlsr_offset.
+    exp(−z²/2) flushes to exactly 0.0 in f32 (TPUs flush subnormals) once
+    z ≳ 14.37 (2^−126 ≈ exp(−87.3)); with z_edge above that, every
+    out-of-window channel underflows and the select is a no-op. Below it,
+    the unmasked kernels would silently diverge from the reference window
+    semantics — callers must use the masked variants.
+    """
+    if dv_min <= 0:
+        return False
+    z_edge = (VELOCITY_WINDOW_DV * dv_min - max_vlsr_offset) * \
+        FWHM_TO_SIGMA_MODEL / dv_min
+    return z_edge >= 14.37 * margin
+
+
 def _opacity_kernel_mxu(tables_ref, tau_ref, vlsr_ref, dv_ref, vel_ref,
-                        out_ref, *, mask_center: float):
+                        out_ref, *, mask_center: float, masked: bool = True):
     """Variant: one fused (TW, TL, TC) Gaussian evaluation on the VPU, then
     the line contraction as TW (1, TL) x (TL, TC) jnp.dot products on the
     MXU instead of the per-walker broadcast-multiply-reduce. (A single
@@ -132,14 +153,15 @@ def _opacity_kernel_mxu(tables_ref, tau_ref, vlsr_ref, dv_ref, vel_ref,
         sigma = dv / FWHM_TO_SIGMA_MODEL
         # exp(-0.5 z^2) as exp2(a (vel-vlsr)^2), a = -log2(e)/(2 sigma^2):
         # folds the 1/sigma and -0.5 multiplies into one per-walker scalar.
-        # The per-element +-10 dV window select is omitted: at the window
-        # edge |z| >= 10 dV / (dV/2.355) - |vlsr - center|/sigma > 15, so
-        # exp underflows to exactly 0.0 in f32 — identical output to the
-        # masked kernel for every in-bounds parameter (verified against
-        # _opacity_kernel in tests and in tools/bench_pallas_dense.py).
         a = (-0.5 * np.log2(np.e)) / (sigma * sigma)
         d = vel - vlsr
         gauss = jnp.exp2(a * (d * d))                          # (TW, TL, TC)
+        if masked:
+            window = jnp.abs(vel - mask_center) < VELOCITY_WINDOW_DV * dv
+            gauss = jnp.where(window, gauss, 0.0)
+        # else: caller proved window_is_exact() — at the window edge
+        # z >= 14.37·margin, so exp flushes to exactly 0.0 in f32 and the
+        # select is a no-op.
         rows = [
             jnp.dot(tau_ref[w:w + 1, :], gauss[w],
                     preferred_element_type=jnp.float32,
@@ -174,7 +196,8 @@ def _opacity_kernel_fused(tables_ref, tau_ref, vlsr_ref, dv_ref, vel_ref,
 
 def _opacity_call(kernel_body, taus, vlsr, dV, vel_grid, block_mask,
                   mask_center: float, interpret: bool,
-                  tiles: tuple[int, int, int] = (TW, TC, TL)):
+                  tiles: tuple[int, int, int] = (TW, TC, TL),
+                  **kernel_kwargs):
     """Shared pallas_call plumbing for the opacity kernel variants.
     tiles = (tw, tc, tl); block_mask must have been built with the same
     (tl, tc)."""
@@ -203,15 +226,18 @@ def _opacity_call(kernel_body, taus, vlsr, dV, vel_grid, block_mask,
     #   _opacity_kernel (this)     6.2 ms/eval  (block sparsity)
     #   _opacity_kernel_mxu        4.8 ms/eval  (+MXU dot, exp2; 4.2 at
     #                                            tiles (16,128,512))
-    #   _opacity_kernel_csr        1.14 ms/eval (line compaction + per-tile
-    #                                            step predication, tw=32)
+    #   _opacity_kernel_csr        1.17 ms/eval (line compaction + per-tile
+    #                                            step predication, tw=32;
+    #                                            1.14 unmasked — the window
+    #                                            select costs ~3%)
     # The remaining gap to the CSR kernel is elementwise sparsity: only
     # ~0.1% of the elements of *active* blocks are in-window, so the
     # block-sparse kernels still burn most VPU exp work on zeros.
     block_mask = jnp.asarray(block_mask, jnp.int32)
     tables = jnp.stack([block_mask, _dma_redirect_table(block_mask)])
     out = pl.pallas_call(
-        functools.partial(kernel_body, mask_center=mask_center),
+        functools.partial(kernel_body, mask_center=mask_center,
+                          **kernel_kwargs),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # tables
             grid=grid,
@@ -243,15 +269,20 @@ def opacity_pallas(taus, vlsr, dV, vel_grid, block_mask, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mask_center", "interpret", "tiles"))
+                   static_argnames=("mask_center", "interpret", "tiles",
+                                    "unmasked"))
 def opacity_pallas_mxu(taus, vlsr, dV, vel_grid, block_mask, *,
                        mask_center: float, interpret: bool = False,
-                       tiles: tuple[int, int, int] = (TW, TC, TL)):
+                       tiles: tuple[int, int, int] = (TW, TC, TL),
+                       unmasked: bool = False):
     """opacity_pallas with the line contraction on the MXU (see
     _opacity_kernel_mxu). tiles = (tw, tc, tl); block_mask must come from
-    block_activity_mask with the same (tl, tc)."""
+    block_activity_mask with the same (tl, tc). unmasked=True drops the
+    per-element window select — ONLY valid when the caller has proven
+    window_is_exact(dv_min, max_vlsr_offset) for its parameter box."""
     return _opacity_call(_opacity_kernel_mxu, taus, vlsr, dV, vel_grid,
-                         block_mask, mask_center, interpret, tiles)
+                         block_mask, mask_center, interpret, tiles,
+                         masked=not unmasked)
 
 
 @functools.partial(jax.jit, static_argnames=("mask_center", "interpret"))
@@ -309,12 +340,14 @@ def build_opacity_csr(vel_grid: np.ndarray, mask_center: float,
 
 
 def _opacity_kernel_csr(steps_ref, row_ref, tau_ref, vlsr_ref, dv_ref,
-                        vel_ref, out_ref):
+                        vel_ref, out_ref, *, mask_center: float,
+                        masked: bool = True):
     """Compacted variant of _opacity_kernel_mxu. Padding rows carry
-    vel = 1e30 -> gauss exactly 0, so no per-element masking is needed;
-    line-tile steps that are *entirely* padding (most of them — K is the
-    max over channel tiles) are predicated off via the prefetched step
-    table, and their DMAs elided via the redirect table."""
+    vel = 1e30 -> gauss exactly 0, so padding needs no masking; line-tile
+    steps that are *entirely* padding (most of them — K is the max over
+    channel tiles) are predicated off via the prefetched step table, and
+    their DMAs elided via the redirect table. The ±10·dV window select is
+    applied unless the caller proved window_is_exact()."""
     j_idx = pl.program_id(1)
     k_idx = pl.program_id(2)
 
@@ -328,11 +361,13 @@ def _opacity_kernel_csr(steps_ref, row_ref, tau_ref, vlsr_ref, dv_ref,
         vlsr = vlsr_ref[:][:, :, None]                    # (TW, 1, 1)
         dv = dv_ref[:][:, :, None]                        # (TW, 1, 1)
         sigma = dv / FWHM_TO_SIGMA_MODEL
-        # See _opacity_kernel_mxu for the exp2 form and the f32-underflow
-        # argument that makes the per-element window select a no-op.
+        # See _opacity_kernel_mxu for the exp2 form.
         a = (-0.5 * np.log2(np.e)) / (sigma * sigma)
         d = vel - vlsr
         gauss = jnp.exp2(a * (d * d))                     # (TW, TLc, TC)
+        if masked:
+            window = jnp.abs(vel - mask_center) < VELOCITY_WINDOW_DV * dv
+            gauss = jnp.where(window, gauss, 0.0)
         rows = [
             jnp.dot(tau_ref[w:w + 1, :], gauss[w],
                     preferred_element_type=jnp.float32,
@@ -343,15 +378,20 @@ def _opacity_kernel_csr(steps_ref, row_ref, tau_ref, vlsr_ref, dv_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_channels", "interpret", "tiles"))
+                   static_argnames=("mask_center", "n_channels", "interpret",
+                                    "tiles", "unmasked"))
 def opacity_pallas_csr(taus, vlsr, dV, line_table, vel_compact, tile_counts,
-                       *, n_channels: int, interpret: bool = False,
-                       tiles: tuple[int, int] = (32, 128)):
+                       *, mask_center: float, n_channels: int,
+                       interpret: bool = False,
+                       tiles: tuple[int, int] = (32, 128),
+                       unmasked: bool = False):
     """Accumulated Gaussian opacity via line compaction, (W, n_channels).
 
     taus: (W, L); vlsr, dV: (W,); (line_table, vel_compact, tile_counts)
     from build_opacity_csr (whose tc must equal tiles[1] and whose tl must
-    divide the table's K). tiles = (tw, tlc).
+    divide the table's K). tiles = (tw, tlc). unmasked=True drops the
+    per-element ±10·dV window select — ONLY valid when the caller has
+    proven window_is_exact(dv_min, max_vlsr_offset) for its parameter box.
     """
     tw, tlc = tiles
     W, L = taus.shape
@@ -379,7 +419,8 @@ def opacity_pallas_csr(taus, vlsr, dV, line_table, vel_compact, tile_counts,
         k_ids, steps[:, None] - 1)
     tables = (steps, row)
     out = pl.pallas_call(
-        _opacity_kernel_csr,
+        functools.partial(_opacity_kernel_csr, mask_center=mask_center,
+                          masked=not unmasked),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,

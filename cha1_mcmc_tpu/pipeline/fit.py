@@ -145,6 +145,7 @@ class SpectralFit:
             lnprob = build_lnprob_batched(
                 model, self.spec, grid.ints, grid.yerrs, lnprior,
                 use_pallas=True, dv_max=cfg.bounds["dV"][1],
+                dv_min=cfg.bounds["dV"][0], vlsr_bounds=cfg.bounds["vlsr"],
                 interpret=jax.default_backend() == "cpu")
         else:
             lnprob = build_lnprob(model, self.spec, grid.ints, grid.yerrs, lnprior)
@@ -168,13 +169,11 @@ class SpectralFit:
             # lines) over an ICI mesh, with the full single-device sampler
             # contract (checkpoints, .state.npz resume, retries). Replaces
             # the reference's multiprocessing pool (inference.py:456-463).
-            import jax as _jax
-
             from cha1_mcmc_tpu.parallel import ShardedEnsembleSampler, make_mesh
 
-            if cfg.n_devices > len(_jax.devices()):
+            if cfg.n_devices > len(jax.devices()):
                 raise ValueError(
-                    f"n_devices={cfg.n_devices} exceeds the {len(_jax.devices())} "
+                    f"n_devices={cfg.n_devices} exceeds the {len(jax.devices())} "
                     f"available devices")
             if cfg.n_devices % cfg.n_line_shards:
                 raise ValueError(

@@ -105,13 +105,15 @@ def harmonic_plot(cfreqs, chunk_range: float, *, freq_obs=None, int_obs=None,
     +-chunk_range — vertically aligned rows reveal a linear rotor's
     harmonically related lines at a glance.
 
-    cfreqs: center frequencies (MHz), e.g. B0*(J+1) progressions.
-    chunk_range: half-width of each row, MHz.
+    cfreqs: center frequencies in the *scaled* frame, e.g. B0*(J+1)
+    progressions. chunk_range: half-width of each row, same frame.
     freq_obs/int_obs: observation overlay (reference HP.obs flag).
     sims: iterable of (freq_sim, int_sim) pairs (the reference digs these
     out of its session archive by name; here they are passed explicitly).
-    GHz multiplies frequencies by 1000 before recentering and milli scales
-    intensities to mK, matching the reference's unit toggles.
+    GHz=True declares the spectra are in GHz and converts them to MHz
+    before recentering, exactly as the reference (freq *= 1000, then
+    freq -= cfreq with cfreqs in MHz, simulate_lte.py:6975-6984); milli
+    scales intensities to mK.
     """
     plt = _mpl()
     cfreqs = np.atleast_1d(np.asarray(cfreqs, dtype=np.float64))
@@ -123,21 +125,22 @@ def harmonic_plot(cfreqs, chunk_range: float, *, freq_obs=None, int_obs=None,
     colors = list(sim_colors) or ["red", "dodgerblue", "limegreen", "orange"]
     for x, cf in enumerate(cfreqs):
         ax = axes[x][0]
+        # chunking window in the scaled (plot) frame, as the reference's
+        # find_nearest(plt_ll/plt_ul) pair
         lo, hi = cf - chunk_range, cf + chunk_range
         if ylims is not None:
             ax.set_ylim(*ylims)
-        ax.set_xlim(-chunk_range * fscale, chunk_range * fscale)
+        ax.set_xlim(-chunk_range, chunk_range)
         if freq_obs is not None:
-            fo = np.asarray(freq_obs)
-            # index-window chunking, as the reference's find_nearest pair
+            fo = np.asarray(freq_obs) * fscale
             l_idx, u_idx = np.searchsorted(fo, [lo, hi])
-            ax.step((fo[l_idx:u_idx] - cf) * fscale,
+            ax.step(fo[l_idx:u_idx] - cf,
                     np.asarray(int_obs)[l_idx:u_idx] * iscale,
                     color=obs_color, lw=1.0, where="mid", zorder=1)
         for i, (fs, isim) in enumerate(sims):
-            fs = np.asarray(fs)
+            fs = np.asarray(fs) * fscale
             l_idx, u_idx = np.searchsorted(fs, [lo, hi])
-            ax.step((fs[l_idx:u_idx] - cf) * fscale,
+            ax.step(fs[l_idx:u_idx] - cf,
                     np.asarray(isim)[l_idx:u_idx] * iscale,
                     color=colors[i % len(colors)], lw=1.0, where="mid",
                     zorder=i + 3)
@@ -149,7 +152,7 @@ def harmonic_plot(cfreqs, chunk_range: float, *, freq_obs=None, int_obs=None,
         ax.tick_params(axis="both", which="both", direction="in")
         ax.annotate(f"{cf:.2f} MHz", xy=(0.99, 0.9), xycoords="axes fraction",
                     ha="right", fontsize=8)
-    fig.supxlabel("Offset Frequency (GHz)" if GHz else "Offset Frequency (MHz)")
+    fig.supxlabel("Offset Frequency (MHz)")  # GHz inputs were scaled to MHz
     fig.supylabel("T (mK)" if milli else "T (K)")
     fig.subplots_adjust(hspace=0.2, wspace=0.1)
     return fig

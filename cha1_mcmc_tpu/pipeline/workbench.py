@@ -226,12 +226,15 @@ class Workbench:
     # -- upper limits (reference :7183-7335) -----------------------------
     def ulim(self, ll: float, ul: float, *, level=None, absorption=False):
         """Rescale C so the simulated peak in [ll, ul] matches the observed
-        rms (or `level`) and re-simulate — set_ulim_c (reference :7183)."""
+        rms (or `level`) and re-simulate — set_ulim_c (reference :7183).
+        Assumes the current simulation is up to date (every mutator
+        re-simulates, so it always is after load_mol/mod*/recall)."""
         from cha1_mcmc_tpu.analysis.ulim import upper_limit_column
 
         if self.freq_obs is None and level is None:
             raise RuntimeError("load_obs() first (or pass level=)")
-        self.run_sim()
+        if self.freq_sim.size == 0:
+            raise RuntimeError("load_mol() first")
         new_C = upper_limit_column(
             self.C, self.freq_sim, self.int_sim, self.freq_obs, self.int_obs,
             ll, ul, level=level, absorption=absorption)
@@ -247,7 +250,7 @@ class Workbench:
         if self.freq_obs is None:
             raise RuntimeError("load_obs() first")
         for _ in range(2):
-            self.run_sim()
+            # ulim -> modC re-simulates, so the sim is current each pass
             freqs, _snr = find_best_ulim_lines(
                 self.freq_sim, self.int_sim, self.freq_obs, self.int_obs,
                 self.dV, self.res)

@@ -46,6 +46,54 @@ def test_opacity_pallas_matches_dense(W, L, C):
                                atol=1e-6 * max(1.0, expected.max()))
 
 
+def test_window_masking_at_extreme_vlsr():
+    """Regression: with |vlsr - center| large relative to dV, dropping the
+    ±10·dV window select is NOT covered by f32 underflow (z at the window
+    edge stays finite), so the unmasked fast path would diverge ~35% from
+    the reference window semantics. The masked kernels (the default) must
+    stay exact there, window_is_exact() must refuse the regime, and
+    build_lnprob_batched must auto-select the masked path from wide vlsr
+    bounds."""
+    from cha1_mcmc_tpu.models.pallas_kernels import window_is_exact
+
+    center = 4.10
+    vel, taus, vlsr, dV = _random_problem(12, 700, 300)
+    # in-bounds for a wide prior box, far from the aligned velocity
+    vlsr = np.full_like(vlsr, 9.9)
+    dV = np.full_like(dV, 0.6)
+    expected = _dense_reference(vel, taus, vlsr, dV, center)
+    mask = block_activity_mask(vel, center, dv_max=1.5)
+
+    assert not window_is_exact(0.6, 9.9 - center)
+    # the default HC5N box (dv >= 0.4, |vlsr - center| <= 1.4) sits only
+    # ~6% above the f32 flush threshold — inside the safety margin, so it
+    # too keeps the masked kernel
+    assert not window_is_exact(0.4, 1.4)
+    assert window_is_exact(0.5, 0.5)  # comfortably inside the window
+
+    masked = opacity_pallas_mxu(
+        jnp.asarray(taus), jnp.asarray(vlsr), jnp.asarray(dV),
+        jnp.asarray(vel), jnp.asarray(mask), mask_center=center,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(masked), expected, rtol=2e-4,
+                               atol=1e-6 * max(1.0, expected.max()))
+    unmasked = opacity_pallas_mxu(
+        jnp.asarray(taus), jnp.asarray(vlsr), jnp.asarray(dV),
+        jnp.asarray(vel), jnp.asarray(mask), mask_center=center,
+        interpret=True, unmasked=True)
+    assert np.abs(np.asarray(unmasked) - expected).max() > 1e-3  # the bug
+
+    line_table, vel_compact, tile_counts = build_opacity_csr(
+        vel, center, dv_max=1.5)
+    csr = opacity_pallas_csr(
+        jnp.asarray(taus), jnp.asarray(vlsr), jnp.asarray(dV),
+        jnp.asarray(line_table), jnp.asarray(vel_compact),
+        jnp.asarray(tile_counts), mask_center=center, n_channels=300,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(csr), expected, rtol=2e-4,
+                               atol=1e-6 * max(1.0, expected.max()))
+
+
 @pytest.mark.parametrize("W,L,C", [(12, 700, 300), (3, 50, 700)])
 def test_opacity_mxu_matches_dense(W, L, C):
     """The MXU-contraction kernel (exp2 form, window select elided via f32
@@ -75,7 +123,7 @@ def test_opacity_csr_matches_dense(W, L, C, tiles):
     out = opacity_pallas_csr(
         jnp.asarray(taus), jnp.asarray(vlsr), jnp.asarray(dV),
         jnp.asarray(line_table), jnp.asarray(vel_compact),
-        jnp.asarray(tile_counts), n_channels=C,
+        jnp.asarray(tile_counts), mask_center=center, n_channels=C,
         tiles=tiles, interpret=True)
     np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4,
                                atol=1e-6 * max(1.0, expected.max()))

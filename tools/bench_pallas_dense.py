@@ -150,11 +150,20 @@ def main():
         def csr(t, v, d, vg, lt_j=lt_j, vc_j=vc_j, cnt_j=cnt_j,
                 tiles=(tw, tlc)):
             return pk.opacity_pallas_csr(t, v, d, lt_j, vc_j, cnt_j,
-                                         n_channels=C, tiles=tiles)
+                                         mask_center=center, n_channels=C,
+                                         tiles=tiles)
+
+        def csr_unmasked(t, v, d, vg, lt_j=lt_j, vc_j=vc_j, cnt_j=cnt_j,
+                         tiles=(tw, tlc)):
+            return pk.opacity_pallas_csr(t, v, d, lt_j, vc_j, cnt_j,
+                                         mask_center=center, n_channels=C,
+                                         tiles=tiles, unmasked=True)
 
         key = f"csr({tw},{tlc})"
         results[key] = time_fn(csr, taus, vlsr, dV, vel_grid,
                                f"{key} K={lt.shape[1]}")
+        results[key + "u"] = time_fn(csr_unmasked, taus, vlsr, dV, vel_grid,
+                                     f"{key} unmasked")
         b = np.asarray(csr(taus, vlsr, dV, vel_grid))
         err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
         print(f"  {key} vs pallas max rel err: {err:.2e}")
