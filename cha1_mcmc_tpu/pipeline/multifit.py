@@ -70,6 +70,8 @@ class MultiFitConfig:
     checkpoint_every: int = 512
     dtype: str = "float32"
     stretch_a: float = 2.0
+    n_devices: int | None = None     # shard the fit over this many chips
+    n_line_shards: int = 1           # of which, this many shard the line axis
 
     @property
     def ndim(self) -> int:
@@ -163,7 +165,6 @@ class MultiComponentFit:
                 initial = np.median(chain_data, axis=1)
 
         lnprior = ordered_velocity_lnprior(self.spec, prior_means, prior_stds)
-        lnprob = build_lnprob(model, self.spec, grid.ints, grid.yerrs, lnprior)
 
         # Fixed-perturbation walker ball, no rejection
         # (reference TMC1_four_component.py:330-331).
@@ -171,9 +172,37 @@ class MultiComponentFit:
         perturbation = np.asarray(cfg.perturbation, dtype=np.float64)
         pos = initial + perturbation * rng.standard_normal((cfg.nwalkers, cfg.ndim))
 
-        self.sampler = EnsembleSampler(
-            lnprob_fn=lnprob, nwalkers=cfg.nwalkers, ndim=cfg.ndim,
-            a=cfg.stretch_a, dtype=self.dtype)
+        if cfg.n_devices is not None and cfg.n_devices > 1:
+            # The sharded runner is ncomp-generic (spec.unpack + the
+            # component axis of forward_from_lines), so the widest model
+            # (reference TMC1_four_component.py, 14-dim) shards the same
+            # way as the single-component fit: walkers (dp) x lines (tp).
+            from cha1_mcmc_tpu.parallel import ShardedEnsembleSampler, make_mesh
+
+            if cfg.n_devices > len(jax.devices()):
+                raise ValueError(
+                    f"n_devices={cfg.n_devices} exceeds the "
+                    f"{len(jax.devices())} available devices")
+            if cfg.n_devices % cfg.n_line_shards:
+                raise ValueError(
+                    f"n_devices={cfg.n_devices} must be divisible by "
+                    f"n_line_shards={cfg.n_line_shards}")
+            mesh = make_mesh(cfg.n_devices // cfg.n_line_shards,
+                             cfg.n_line_shards)
+            print(f"{GRAY}Sampling on a {cfg.n_devices}-device mesh "
+                  f"(walkers={mesh.shape['walkers']}, "
+                  f"lines={mesh.shape['lines']}).{RESET}")
+            self.sampler = ShardedEnsembleSampler(
+                lnprob_fn=None, nwalkers=cfg.nwalkers, ndim=cfg.ndim,
+                a=cfg.stretch_a, dtype=self.dtype, mesh=mesh, model=model,
+                spec=self.spec, grid_ints=grid.ints, grid_yerrs=grid.yerrs,
+                lnprior_fn=lnprior)
+        else:
+            lnprob = build_lnprob(model, self.spec, grid.ints, grid.yerrs,
+                                  lnprior)
+            self.sampler = EnsembleSampler(
+                lnprob_fn=lnprob, nwalkers=cfg.nwalkers, ndim=cfg.ndim,
+                a=cfg.stretch_a, dtype=self.dtype)
         key = jax.random.PRNGKey(cfg.seed)
         self.sampler.run_mcmc(
             pos, cfg.nruns, key, checkpoint_every=cfg.checkpoint_every,

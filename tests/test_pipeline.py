@@ -267,6 +267,30 @@ def test_multicomponent_gotham_fit(tmp_path):
 
 
 @requires_reference
+def test_multicomponent_sharded_fit(tmp_path):
+    """The widest model (14-dim, 4 components) end-to-end over a
+    (2 walkers x 2 lines) mesh — the sharded runner is ncomp-generic."""
+    from cha1_mcmc_tpu import MultiFitConfig, MultiComponentFit
+    from tests.conftest import HC9N_GOTHAM
+
+    cfg = MultiFitConfig(
+        mol_name="hc9n_hfs", cat_folder=CATALOG_DIR, data_path=HC9N_GOTHAM,
+        fit_folder=str(tmp_path / "gotham_sh"), nruns=40, nwalkers=32,
+        template_run=True, seed=0, checkpoint_every=20,
+        n_devices=4, n_line_shards=2)
+    fit = MultiComponentFit(cfg)
+    with contextlib.redirect_stdout(io.StringIO()):
+        chain = fit.run()
+    assert chain.shape == (32, 40, 14)
+    lnp = fit.sampler.lnprobability
+    finite = np.isfinite(lnp)
+    assert finite.any()
+    # ordered-velocity prior holds on every finite-lnp sample
+    d = np.diff(chain[..., 9:13][finite], axis=-1)
+    assert (d > 0.05 - 1e-9).all()
+
+
+@requires_reference
 def test_multicomponent_continue_from_chain(tmp_path):
     """restart=False resumes from the median of the last 200 steps
     (reference TMC1_four_component.py:325-327)."""
