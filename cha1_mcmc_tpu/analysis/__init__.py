@@ -17,6 +17,12 @@ from cha1_mcmc_tpu.analysis.peaks import find_peaks
 from cha1_mcmc_tpu.analysis.fitting import gauss_func, gauss_fit
 from cha1_mcmc_tpu.analysis.conversions import jy_to_k, k_to_jy
 from cha1_mcmc_tpu.analysis.renderer import render_gaussian_profile
+from cha1_mcmc_tpu.analysis.obs_tools import (
+    subtract_baseline,
+    write_spectrum,
+    get_subtraction,
+    residual_spectrum,
+)
 from cha1_mcmc_tpu.analysis.ulim import (
     get_obs_rms,
     get_sim_peak,
@@ -34,6 +40,10 @@ __all__ = [
     "find_vel_peaks",
     "cut_spectra",
     "calc_tbg",
+    "subtract_baseline",
+    "write_spectrum",
+    "get_subtraction",
+    "residual_spectrum",
     "get_obs_rms",
     "get_sim_peak",
     "upper_limit_column",

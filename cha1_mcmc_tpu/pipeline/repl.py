@@ -178,6 +178,25 @@ class WorkbenchShell(cmd.Cmd):
         self._say(f"matched filter peak {resp[j]:.2f} sigma at "
                   f"{vel[j]:+.2f} km/s")
 
+    def do_baseline(self, arg):
+        """baseline C0 [C1 C2 ...] — subtract a polynomial baseline from
+        the observation (reference baseline())."""
+        self.wb.baseline([float(x) for x in arg.split()])
+        self._say("baseline subtracted")
+
+    def do_write(self, arg):
+        """write WHICH OUT.txt — export a spectrum as two-column text:
+        current | sum | obs | residual | a stored name."""
+        which, out = arg.split()
+        self.wb.write_spectrum(which, out)
+        self._say(f"wrote {which} to {out}")
+
+    def do_residual(self, arg):
+        """residual — print rms of obs minus the (summed) model."""
+        freq, resid = self.wb.residual()
+        self._say(f"residual over {freq.size} channels: "
+                  f"rms {float(np.sqrt(np.nanmean(resid ** 2))):.4e} K")
+
     def do_ulim(self, arg):
         """ulim LL UL — rescale C to the upper limit set by the observed
         rms over [LL, UL] (reference set_ulim_c)."""
@@ -198,6 +217,7 @@ class WorkbenchShell(cmd.Cmd):
         plot postage OUT.png            — per-line stamps of obs vs sim
         plot range LL UL OUT.png        — one spectrum panel
         plot harmonic CF1,CF2,... RANGE OUT.png — recentered harmonic rows
+        plot residual OUT.png           — obs+model over residual, two panels
         """
         from cha1_mcmc_tpu.pipeline.plots import (postage_plot, range_plot,
                                                   harmonic_plot)
@@ -224,6 +244,22 @@ class WorkbenchShell(cmd.Cmd):
             fig = harmonic_plot(cfreqs, float(parts[2]),
                                 freq_obs=wb.freq_obs, int_obs=wb.int_obs,
                                 sims=[(wb.freq_sim, wb.int_sim)])
+        elif kind == "residual":
+            # two shared-x panels: obs+model over residual (the reference
+            # plot_residuals layout, simulate_lte.py:3638-3648)
+            import matplotlib.pyplot as plt
+
+            freq, resid = wb.residual()
+            fm, im = (wb.sum_stored() if wb.stored
+                      else (wb.freq_sim, wb.int_sim))
+            fig, (ax1, ax2) = plt.subplots(2, sharex=True, figsize=(10, 6))
+            ax1.step(wb.freq_obs, wb.int_obs, color="black", lw=0.8,
+                     where="mid", label="obs")
+            ax1.step(fm, im, color="red", lw=0.8, where="mid", label="model")
+            ax1.legend(loc="upper right", fontsize=8)
+            ax2.step(freq, resid, color="dodgerblue", lw=0.8, where="mid")
+            ax2.set_xlabel("Frequency (MHz)")
+            ax2.set_ylabel("obs - model (K)")
         else:
             self._say(f"unknown plot kind '{kind}'")
             return

@@ -223,6 +223,54 @@ class Workbench:
             response = response[: len(vel)]
         return vel, response
 
+    # -- observation utilities (reference :4169, :1499, :3573) -----------
+    def baseline(self, constants):
+        """Subtract a polynomial baseline from the loaded observation
+        (reference baseline(), :4169)."""
+        from cha1_mcmc_tpu.analysis.obs_tools import subtract_baseline
+
+        if self.freq_obs is None:
+            raise RuntimeError("load_obs() first")
+        self.int_obs = subtract_baseline(self.freq_obs, self.int_obs, constants)
+        return self
+
+    def write_spectrum(self, which: str, output_file: str):
+        """Export a spectrum as two-column text (reference write_spectrum,
+        :1499): 'current', 'sum', 'obs', 'residual', or a stored name."""
+        from cha1_mcmc_tpu.analysis.obs_tools import write_spectrum
+
+        if which == "current":
+            freq, ints = self.freq_sim, self.int_sim
+        elif which == "sum":
+            freq, ints = self.sum_stored()
+        elif which == "obs":
+            freq, ints = self.freq_obs, self.int_obs
+        elif which == "residual":
+            freq, ints = self.residual()
+        elif which in self.stored:
+            freq, ints = self.stored[which]["freq"], self.stored[which]["ints"]
+        else:
+            raise KeyError(f"no spectrum called '{which}'")
+        write_spectrum(freq, ints, output_file)
+        return self
+
+    def residual(self, use_sum: bool | None = None):
+        """Observation minus the model on the observed grid (the compute
+        core of reference plot_residuals, :3573). Uses the stored-sim
+        composite when any sims are stored (like the reference, which
+        always sums its session archive), else the current simulation."""
+        from cha1_mcmc_tpu.analysis.obs_tools import residual_spectrum
+
+        if self.freq_obs is None:
+            raise RuntimeError("load_obs() first")
+        if use_sum is None:
+            use_sum = bool(self.stored)
+        if use_sum:
+            fm, im = self.sum_stored()
+        else:
+            fm, im = self.freq_sim, self.int_sim
+        return residual_spectrum(self.freq_obs, self.int_obs, fm, im)
+
     # -- upper limits (reference :7183-7335) -----------------------------
     def ulim(self, ll: float, ul: float, *, level=None, absorption=False):
         """Rescale C so the simulated peak in [ll, ul] matches the observed

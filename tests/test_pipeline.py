@@ -199,12 +199,14 @@ def test_posterior_statistical_parity(tmp_path):
     regenerable via tools/make_reference_posterior.py) samples the
     *reference's own* lnprob stack — executed in place from
     /root/reference via tests/reference_oracle.py — on the shipped HC5N
-    Cha-MMS1 spectrum with a NumPy emcee-v3 stretch move for 128 x 40k
-    steps (ESS >~ 40k per dimension, so the Monte-Carlo error of every
-    mean/std is well under 1%). This test runs the full TPU-path pipeline
-    (reduction -> MLE -> jitted lax.scan sampler) on the same data at the
-    same length and requires every posterior mean, std, and 16/50/84
-    percentile to agree within 1%.
+    Cha-MMS1 spectrum with a NumPy emcee-v3 stretch move for 512 x 40k
+    steps. This test runs the full TPU-path pipeline (reduction -> MLE ->
+    jitted lax.scan sampler) on the same data at the same size and
+    requires every posterior mean and 16/50/84 percentile within 1%, and
+    every std within max(1%, 3 sigma of the comparison's Monte-Carlo
+    error) — the MC error per side is sqrt((kurtosis-1)/(4 ESS)), both
+    measured; with ESS ~ 120k/side it exceeds 1%/3 only for Ncol, whose
+    posterior is heavy-tailed (kurtosis ~ 9.7, tau ~ 154).
 
     Replaces the published-number check: the published best fit
     (reference notebooks/DSN_spectra.ipynb cell 7) came from an unshipped
@@ -216,16 +218,18 @@ def test_posterior_statistical_parity(tmp_path):
                                "hc5n_reference_posterior.json")
     with open(golden_path) as fh:
         golden = json.load(fh)
+    nwalkers = golden["provenance"]["nwalkers"]
+    burn = golden["provenance"]["burn"]
 
-    cfg = _config(tmp_path, nruns=40_000, nwalkers=128, MLE_for_Ncol=True,
-                  checkpoint_every=40_000)
+    cfg = _config(tmp_path, nruns=40_000, nwalkers=nwalkers,
+                  MLE_for_Ncol=True, checkpoint_every=40_000)
     fit = SpectralFit(cfg)
     with contextlib.redirect_stdout(io.StringIO()):
         chain = fit.run()
-    # f64 for the *statistics*: a naive f32 mean over 4.6M samples loses
-    # ~2% once the accumulator saturates (the chain itself is f32 — only
-    # the reduction needs widening).
-    flat = chain[:, golden["provenance"]["burn"]:, :].reshape(-1, 4).astype(np.float64)
+    # f64 for the *statistics*: a naive f32 mean over millions of samples
+    # loses ~2% once the accumulator saturates (the chain itself is f32 —
+    # only the reduction needs widening).
+    flat = chain[:, burn:, :].reshape(-1, 4).astype(np.float64)
 
     stats = {
         "mean": flat.mean(axis=0),
@@ -237,9 +241,18 @@ def test_posterior_statistical_parity(tmp_path):
     for stat, ours in stats.items():
         for i, p in enumerate(golden["params"]):
             ref = golden[stat][p]
-            assert np.isclose(ours[i], ref, rtol=0.01), (
+            rtol = 0.01
+            if stat == "std":
+                # two independent MC estimates of a posterior std differ
+                # by sigma = sqrt(sum over sides of (kappa-1)/(4 ESS));
+                # gate at 3 sigma when that exceeds 1%
+                kap = golden["kurtosis"][p]
+                ess = golden["ess"][p]
+                sigma = np.sqrt(2 * (kap - 1) / (4 * ess))
+                rtol = max(0.01, 3 * sigma)
+            assert np.isclose(ours[i], ref, rtol=rtol), (
                 f"{stat}[{p}]: tpu={ours[i]:.6e} ref={ref:.6e} "
-                f"rel={abs(ours[i] - ref) / abs(ref):.4f}")
+                f"rel={abs(ours[i] - ref) / abs(ref):.4f} (rtol {rtol:.4f})")
 
 
 @requires_reference

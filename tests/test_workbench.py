@@ -153,6 +153,11 @@ def test_workbench_repl(tmp_path):
         "stack",
         "mf",
         f"plot harmonic 18638.6,21301.26 4.0 {png}",
+        "baseline 1e-4",
+        "residual",
+        f"plot residual {tmp_path / 'resid.png'}",
+        f"write current {tmp_path / 'cur.txt'}",
+        "ulim 18630 18650",
         f"save {sess}",
         "bogus_command 1 2",   # unknown syntax must not kill the session
         "recall nonexistent",  # nor must a raising command
@@ -170,7 +175,13 @@ def test_workbench_repl(tmp_path):
     assert "stack peak SNR" in text and "matched filter peak" in text
     assert "Unknown syntax" in text   # bogus command reported, not fatal
     assert "error: KeyError" in text  # raising command reported, not fatal
+    assert "baseline subtracted" in text
+    assert "residual over" in text
+    assert "upper limit" in text
     assert png.stat().st_size > 1000
+    assert (tmp_path / "resid.png").stat().st_size > 1000
+    cur = (tmp_path / "cur.txt").read_text().splitlines()
+    assert cur[0] == cur[1] and len(cur) > 10  # write_spectrum quirk
     assert (tmp_path / "sess.json").exists()
 
     restored = Workbench.restore_session(str(sess))

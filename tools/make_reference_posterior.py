@@ -28,7 +28,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-NWALKERS = 128
+NWALKERS = 512
 NSTEPS = 40_000
 BURN = 4_000
 SEED_INIT = 0
@@ -72,6 +72,12 @@ def main():
     dt = time.perf_counter() - t0
 
     flat = chain[BURN:].reshape(-1, 4)
+    # per-parameter MC-error ingredients (walkers-as-chains ESS)
+    from cha1_mcmc_tpu.sampler.diagnostics import autocorr_time
+    wsd = chain[BURN:].transpose(1, 0, 2)  # (W, S, D)
+    tau = autocorr_time(wsd)
+    ess = wsd.shape[0] * wsd.shape[1] / tau
+    kurt = np.mean(((flat - flat.mean(0)) / flat.std(0)) ** 4, axis=0)
     out = {
         "provenance": {
             "generator": "tools/make_reference_posterior.py",
@@ -90,6 +96,9 @@ def main():
         "p16": {p: float(np.percentile(flat[:, i], 16)) for i, p in enumerate(PARAMS)},
         "p50": {p: float(np.percentile(flat[:, i], 50)) for i, p in enumerate(PARAMS)},
         "p84": {p: float(np.percentile(flat[:, i], 84)) for i, p in enumerate(PARAMS)},
+        "ess": {p: float(ess[i]) for i, p in enumerate(PARAMS)},
+        "tau": {p: float(tau[i]) for i, p in enumerate(PARAMS)},
+        "kurtosis": {p: float(kurt[i]) for i, p in enumerate(PARAMS)},
     }
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "tests", "golden", "hc5n_reference_posterior.json")
