@@ -13,7 +13,8 @@ from cha1_mcmc_tpu.analysis.stacking import (
     matched_filter,
 )
 from cha1_mcmc_tpu.analysis.tbg import calc_tbg
-from cha1_mcmc_tpu.analysis.peaks import find_peaks
+from cha1_mcmc_tpu.analysis.peaks import (find_peaks, find_obs_peaks,
+                                           find_obs_brights)
 from cha1_mcmc_tpu.analysis.fitting import gauss_func, gauss_fit
 from cha1_mcmc_tpu.analysis.conversions import jy_to_k, k_to_jy
 from cha1_mcmc_tpu.analysis.renderer import render_gaussian_profile
@@ -40,6 +41,8 @@ __all__ = [
     "find_vel_peaks",
     "cut_spectra",
     "calc_tbg",
+    "find_obs_peaks",
+    "find_obs_brights",
     "subtract_baseline",
     "write_spectrum",
     "get_subtraction",

@@ -178,6 +178,29 @@ class WorkbenchShell(cmd.Cmd):
         self._say(f"matched filter peak {resp[j]:.2f} sigma at "
                   f"{vel[j]:+.2f} km/s")
 
+    def do_peaks(self, arg):
+        """peaks [SIGMA] — chunked quick line scan of the observation
+        (reference find_obs_peaks)."""
+        from cha1_mcmc_tpu.analysis.peaks import find_obs_peaks
+
+        if self.wb.freq_obs is None:
+            raise RuntimeError("load_obs() first")
+        sigma = float(arg) if arg.strip() else 5.0
+        freqs, ints, rms = find_obs_peaks(self.wb.freq_obs, self.wb.int_obs,
+                                          sigma=sigma)
+        self._say(f"{len(freqs)} peaks above {sigma} sigma")
+        for f, i, r in list(zip(freqs, ints, rms))[:10]:
+            self._say(f"  {f:12.4f} MHz  {i:.4e} K  (rms {r:.2e})")
+
+    def do_load_freqs(self, arg):
+        """load_freqs F1,F2,... [PEAK] — manual line-list overlay
+        (reference load_freqs)."""
+        parts = arg.split()
+        freqs = [float(x) for x in parts[0].split(",")]
+        peak = float(parts[1]) if len(parts) > 1 else 1.0
+        self.wb.load_freqs(freqs, peak=peak)
+        self._say(f"manual spectrum: {self.wb.freq_man.size} points")
+
     def do_baseline(self, arg):
         """baseline C0 [C1 C2 ...] — subtract a polynomial baseline from
         the observation (reference baseline())."""

@@ -55,6 +55,8 @@ class Workbench:
         self.tau_sim = np.array([])
         self.freq_obs = None
         self.int_obs = None
+        self.freq_man = None   # manual line-list overlay (load_freqs)
+        self.int_man = None
         self.obs_res = None
         self.stored: dict[str, dict] = {}
 
@@ -222,6 +224,31 @@ class Workbench:
         elif len(vel) < len(response):
             response = response[: len(vel)]
         return vel, response
+
+    def load_freqs(self, man_freqs, peak: float = 1.0, vlsr=None, dV=None):
+        """Manual line list -> (freq_man, int_man) overlay spectrum
+        (reference load_freqs, :4060): every line gets amplitude `peak`,
+        frequencies shift by the session vlsr, and gauss mode renders the
+        sticks. `man_freqs` is a sequence of MHz values or a path to a
+        one-column text file."""
+        from cha1_mcmc_tpu.analysis.renderer import render_gaussian_profile
+
+        vlsr = self.vlsr if vlsr is None else vlsr
+        dV = self.dV if dV is None else dV
+        if isinstance(man_freqs, str):
+            with open(man_freqs) as fh:
+                freqs = np.array([float(ln.split()[0]) for ln in fh
+                                  if ln.strip()])
+        else:
+            freqs = np.asarray(man_freqs, dtype=np.float64)
+        ints = np.full(freqs.shape, float(peak))
+        freqs = freqs - vlsr * freqs / CKM
+        if self.gauss:
+            self.freq_man, self.int_man = render_gaussian_profile(
+                freqs, ints, dV=dV, ll=self.ll, ul=self.ul, res=self.res)
+        else:
+            self.freq_man, self.int_man = freqs, ints
+        return self
 
     # -- observation utilities (reference :4169, :1499, :3573) -----------
     def baseline(self, constants):

@@ -280,6 +280,40 @@ def test_obs_tools_match_oracle(sim_lte, tmp_path):
                                     18100, 18900))  # sim exceeds the trim
 
 
+def test_obs_scans_find_injected_lines():
+    """find_obs_peaks recovers the injected lines chunk by chunk;
+    find_obs_brights flags their channels (reference :7363/:7433)."""
+    from cha1_mcmc_tpu.analysis.peaks import find_obs_peaks, find_obs_brights
+
+    freq_obs, int_obs, _, _, line_freqs, _ = _synthetic_obs(amp=2e-2)
+    freqs, ints, rms = find_obs_peaks(freq_obs, int_obs, sigma=5, fwhm=0.5)
+    assert len(freqs) == len(rms)
+    # every injected line is within one channel of a found peak
+    for lf in line_freqs:
+        assert np.min(np.abs(np.asarray(freqs) - lf)) < 0.06, lf
+    bf, bi = find_obs_brights(freq_obs, int_obs)
+    assert len(bf) >= len(line_freqs)
+    assert np.all(np.asarray(bi) > 0)
+
+
+def test_workbench_load_freqs():
+    """Manual line lists render like the reference's load_freqs: vlsr
+    shift, unit amplitudes, gauss rendering in gauss mode."""
+    from cha1_mcmc_tpu.pipeline.workbench import Workbench
+    from cha1_mcmc_tpu.constants import CKM
+
+    wb = Workbench(ll=18000, ul=19000, res=0.01, vlsr=4.1, dV=0.5)
+    wb.load_freqs([18500.0, 18800.0], peak=2.0)
+    np.testing.assert_allclose(
+        wb.freq_man, np.array([18500.0, 18800.0]) * (1 - 4.1 / CKM))
+    np.testing.assert_array_equal(wb.int_man, [2.0, 2.0])
+    wb.gauss = True
+    wb.load_freqs([18500.0], peak=1.0)
+    assert wb.freq_man.size > 100            # rendered grid
+    # peak amplitude ~ the stick height, minus discrete-grid sampling loss
+    assert 0.9 < wb.int_man.max() <= 1.0
+
+
 def test_residual_spectrum_recovers_noise():
     """obs = model + noise: the residual against the true model is the
     noise (plot_residuals' compute core)."""
