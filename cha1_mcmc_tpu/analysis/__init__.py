@@ -23,6 +23,7 @@ from cha1_mcmc_tpu.analysis.obs_tools import (
     write_spectrum,
     get_subtraction,
     residual_spectrum,
+    find_limits,
 )
 from cha1_mcmc_tpu.analysis.ulim import (
     get_obs_rms,
@@ -47,6 +48,7 @@ __all__ = [
     "write_spectrum",
     "get_subtraction",
     "residual_spectrum",
+    "find_limits",
     "get_obs_rms",
     "get_sim_peak",
     "upper_limit_column",

@@ -10,7 +10,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["subtract_baseline", "write_spectrum", "get_subtraction",
-           "residual_spectrum"]
+           "residual_spectrum", "find_limits"]
 
 
 def subtract_baseline(freq_obs, int_obs, constants):
@@ -75,3 +75,20 @@ def residual_spectrum(freq_obs, int_obs, freq_model, int_model):
     model = np.interp(freq_obs, np.asarray(freq_model),
                       np.asarray(int_model), left=0.0, right=0.0)
     return freq_obs, np.asarray(int_obs, dtype=np.float64) - model
+
+
+def find_limits(freq_arr, spacing_tolerance: float = 100.0):
+    """Detect the contiguous coverage chunks of a spectrum: (ll, ul) lists
+    of chunk boundaries wherever consecutive channels are more than
+    spacing_tolerance x the typical spacing apart (reference
+    find_limits, :3498-3530; the typical spacing is the reference's exact
+    |f[0]-f[10]|/10 estimate). autoset-style padding is the caller's
+    choice (the reference's autoset_limits subtracts/adds 25 MHz)."""
+    freq_arr = np.asarray(freq_arr, dtype=np.float64)
+    if freq_arr.size == 0:
+        raise ValueError("the input array has no data")
+    spacing = abs(freq_arr[0] - freq_arr[10]) / 10
+    gaps = np.flatnonzero(np.abs(np.diff(freq_arr)) > spacing_tolerance * spacing)
+    ll = [freq_arr[0], *freq_arr[gaps + 1]]
+    ul = [*freq_arr[gaps], freq_arr[-1]]
+    return ll, ul

@@ -314,6 +314,23 @@ def test_workbench_load_freqs():
     assert 0.9 < wb.int_man.max() <= 1.0
 
 
+@requires_reference
+def test_find_limits_matches_oracle(sim_lte):
+    """Coverage-chunk detection against the vendored find_limits
+    (reference :3498) on a gappy spectrum like the DSN windows."""
+    from cha1_mcmc_tpu.analysis.obs_tools import find_limits
+
+    chunks = [np.arange(18630.0, 18650.0, 0.01),
+              np.arange(21290.0, 21310.0, 0.01),
+              np.arange(23950.0, 23970.0, 0.01)]
+    freq = np.concatenate(chunks)
+    ref_ll, ref_ul = sim_lte.find_limits(freq)
+    my_ll, my_ul = find_limits(freq)
+    np.testing.assert_allclose(my_ll, ref_ll)
+    np.testing.assert_allclose(my_ul, ref_ul)
+    assert len(my_ll) == 3
+
+
 def test_residual_spectrum_recovers_noise():
     """obs = model + noise: the residual against the true model is the
     noise (plot_residuals' compute core)."""
