@@ -42,7 +42,12 @@ def _problem():
 
 
 def bench_tpu() -> dict:
+    """Headline: walker-steps/s of what the pipeline actually runs at the
+    flagship size — the fused whole-step Pallas sampler (sampler/fused.py)
+    when applicable, with the general lax.scan sampler's rate recorded
+    alongside (the two produce bitwise-identical walker trajectories)."""
     import jax
+    import jax.numpy as jnp
 
     from cha1_mcmc_tpu.inference import build_lnprob
     from cha1_mcmc_tpu.sampler import run_ensemble
@@ -51,33 +56,47 @@ def bench_tpu() -> dict:
     lnprob = build_lnprob(model, spec, ints, yerrs, lnprior)
 
     rng = np.random.default_rng(0)
-    pos0 = np.asarray(
+    pos0 = jnp.asarray(np.asarray(
         np.array([3.24e12, 7.5, 4.11, 0.78])
-        * (1 + 0.01 * rng.standard_normal((NWALKERS, 4))), dtype=np.float32)
-    import jax.numpy as jnp
-
-    pos0 = jnp.asarray(pos0)
+        * (1 + 0.01 * rng.standard_normal((NWALKERS, 4))), dtype=np.float32))
     lnp0 = jax.vmap(lnprob)(pos0)
     key = jax.random.PRNGKey(0)
 
-    # Warmup/compile.
-    chain, lnps, acc, (pos, lnp) = run_ensemble(lnprob, pos0, lnp0, key, nsteps=TPU_STEPS)
-    jax.block_until_ready(chain)
-    # Best of three: the TPU here is a shared pool, so single measurements
-    # occasionally catch a contended patch several times slower than the
-    # device's actual rate.
-    dt = float("inf")
-    for rep in range(3):
-        key = jax.random.fold_in(key, rep)  # distinct inputs defeat result caching
-        t0 = time.perf_counter()
-        chain, lnps, acc, (pos, lnp) = run_ensemble(lnprob, pos, lnp, key, nsteps=TPU_STEPS)
+    def timed(run):
+        # Warmup/compile, then best of three: the TPU here is a shared
+        # pool, so single measurements occasionally catch a contended
+        # patch several times slower than the device's actual rate.
+        chain, lnps, acc, (pos, lnp) = run(pos0, lnp0, key)
         jax.block_until_ready(chain)
-        dt = min(dt, time.perf_counter() - t0)
+        dt = float("inf")
+        for rep in range(3):
+            k = jax.random.fold_in(key, rep)  # distinct inputs defeat caching
+            t0 = time.perf_counter()
+            chain, lnps, acc, (pos, lnp) = run(pos, jnp.asarray(lnp), k)
+            jax.block_until_ready(chain)
+            dt = min(dt, time.perf_counter() - t0)
+        return TPU_STEPS * NWALKERS / dt, acc
+
+    unfused_rate, acc = timed(
+        lambda p, l, k: run_ensemble(lnprob, p, l, k, nsteps=TPU_STEPS))
+    try:
+        from cha1_mcmc_tpu.sampler import make_fused_ensemble
+
+        bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
+                  "vlsr": (3.0, 5.5), "dV": (0.4, 1.5)}
+        run_fused = make_fused_ensemble(
+            model, spec, ints, yerrs, bounds,
+            np.array([3.4e10, 8.0, 4.3, 0.7575]),
+            np.array([0.34e10, 3.0, 0.06, 0.22]))
+        fused_rate, acc = timed(
+            lambda p, l, k: run_fused(p, l, k, TPU_STEPS, 16))
+    except Exception:
+        fused_rate = None
     return {
-        "rate": TPU_STEPS * NWALKERS / dt,
+        "rate": fused_rate or unfused_rate,
+        "unfused_rate": unfused_rate,
         "steps": TPU_STEPS,
         "nwalkers": NWALKERS,
-        "seconds": dt,
         "acceptance": float(np.asarray(acc).sum()) / (TPU_STEPS * NWALKERS),
         "device": str(jax.devices()[0]),
     }
@@ -351,6 +370,7 @@ def main():
         "baseline_cores": base["cores"],
         "tpu_device": tpu["device"],
         "tpu_acceptance": round(tpu["acceptance"], 3),
+        "unfused_walker_steps_per_sec": round(tpu["unfused_rate"], 1),
         "nwalkers": NWALKERS,
         "dense_catalog_1cyanonaphthalene": dense,
         "saturation_8192_walkers": large,

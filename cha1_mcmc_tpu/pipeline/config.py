@@ -66,6 +66,8 @@ class FitConfig:
                                      # total; enables cross-chain R-hat)
     stretch_a: float = 2.0
     use_pallas: bool = False         # Pallas opacity kernel (dense catalogs)
+    use_fused_step: bool = True      # fused whole-step Pallas kernel when
+                                     # applicable (bitwise-identical chains)
     resume: bool = False             # continue an existing chain file
     profile_dir: str | None = None   # write a jax.profiler trace of sampling
 

@@ -198,6 +198,27 @@ class SpectralFit:
                 lnprob_fn=lnprob, nwalkers=cfg.nwalkers, ndim=self.spec.ndim,
                 a=cfg.stretch_a, dtype=self.dtype, batched=cfg.use_pallas,
                 n_chains=cfg.n_chains)
+        elif (cfg.use_fused_step and not cfg.use_pallas
+              and self.spec.ncomp == 1
+              and self.spec.fixed_source_size is not None
+              and model.q_model.kind == "analytic"
+              and self.dtype == jnp.float32
+              and jax.default_backend() != "cpu"):
+            # Fused whole-step Pallas kernel: one program per k ensemble
+            # steps; chains are bitwise-identical to the general sampler
+            # (sampler/fused.py), ~1.4x faster at the flagship size. Not
+            # auto-selected on CPU: the interpreter pays ~30 s of tracing
+            # per fit, which the general path avoids (tests that want the
+            # bitwise check call make_fused_ensemble directly).
+            from cha1_mcmc_tpu.sampler import (FusedEnsembleSampler,
+                                               make_fused_ensemble)
+
+            run_fn = make_fused_ensemble(
+                model, self.spec, grid.ints, grid.yerrs, cfg.bounds,
+                prior_means, prior_stds, a=cfg.stretch_a)
+            self.sampler = FusedEnsembleSampler(
+                lnprob_fn=lnprob, nwalkers=cfg.nwalkers, ndim=self.spec.ndim,
+                a=cfg.stretch_a, dtype=self.dtype, run_fn=run_fn)
         else:
             self.sampler = EnsembleSampler(
                 lnprob_fn=lnprob, nwalkers=cfg.nwalkers, ndim=self.spec.ndim,

@@ -2,6 +2,7 @@
 
 from cha1_mcmc_tpu.sampler.stretch import (EnsembleSampler, MultiChainSampler,
                                             run_ensemble, run_ensemble_chains)
+from cha1_mcmc_tpu.sampler.fused import FusedEnsembleSampler, make_fused_ensemble
 from cha1_mcmc_tpu.sampler.chain import (
     save_chain,
     load_chain,
@@ -19,6 +20,8 @@ from cha1_mcmc_tpu.sampler.diagnostics import (
 __all__ = [
     "EnsembleSampler",
     "MultiChainSampler",
+    "FusedEnsembleSampler",
+    "make_fused_ensemble",
     "run_ensemble",
     "run_ensemble_chains",
     "save_chain",

@@ -129,6 +129,45 @@ def test_opacity_csr_matches_dense(W, L, C, tiles):
                                atol=1e-6 * max(1.0, expected.max()))
 
 
+@requires_reference
+def test_fused_step_kernel_bitwise_matches_run_ensemble(hc5n_problem,
+                                                        hc5n_datagrid):
+    """The fused whole-ensemble-step Pallas kernel (sampler/fused.py)
+    reproduces run_ensemble on the same PRNG stream: walker trajectories
+    bitwise-identical (the one-hot MXU gathers are exact at
+    precision=HIGHEST and proposals share the same arithmetic), lnp equal
+    to the last ulp (in-kernel chi-2 reduction order can differ), and the
+    same acceptances. Also checks the k-step blocking (k=4 here) consumes
+    the randomness identically."""
+    from cha1_mcmc_tpu.inference import single_component_lnprior, build_lnprob
+    from cha1_mcmc_tpu.sampler import run_ensemble
+    from cha1_mcmc_tpu.sampler.fused import make_fused_ensemble
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    grid = hc5n_datagrid
+    bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
+              "vlsr": (3.0, 5.5), "dV": (0.4, 1.5)}
+    means = np.array([3.4e10, 8.0, 4.3, 0.7575])
+    stds = np.array([0.34e10, 3.0, 0.06, 0.22])
+    lnprior = single_component_lnprior(spec, bounds, means, stds)
+    lnprob = build_lnprob(model, spec, grid.ints, grid.yerrs, lnprior)
+    run_fused = make_fused_ensemble(model, spec, grid.ints, grid.yerrs,
+                                    bounds, means, stds, interpret=True)
+
+    rng = np.random.default_rng(0)
+    pos0 = jnp.asarray(np.array([3.24e12, 7.5, 4.11, 0.78]) *
+                       (1 + 0.01 * rng.standard_normal((16, 4))), jnp.float32)
+    lnp0 = jax.vmap(lnprob)(pos0)
+    key = jax.random.PRNGKey(3)
+    cf, lf, af, (pf, lpf) = run_fused(pos0, lnp0, key, 24, 4)
+    cu, lu, au, (pu, lpu) = run_ensemble(lnprob, pos0, lnp0, key, nsteps=24)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cu))
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lu), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pf), np.asarray(pu))
+    np.testing.assert_array_equal(np.asarray(af),
+                                  np.asarray(au).astype(np.float32))
+
+
 def test_block_mask_prunes_and_preserves():
     center = 4.10
     vel, taus, vlsr, dV = _random_problem(24, 1100, 260)
