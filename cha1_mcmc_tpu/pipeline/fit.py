@@ -200,7 +200,6 @@ class SpectralFit:
                 n_chains=cfg.n_chains)
         elif (cfg.use_fused_step and not cfg.use_pallas
               and self.spec.ncomp == 1
-              and self.spec.fixed_source_size is not None
               and model.q_model.kind == "analytic"
               and self.dtype == jnp.float32
               and jax.default_backend() != "cpu"):

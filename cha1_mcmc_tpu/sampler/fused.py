@@ -27,9 +27,10 @@ posterior-parity gates cover the pipeline either way). Measured on the
 v5e at the flagship size: 17 us/step (k_steps=16) vs ~24 us for the
 general scan, ~1.4x.
 
-Scope: single-component fixed-source-size problems with an analytic
-Q(T) polynomial (the flagship family). Wider layouts keep the general
-run_ensemble path.
+Scope: single-component problems (4-dim fixed- or 5-dim free-source-
+size) with an analytic Q(T) polynomial — the flagship and
+MCMC_variable_source_size families. Multi-component layouts keep the
+general run_ensemble path.
 """
 
 from __future__ import annotations
@@ -70,9 +71,15 @@ def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
             q = q + pa * Tex ** pb
         return q_scale * q
 
-    def lnprob(th):  # (h, 4) -> (h, 1)
-        Ncol, Tex = th[:, 0:1], th[:, 1:2]
-        vlsr, dV = th[:, 2:3], th[:, 3:4]
+    def lnprob(th):  # (h, D) -> (h, 1)
+        if ss is None:  # free source size: 5-dim (ss, Ncol, Tex, vlsr, dV)
+            ss_w = th[:, 0:1]
+            Ncol, Tex = th[:, 1:2], th[:, 2:3]
+            vlsr, dV = th[:, 3:4], th[:, 4:5]
+        else:
+            ss_w = jnp.float32(ss)
+            Ncol, Tex = th[:, 0:1], th[:, 1:2]
+            vlsr, dV = th[:, 2:3], th[:, 3:4]
         taus = tau_sticks(jnp, lf, le, la, lg, lgl,
                           q_of(Tex), Ncol, Tex, dV)           # (h, L)
         # exp(-0.5 ((v - vlsr)/sigma)^2) as exp2(aa * d^2): one per-walker
@@ -87,7 +94,7 @@ def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
         opac = jnp.sum(taus[:, :, None] * gauss, axis=1)      # (h, C)
         J_T = planck_J(jnp, gf, Tex, guard=1e-10)
         J_Tbg = planck_J(jnp, gf, jnp.float32(Tbg), guard=1e-10)
-        dil = beam_dilution(jnp, gf, jnp.float32(ss), dish_size)
+        dil = beam_dilution(jnp, gf, ss_w, dish_size)
         m = dil * (J_T - J_Tbg) * (1.0 - jnp.exp(-opac))
         resid = y - m
         ll = -0.5 * jnp.sum(resid * resid * isig - jnp.log(isig),
@@ -96,7 +103,10 @@ def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
         for i, (lo_b, hi_b) in enumerate(zip(bounds_lo, bounds_hi)):
             ok = ok & (th[:, i:i + 1] > lo_b) & (th[:, i:i + 1] < hi_b)
         lp = jnp.zeros_like(ll)
-        for i in (1, 2, 3):  # Tex, vlsr, dV Gaussian priors; Ncol flat
+        ncol_idx = 0 if ss is not None else 1
+        for i in range(len(bounds_lo)):  # Gaussian priors; Ncol flat
+            if i == ncol_idx:
+                continue
             mu, sd = prior_mean[i], prior_std[i]
             lp = lp + (np.log(1.0 / (np.sqrt(2.0 * np.pi) * sd))
                        - 0.5 * ((th[:, i:i + 1] - mu) / sd) ** 2)
@@ -164,18 +174,19 @@ def make_fused_ensemble(model, spec, grid_ints, grid_yerrs, bounds,
     vocabulary (4-dim fixed-source-size layout; sigma_vlsr/sigma_dV
     overridden to 0.8/0.3 * mean_dV, reference inference.py:200-201).
     """
-    if spec.ncomp != 1 or spec.fixed_source_size is None:
-        raise ValueError("fused path supports the 4-dim fixed-source-size "
-                         "layout only")
+    if spec.ncomp != 1:
+        raise ValueError("fused path supports single-component layouts only")
     qm = model.q_model
     if qm.kind != "analytic":
         raise ValueError("fused path requires an analytic Q(T) model")
 
+    free_ss = spec.fixed_source_size is None
     means = np.asarray(prior_means, dtype=np.float64)
     stds = np.asarray(prior_stds, dtype=np.float64).copy()
-    stds[2] = means[3] * 0.8   # sigma_vlsr override
-    stds[3] = means[3] * 0.3   # sigma_dV override
-    names = ["Ncol", "Tex", "vlsr", "dV"]
+    dv_mean = means[4] if free_ss else means[3]
+    stds[-2] = dv_mean * 0.8   # sigma_vlsr override
+    stds[-1] = dv_mean * 0.3   # sigma_dV override
+    names = (["source_size"] if free_ss else []) + ["Ncol", "Tex", "vlsr", "dV"]
     lo = tuple(float(bounds[k][0]) for k in names)
     hi = tuple(float(bounds[k][1]) for k in names)
 
@@ -187,7 +198,8 @@ def make_fused_ensemble(model, spec, grid_ints, grid_yerrs, bounds,
     vel = model.vel_grid
 
     kernel = functools.partial(
-        _step_kernel, a=a, ss=float(spec.fixed_source_size),
+        _step_kernel, a=a,
+        ss=None if free_ss else float(spec.fixed_source_size),
         dish_size=float(model.dish_size), Tbg=float(model.Tbg),
         mask_center=float(model.mask_center), q_coeffs=qm.coeffs,
         q_power=qm.power, q_scale=qm.scale, bounds_lo=lo, bounds_hi=hi,

@@ -167,6 +167,24 @@ def test_fused_step_kernel_bitwise_matches_run_ensemble(hc5n_problem,
     np.testing.assert_array_equal(np.asarray(af),
                                   np.asarray(au).astype(np.float32))
 
+    # 5-dim free-source-size layout (the MCMC_variable_source_size family)
+    from cha1_mcmc_tpu.inference import ParamSpec
+
+    spec5 = ParamSpec(ncomp=1, fixed_source_size=None)
+    bounds5 = dict(bounds, source_size=(30.0, 90.0))
+    means5 = np.array([46.91, 3.4e10, 8.0, 4.3, 0.7575])
+    stds5 = np.array([6.5, 0.34e10, 3.0, 0.06, 0.22])
+    lnprior5 = single_component_lnprior(spec5, bounds5, means5, stds5)
+    lnprob5 = build_lnprob(model, spec5, grid.ints, grid.yerrs, lnprior5)
+    run_fused5 = make_fused_ensemble(model, spec5, grid.ints, grid.yerrs,
+                                     bounds5, means5, stds5, interpret=True)
+    pos5 = jnp.asarray(np.array([52.0, 3.24e12, 7.5, 4.11, 0.78]) *
+                       (1 + 0.01 * rng.standard_normal((16, 5))), jnp.float32)
+    lnp5 = jax.vmap(lnprob5)(pos5)
+    cf5, *_ = run_fused5(pos5, lnp5, key, 12, 4)
+    cu5, *_ = run_ensemble(lnprob5, pos5, lnp5, key, nsteps=12)
+    np.testing.assert_array_equal(np.asarray(cf5), np.asarray(cu5))
+
 
 def test_block_mask_prunes_and_preserves():
     center = 4.10
