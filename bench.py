@@ -90,11 +90,13 @@ def bench_tpu() -> dict:
             np.array([0.34e10, 3.0, 0.06, 0.22]))
         fused_rate, acc = timed(
             lambda p, l, k: run_fused(p, l, k, TPU_STEPS, 16))
-    except Exception:
-        fused_rate = None
+        fused_error = None
+    except Exception as exc:  # record, never silently mask a regression
+        fused_rate, fused_error = None, f"{type(exc).__name__}: {exc}"
     return {
         "rate": fused_rate or unfused_rate,
         "unfused_rate": unfused_rate,
+        "fused_error": fused_error,
         "steps": TPU_STEPS,
         "nwalkers": NWALKERS,
         "acceptance": float(np.asarray(acc).sum()) / (TPU_STEPS * NWALKERS),
@@ -371,6 +373,7 @@ def main():
         "tpu_device": tpu["device"],
         "tpu_acceptance": round(tpu["acceptance"], 3),
         "unfused_walker_steps_per_sec": round(tpu["unfused_rate"], 1),
+        "fused_error": tpu["fused_error"],
         "nwalkers": NWALKERS,
         "dense_catalog_1cyanonaphthalene": dense,
         "saturation_8192_walkers": large,

@@ -18,9 +18,11 @@ from cha1_mcmc_tpu.parallel.sharded import (
     ShardedEnsembleSampler,
     make_mesh,
     make_sharded_runner,
+    make_sharded_sampler,
     pad_model_lines,
     run_ensemble_sharded,
 )
 
 __all__ = ["ShardedEnsembleSampler", "make_mesh", "make_sharded_runner",
+           "make_sharded_sampler",
            "pad_model_lines", "run_ensemble_sharded"]

@@ -44,7 +44,8 @@ from cha1_mcmc_tpu.inference.params import ParamSpec
 from cha1_mcmc_tpu.sampler.stretch import EnsembleSampler
 
 __all__ = ["make_mesh", "pad_model_lines", "run_ensemble_sharded",
-           "make_sharded_runner", "ShardedEnsembleSampler"]
+           "make_sharded_runner", "make_sharded_sampler",
+           "ShardedEnsembleSampler"]
 
 WALKER_AXIS = "walkers"
 LINE_AXIS = "lines"
@@ -321,3 +322,32 @@ class ShardedEnsembleSampler(EnsembleSampler):
             raise NotImplementedError("thin > 1 is not supported on the "
                                       "sharded path")
         return self._runner(nsteps)(pos, key)
+
+
+def make_sharded_sampler(*, n_devices: int, n_line_shards: int, nwalkers: int,
+                         ndim: int, a: float, dtype, model, spec, grid_ints,
+                         grid_yerrs, lnprior_fn, use_pallas: bool = False,
+                         dv_max: float | None = None,
+                         interpret: bool = False,
+                         verbose: bool = True) -> "ShardedEnsembleSampler":
+    """Validate the mesh request and construct a ShardedEnsembleSampler —
+    the single construction point shared by the single-component
+    (pipeline/fit.py) and multi-component (pipeline/multifit.py) drivers."""
+    if n_devices > len(jax.devices()):
+        raise ValueError(f"n_devices={n_devices} exceeds the "
+                         f"{len(jax.devices())} available devices")
+    if n_devices % n_line_shards:
+        raise ValueError(f"n_devices={n_devices} must be divisible by "
+                         f"n_line_shards={n_line_shards}")
+    mesh = make_mesh(n_devices // n_line_shards, n_line_shards)
+    if verbose:
+        from cha1_mcmc_tpu.constants import GRAY, RESET
+
+        print(f"{GRAY}Sampling on a {n_devices}-device mesh "
+              f"(walkers={mesh.shape[WALKER_AXIS]}, "
+              f"lines={mesh.shape[LINE_AXIS]}).{RESET}")
+    return ShardedEnsembleSampler(
+        lnprob_fn=None, nwalkers=nwalkers, ndim=ndim, a=a, dtype=dtype,
+        mesh=mesh, model=model, spec=spec, grid_ints=grid_ints,
+        grid_yerrs=grid_yerrs, lnprior_fn=lnprior_fn, use_pallas=use_pallas,
+        dv_max=dv_max, interpret=interpret)

@@ -101,6 +101,19 @@ class SpectralFit:
             dtype=self.dtype,
         )
 
+    @staticmethod
+    def _fused_fits_vmem(model, nwalkers: int, budget_bytes: int = 48 << 20) -> bool:
+        """Can the fused step kernel's working set live in VMEM?
+
+        The kernel is a single gridless program: its dominant temporaries
+        are a few (W/2, L, C) f32 model intermediates and the (W/2, W)
+        one-hot selectors. Oversized problems fall back to the general
+        lax.scan sampler instead of failing Mosaic compilation."""
+        h = nwalkers // 2
+        model_bytes = 4 * h * model.n_lines * model.n_channels * 4
+        selector_bytes = 3 * h * nwalkers * 4
+        return model_bytes + selector_bytes <= budget_bytes
+
     def _is_within_bounds(self, theta) -> bool:
         """Host-side box check for walker init (reference inference.py:169-190)."""
         b = self.config.bounds
@@ -169,25 +182,13 @@ class SpectralFit:
             # lines) over an ICI mesh, with the full single-device sampler
             # contract (checkpoints, .state.npz resume, retries). Replaces
             # the reference's multiprocessing pool (inference.py:456-463).
-            from cha1_mcmc_tpu.parallel import ShardedEnsembleSampler, make_mesh
+            from cha1_mcmc_tpu.parallel import make_sharded_sampler
 
-            if cfg.n_devices > len(jax.devices()):
-                raise ValueError(
-                    f"n_devices={cfg.n_devices} exceeds the {len(jax.devices())} "
-                    f"available devices")
-            if cfg.n_devices % cfg.n_line_shards:
-                raise ValueError(
-                    f"n_devices={cfg.n_devices} must be divisible by "
-                    f"n_line_shards={cfg.n_line_shards}")
-            mesh = make_mesh(cfg.n_devices // cfg.n_line_shards,
-                             cfg.n_line_shards)
-            print(f"{GRAY}Sampling on a {cfg.n_devices}-device mesh "
-                  f"(walkers={mesh.shape['walkers']}, "
-                  f"lines={mesh.shape['lines']}).{RESET}")
-            self.sampler = ShardedEnsembleSampler(
-                lnprob_fn=None, nwalkers=cfg.nwalkers, ndim=self.spec.ndim,
-                a=cfg.stretch_a, dtype=self.dtype, mesh=mesh, model=model,
-                spec=self.spec, grid_ints=grid.ints, grid_yerrs=grid.yerrs,
+            self.sampler = make_sharded_sampler(
+                n_devices=cfg.n_devices, n_line_shards=cfg.n_line_shards,
+                nwalkers=cfg.nwalkers, ndim=self.spec.ndim, a=cfg.stretch_a,
+                dtype=self.dtype, model=model, spec=self.spec,
+                grid_ints=grid.ints, grid_yerrs=grid.yerrs,
                 lnprior_fn=lnprior, use_pallas=cfg.use_pallas,
                 dv_max=cfg.bounds["dV"][1],
                 interpret=cfg.use_pallas and jax.default_backend() == "cpu")
@@ -202,7 +203,8 @@ class SpectralFit:
               and self.spec.ncomp == 1
               and model.q_model.kind == "analytic"
               and self.dtype == jnp.float32
-              and jax.default_backend() != "cpu"):
+              and jax.default_backend() != "cpu"
+              and self._fused_fits_vmem(model, cfg.nwalkers)):
             # Fused whole-step Pallas kernel: one program per k ensemble
             # steps; chains are bitwise-identical to the general sampler
             # (sampler/fused.py), ~1.4x faster at the flagship size. Not

@@ -177,25 +177,13 @@ class MultiComponentFit:
             # component axis of forward_from_lines), so the widest model
             # (reference TMC1_four_component.py, 14-dim) shards the same
             # way as the single-component fit: walkers (dp) x lines (tp).
-            from cha1_mcmc_tpu.parallel import ShardedEnsembleSampler, make_mesh
+            from cha1_mcmc_tpu.parallel import make_sharded_sampler
 
-            if cfg.n_devices > len(jax.devices()):
-                raise ValueError(
-                    f"n_devices={cfg.n_devices} exceeds the "
-                    f"{len(jax.devices())} available devices")
-            if cfg.n_devices % cfg.n_line_shards:
-                raise ValueError(
-                    f"n_devices={cfg.n_devices} must be divisible by "
-                    f"n_line_shards={cfg.n_line_shards}")
-            mesh = make_mesh(cfg.n_devices // cfg.n_line_shards,
-                             cfg.n_line_shards)
-            print(f"{GRAY}Sampling on a {cfg.n_devices}-device mesh "
-                  f"(walkers={mesh.shape['walkers']}, "
-                  f"lines={mesh.shape['lines']}).{RESET}")
-            self.sampler = ShardedEnsembleSampler(
-                lnprob_fn=None, nwalkers=cfg.nwalkers, ndim=cfg.ndim,
-                a=cfg.stretch_a, dtype=self.dtype, mesh=mesh, model=model,
-                spec=self.spec, grid_ints=grid.ints, grid_yerrs=grid.yerrs,
+            self.sampler = make_sharded_sampler(
+                n_devices=cfg.n_devices, n_line_shards=cfg.n_line_shards,
+                nwalkers=cfg.nwalkers, ndim=cfg.ndim, a=cfg.stretch_a,
+                dtype=self.dtype, model=model, spec=self.spec,
+                grid_ints=grid.ints, grid_yerrs=grid.yerrs,
                 lnprior_fn=lnprior)
         else:
             lnprob = build_lnprob(model, self.spec, grid.ints, grid.yerrs,

@@ -245,9 +245,15 @@ def test_posterior_statistical_parity(tmp_path):
             if stat == "std":
                 # two independent MC estimates of a posterior std differ
                 # by sigma = sqrt(sum over sides of (kappa-1)/(4 ESS));
-                # gate at 3 sigma when that exceeds 1%
-                kap = golden["kurtosis"][p]
-                ess = golden["ess"][p]
+                # gate at 3 sigma when that exceeds 1%. Fallbacks cover a
+                # pre-regeneration golden without the diagnostics fields
+                # (values measured on a 128x40k pipeline chain).
+                kap = golden.get("kurtosis", {"Ncol": 9.7, "Tex": 2.0,
+                                              "vlsr": 3.5, "dV": 3.0})[p]
+                tau = golden.get("tau", {"Ncol": 154.0, "Tex": 98.0,
+                                         "vlsr": 54.0, "dV": 57.0})[p]
+                ess = golden.get("ess", {}).get(
+                    p, nwalkers * (40_000 - burn) / tau)
                 sigma = np.sqrt(2 * (kap - 1) / (4 * ess))
                 rtol = max(0.01, 3 * sigma)
             assert np.isclose(ours[i], ref, rtol=rtol), (
