@@ -54,6 +54,12 @@ def main(argv=None):
 
     sub.add_parser("bench", help="run the HC5N benchmark and print one JSON line")
 
+    p_diag = sub.add_parser(
+        "diagnose", help="convergence report (tau / ESS / R-hat) for a "
+                         "chain .npy")
+    p_diag.add_argument("chain", help="chain file, (nwalkers, nsteps, ndim)")
+    p_diag.add_argument("--burn-frac", type=float, default=0.2)
+
     p_wb = sub.add_parser(
         "workbench",
         help="interactive simulation shell (the vendored tool's command "
@@ -81,6 +87,22 @@ def main(argv=None):
         cfg = MultiFitConfig(**{k: v for k, v in d.items()
                                 if k in MultiFitConfig.__dataclass_fields__})
         MultiComponentFit(cfg).run()
+    elif args.command == "diagnose":
+        import numpy as np
+
+        from cha1_mcmc_tpu.sampler import summarize_convergence
+
+        chain = np.load(args.chain)
+        conv = summarize_convergence(chain, burn_in_frac=args.burn_frac)
+        print(f"chain {chain.shape} ({args.chain}); "
+              f"{conv['nsteps_post_burn']} steps post burn-in")
+        print(f"{'dim':>4} {'tau':>10} {'ESS':>12} {'R-hat':>8}")
+        for i, (t, e, r) in enumerate(zip(conv["tau"], conv["ess"],
+                                          conv["r_hat"])):
+            print(f"{i:>4} {t:>10.1f} {e:>12.0f} {r:>8.4f}")
+        worst = float(max(conv["r_hat"]))
+        print("converged (all R-hat < 1.05)" if worst < 1.05
+              else f"NOT converged (max R-hat {worst:.3f})")
     elif args.command == "workbench":
         from cha1_mcmc_tpu.pipeline.repl import run_repl
 

@@ -42,8 +42,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from cha1_mcmc_tpu.constants import (FWHM_TO_SIGMA_MODEL, T_CMB,
-                                     VELOCITY_WINDOW_DV)
+from cha1_mcmc_tpu.constants import FWHM_TO_SIGMA_MODEL, VELOCITY_WINDOW_DV
 from cha1_mcmc_tpu.ops.lte import planck_J, beam_dilution, tau_sticks
 
 __all__ = ["make_fused_ensemble", "FusedEnsembleSampler"]

@@ -189,6 +189,26 @@ def test_workbench_repl(tmp_path):
 
 
 @requires_reference
+def test_cli_diagnose(tmp_path):
+    """`python -m cha1_mcmc_tpu diagnose chain.npy` prints the tau/ESS/
+    R-hat table and a convergence verdict."""
+    rng = np.random.default_rng(0)
+    chain = rng.normal(size=(16, 400, 3)).astype(np.float32)
+    path = str(tmp_path / "chain.npy")
+    np.save(path, chain)
+    env = dict(os.environ, CHA1_PLATFORM="cpu",
+               PYTHONPATH=os.pathsep.join(sys.path))
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    out = subprocess.run(
+        [sys.executable, "-m", "cha1_mcmc_tpu", "diagnose", path],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert out.returncode == 0, out.stderr[-1000:]
+    assert "R-hat" in out.stdout
+    # iid normal draws: converged
+    assert "converged (all R-hat < 1.05)" in out.stdout
+
+
+@requires_reference
 def test_plot_engines(tmp_path, hc5n_datagrid):
     """Postage/range/harmonic plots render; corner animation writes a GIF."""
     from cha1_mcmc_tpu.pipeline.plots import (
