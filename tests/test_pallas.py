@@ -93,6 +93,19 @@ def test_window_masking_at_extreme_vlsr():
     np.testing.assert_allclose(np.asarray(csr), expected, rtol=2e-4,
                                atol=1e-6 * max(1.0, expected.max()))
 
+    # and in a provably-safe regime (the _random_problem box: offsets
+    # <= 0.2, dV >= 0.5 -> window_is_exact holds) the unmasked fast path
+    # IS exact, so the builder's opt-in is sound
+    vel2, taus2, vlsr2, dV2 = _random_problem(12, 700, 300)
+    assert window_is_exact(0.5, 0.2)
+    expected2 = _dense_reference(vel2, taus2, vlsr2, dV2, center)
+    unmasked2 = opacity_pallas_mxu(
+        jnp.asarray(taus2), jnp.asarray(vlsr2), jnp.asarray(dV2),
+        jnp.asarray(vel2), jnp.asarray(block_activity_mask(vel2, center, 1.5)),
+        mask_center=center, interpret=True, unmasked=True)
+    np.testing.assert_allclose(np.asarray(unmasked2), expected2, rtol=2e-4,
+                               atol=1e-6 * max(1.0, expected2.max()))
+
 
 @pytest.mark.parametrize("W,L,C", [(12, 700, 300), (3, 50, 700)])
 def test_opacity_mxu_matches_dense(W, L, C):
