@@ -120,8 +120,9 @@ def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
         return jnp.dot(sel, m, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
 
-    coords = coords_ref[:]
-    lnp = lnp_ref[:]
+    # state carries coords || lnp as one (W, D+1) block so every gather /
+    # scatter is a single one-hot matmul instead of two
+    state = jnp.concatenate([coords_ref[:], lnp_ref[:]], axis=1)
     # k_steps full ensemble steps per kernel invocation (unrolled), each
     # consuming its own slice of the pre-generated randomness — amortizes
     # the per-call overhead that dominates at this problem size.
@@ -133,10 +134,10 @@ def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
             active = perm[half * h:(half + 1) * h, :]
             comp = perm[(1 - half) * h:(2 - half) * h, :]
             sel_a = onehot(active)
-            s = gather(sel_a, coords)                             # (h, D)
-            lnp_s = gather(sel_a, lnp)                            # (h, 1)
+            sa = gather(sel_a, state)                             # (h, D+1)
+            s, lnp_s = sa[:, :D], sa[:, D:]
             # partner: pair indexes into the complementary half
-            comp_rows = gather(onehot(comp), coords)              # (h, D)
+            comp_rows = gather(onehot(comp), state)[:, :D]        # (h, D)
             sel_p = (jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)
                      == pair_ref[r:r + 1, :].T).astype(jnp.float32)
             c = jnp.dot(sel_p, comp_rows,
@@ -147,18 +148,16 @@ def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
             lnp_new = lnprob(proposal)
             lnpdiff = (D - 1.0) * jnp.log(zz) + lnp_new - lnp_s
             accept = jnp.log(au_ref[r:r + 1, :]).T < lnpdiff      # (h, 1)
-            d_coords = jnp.where(accept, proposal - s, 0.0)
-            d_lnp = jnp.where(accept, lnp_new - lnp_s, 0.0)
+            delta = jnp.where(
+                accept, jnp.concatenate([proposal - s, lnp_new - lnp_s],
+                                        axis=1), 0.0)             # (h, D+1)
             # scatter back: one-hot transpose matmul (rows are disjoint)
-            coords = coords + jnp.dot(sel_a.T, d_coords,
-                                      preferred_element_type=jnp.float32,
-                                      precision=jax.lax.Precision.HIGHEST)
-            lnp = lnp + jnp.dot(sel_a.T, d_lnp,
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
+            state = state + jnp.dot(sel_a.T, delta,
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
             step_acc = step_acc + jnp.sum(accept.astype(jnp.float32))
-        out_chain_ref[step * W:(step + 1) * W, :] = coords
-        out_lnps_ref[step * W:(step + 1) * W, :] = lnp
+        out_chain_ref[step * W:(step + 1) * W, :] = state[:, :D]
+        out_lnps_ref[step * W:(step + 1) * W, :] = state[:, D:]
         out_acc_ref[step:step + 1, :] = step_acc
 
 
