@@ -121,18 +121,39 @@ class WorkbenchShell(cmd.Cmd):
                   f"stored: {', '.join(wb.stored) or '-'}")
 
     def do_print_lines(self, arg):
-        """print_lines [N] — strongest N simulated lines (reference :3662)."""
-        n = int(arg) if arg.strip() else 10
-        wb = self.wb
-        if wb.tau_sim.size == 0:
-            self._say("no simulation")
-            return
-        i, i2 = wb.catalog.trim_indices(wb.ll, wb.ul)
-        freqs = wb.catalog.frequency[i:i2]
-        order = np.argsort(wb.tau_sim)[::-1][:n]
-        self._say(f"{'freq (MHz)':>14}  {'tau':>12}")
-        for j in order:
-            self._say(f"{freqs[j]:>14.4f}  {wb.tau_sim[j]:>12.4e}")
+        """print_lines [THRESH] [mK] [shifted] — catalog table of the
+        simulated lines above THRESH (reference print_lines :3662):
+        frequency, intensity, quantum numbers, Eu, gu/gl, log(Aij),
+        Sijmu^2."""
+        parts = arg.split()
+        thresh = float(parts[0]) if parts and parts[0] not in ("mK", "shifted") \
+            else float("-inf")
+        for line in self.wb.line_table(thresh=thresh, rest="shifted" not in parts,
+                                       mK="mK" in parts):
+            self._say(line)
+
+    def do_Q(self, arg):
+        """Q [T] — partition function at T (default: session T); prints
+        Q, Qrot, and Qvib (reference check_Q/check_Qrot/check_Qvib)."""
+        T = float(arg) if arg.strip() else None
+        self._say(f"Q({T if T is not None else self.wb.T}) = "
+                  f"{self.wb.get_Q(T):.4f}  (Qrot {self.wb.get_Qrot(T):.4f}, "
+                  f"Qvib {self.wb.get_Qvib(T):.5f})")
+
+    def do_vibs(self, arg):
+        """vibs E1,E2,... | off — vibrational mode energies (cm^-1) for the
+        Qvib correction; re-simulates (reference load_mol vib_states)."""
+        self.wb.vibs = (None if arg.strip().lower() in ("off", "none", "")
+                        else [float(x) for x in arg.replace(",", " ").split()])
+        if self.wb.catalog is not None:
+            self.wb.run_sim()
+        self._say(f"vibs = {self.wb.vibs}")
+
+    def do_tau(self, arg):
+        """tau FREQ — opacity of the catalog line nearest FREQ MHz
+        (reference get_brandon_tau)."""
+        f, tau = self.wb.tau_at(float(arg))
+        self._say(f"The tau for the line at frequency {f} is {tau}.")
 
     # -- storage ----------------------------------------------------------
     def do_store(self, arg):

@@ -41,13 +41,14 @@ class Workbench:
     def __init__(self, *, ll=0.0, ul=1e9, res=0.01, dish_size=100.0,
                  source_size=1e20, vlsr=0.0, dV=5.0, T=300.0, C=1e13,
                  tbg_params=T_CMB, tbg_type="constant", tbg_range=(),
-                 gauss=False):
+                 gauss=False, vibs=None):
         self.ll, self.ul, self.res = ll, ul, res
         self.dish_size, self.source_size = dish_size, source_size
         self.vlsr, self.dV, self.T, self.C = vlsr, dV, T, C
         self.tbg_params, self.tbg_type = tbg_params, tbg_type
         self.tbg_range = list(tbg_range)
         self.gauss = gauss
+        self.vibs = list(vibs) if vibs is not None else None
         self.catalog = None
         self.q_model = None
         self.freq_sim = np.array([])
@@ -61,25 +62,134 @@ class Workbench:
         self.stored: dict[str, dict] = {}
 
     # -- molecule / simulation ----------------------------------------
-    def load_mol(self, catalog_path: str):
-        """Load a catalog and run the simulation (reference :2512)."""
+    def load_mol(self, catalog_path: str, vib_states=None):
+        """Load a catalog and run the simulation (reference :2512).
+
+        `vib_states`: vibrational mode energies in cm^-1 for the Qvib
+        correction. Like the reference's load_mol, every call overwrites
+        the session's vibs with this argument (so a plain load_mol resets
+        them to None)."""
         self.catalog = load_catalog(catalog_path)
         self.q_model = q_model_for_catalog(self.catalog)
+        self.vibs = list(vib_states) if vib_states is not None else None
         self.run_sim()
         return self
 
-    def run_sim(self):
-        """Re-simulate with the current parameters (reference :1704-1855)."""
+    # partition-function inspection (reference check_Q/get_Q/get_Qrot/
+    # get_Qvib, :1861-1899): Q = Qrot(T) * Qvib(vibs, T).
+    def get_Qrot(self, T=None):
+        if self.q_model is None:
+            raise RuntimeError("load_mol() first")
+        return float(self.q_model.host_eval(self.T if T is None else T))
+
+    def get_Qvib(self, T=None):
+        from cha1_mcmc_tpu.catalogs.partition import calc_qvib
+
+        return float(calc_qvib(self.vibs, self.T if T is None else T))
+
+    def get_Q(self, T=None):
+        return self.get_Qrot(T) * self.get_Qvib(T)
+
+    def _sticks(self):
+        """Trimmed stick opacities + beam-diluted stick intensities on rest
+        frequencies — the vendored run_sim's gauss=False compute core
+        (reference :1704-1820). Returns (i, i2, freq, tau, ints)."""
         cat = self.catalog
         if cat is None:
             raise RuntimeError("load_mol() first")
         i, i2 = cat.trim_indices(self.ll, self.ul)
-        Q = float(self.q_model.host_eval(self.T))
+        Q = self.get_Q()
         with np.errstate(under="ignore", over="ignore"):
             tau = tau_sticks(np, cat.frequency[i:i2], cat.elower[i:i2],
                              cat.aij[i:i2], cat.gup[i:i2], cat.glow[i:i2],
                              Q, self.C, self.T, self.dV)
             freq = cat.frequency[i:i2]
+            tbg = calc_tbg(self.tbg_params, self.tbg_type, self.tbg_range, freq)
+            J_T = planck_J(np, freq, self.T)
+            J_Tbg = planck_J(np, freq, tbg)
+            ints = (J_T - J_Tbg) * (1.0 - np.exp(-tau))
+            ints = apply_beam(np, freq, ints, self.source_size, self.dish_size)
+        return i, i2, freq, tau, ints
+
+    def line_table(self, thresh=float("-inf"), rest=True, mK=False):
+        """Catalog info for the simulated lines above `thresh` — the
+        vendored tool's print_lines (reference :3662-3860), formatted
+        string for string. Quirks reproduced deliberately: the header
+        only prints when the *first* in-window line clears the threshold
+        (reference keys the header on ``x == 0``); gu/gl always come from
+        the first of several same-frequency transitions (``[y][0]`` vs
+        ``[y][i]`` for every other column); rest=False shifts by
+        vlsr*f/3e5 with a literal 3e5, not the session ckm; and the
+        occurrence counter for duplicate frequencies only advances on
+        *printed* lines, so a below-threshold duplicate shifts its
+        successors' QN assignment. Intensities are the stick simulation's
+        (gauss is forced off, like the reference)."""
+        cat = self.catalog
+        _, _, freq, _tau, ints = self._sticks()
+        out = []
+        old_f = np.nan
+        occ = 0
+        name = cat.catalog_file.split(".")[0].strip("\n").split("/")[-1]
+        qns = cat.qns
+        for x in range(freq.size):
+            if not ints[x] > thresh:
+                continue
+            y = np.where(cat.frequency == freq[x])[0]
+            occ = occ + 1 if freq[x] == old_f else 0
+            j = int(y[occ])
+            up = ["{:>2}".format(cat.qn[j, 0])] + [
+                "{: >3}".format(cat.qn[j, q]) for q in range(1, qns)]
+            low = ["{:>2}".format(cat.qn[j, 6])] + [
+                "{: >3}".format(cat.qn[j, 6 + q]) for q in range(1, qns)]
+            qn_string = " ".join(up) + " -> " + " ".join(low)
+            gu, gl = cat.gup[int(y[0])], cat.glow[int(y[0])]
+            if x == 0:
+                qn_str = "Quantum Numbers"
+                if len(qn_string) > 15:
+                    qn_str += (len(qn_string) - 15) * " "
+                out.append("Molecule: {}".format(name))
+                out.append("Column Density: {:.2e} cm-2\tTemperature: {} K\t"
+                           "Linewidth: {} km/s\tvlsr: {} km/s\n"
+                           .format(self.C, self.T, self.dV, self.vlsr))
+                out.append("Frequency\tIntensity ({})\t{}\tEu (K)   \tgu\tgl"
+                           "\tlog(Aij)\tSijmu^2"
+                           .format("mK" if mK else "K", qn_str))
+            f_val = freq[x] if rest else freq[x] - self.vlsr * freq[x] / 3e5
+            out.append(
+                "{:.4f}\t{:<13.3f}\t{}\t{:<9.3f}\t{}\t{}\t{:.2f}    \t{:.4f}"
+                .format(f_val, ints[x] * (1000 if mK else 1), qn_string,
+                        cat.eupper[j] / 0.695, gu, gl,
+                        np.log10(cat.aij[j]), cat.sijmu[j]))
+            old_f = freq[x]
+        return out
+
+    def tau_at(self, freq_mhz: float):
+        """(line frequency, opacity) of the catalog line nearest `freq_mhz`
+        — reference get_brandon_tau (:7163-7170) via run_sim's tau_get
+        branch (:1762-1766). Like the reference, the nearest-line search
+        runs over the *rest* (unshifted) catalog frequencies of the full
+        catalog, not the trimmed window."""
+        cat = self.catalog
+        if cat is None:
+            raise RuntimeError("load_mol() first")
+        Q = self.get_Q()
+        with np.errstate(under="ignore", over="ignore"):
+            tau = tau_sticks(np, cat.frequency, cat.elower, cat.aij,
+                             cat.gup, cat.glow, Q, self.C, self.T, self.dV)
+        # reference find_nearest (:4207): searchsorted with ties broken to
+        # the *right* neighbor (strict < on the left distance), which
+        # differs from argmin on exact midpoints.
+        f = cat.frequency
+        idx = int(np.searchsorted(f, freq_mhz, side="left"))
+        if idx > 0 and (idx == f.size
+                        or abs(freq_mhz - f[idx - 1]) < abs(freq_mhz - f[idx])):
+            idx -= 1
+        return float(f[idx]), float(tau[idx])
+
+    def run_sim(self):
+        """Re-simulate with the current parameters (reference :1704-1855)."""
+        i, i2, freq, tau, stick_ints = self._sticks()
+        with np.errstate(under="ignore", over="ignore"):
             if self.gauss:
                 # Gaussian-profile rendering of the opacity sticks
                 # (reference :1358, functions.py:544-623), then RT on the
@@ -93,11 +203,7 @@ class Workbench:
                 ints = apply_beam(np, fg, ints, self.source_size, self.dish_size)
                 freq_out = fg
             else:
-                tbg = calc_tbg(self.tbg_params, self.tbg_type, self.tbg_range, freq)
-                J_T = planck_J(np, freq, self.T)
-                J_Tbg = planck_J(np, freq, tbg)
-                ints = (J_T - J_Tbg) * (1.0 - np.exp(-tau))
-                ints = apply_beam(np, freq, ints, self.source_size, self.dish_size)
+                ints = stick_ints
                 freq_out = freq
         # vlsr shift of the simulated frame (reference :1816-1820)
         self.freq_sim = freq_out * (1.0 - self.vlsr / CKM)
@@ -342,7 +448,8 @@ class Workbench:
                         dish_size=self.dish_size, source_size=self.source_size,
                         vlsr=self.vlsr, dV=self.dV, T=self.T, C=self.C,
                         tbg_params=self.tbg_params, tbg_type=self.tbg_type,
-                        tbg_range=self.tbg_range, gauss=self.gauss),
+                        tbg_range=self.tbg_range, gauss=self.gauss,
+                        vibs=self.vibs),
             catalog_file=self.catalog.catalog_file if self.catalog else None,
             stored_names=list(self.stored),
         )
@@ -365,7 +472,7 @@ class Workbench:
             state = json.load(fh)
         wb = cls(**{k: v for k, v in state["params"].items()})
         if state["catalog_file"] and os.path.exists(state["catalog_file"]):
-            wb.load_mol(state["catalog_file"])
+            wb.load_mol(state["catalog_file"], vib_states=wb.vibs)
         data = np.load(path + ".npz")
         for name in state["stored_names"]:
             T, C, dV, vlsr, ss = data[f"{name}__params"]
