@@ -47,3 +47,19 @@ def gauss_fit(freq_obs, int_obs, p_array, *, dT_bound=np.inf, v_bound=5.0,
         err = np.sqrt(np.diag(cov))
         results.append([coeff[0], err[0], coeff[1], err[1], coeff[2], err[2]])
     return results
+
+
+def make_gauss_params(path, vlsr, dV):
+    """Initial [dT, center, dV] triples for gauss_fit from a two-column
+    line list file (frequency intensity per row), the center shifted by
+    the source velocity with the reference's literal 3E5 km/s
+    (reference make_gauss_params, simulate_lte.py:3968-3988)."""
+    p = []
+    with open(path) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            freq = float(line.split()[0])
+            freq -= vlsr * freq / 3e5
+            p.append([float(line.split()[1].strip("\n")), freq, float(dV)])
+    return p

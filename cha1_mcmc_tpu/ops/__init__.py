@@ -10,9 +10,11 @@ from cha1_mcmc_tpu.ops.lte import (
     planck_J,
     beam_dilution,
     apply_beam,
+    get_beam,
+    invert_beam,
     tau_sticks,
     stick_spectrum,
     scale_temp,
 )
 
-__all__ = ["planck_J", "beam_dilution", "apply_beam", "tau_sticks", "stick_spectrum", "scale_temp"]
+__all__ = ["planck_J", "beam_dilution", "apply_beam", "get_beam", "invert_beam", "tau_sticks", "stick_spectrum", "scale_temp"]

@@ -49,6 +49,20 @@ def apply_beam(xp, freq_mhz, intensity, source_size, dish_size):
     return intensity * beam_dilution(xp, freq_mhz, source_size, dish_size)
 
 
+def get_beam(xp, freq_mhz, dish_size):
+    """Diffraction-limited beam size in arcseconds
+    (reference simulate_lte.py:1650-1664)."""
+    wavelength = CM / (freq_mhz * 1e6)
+    return wavelength * RAD_TO_ARCSEC * BEAM_FACTOR / dish_size
+
+
+def invert_beam(xp, freq_mhz, intensity, source_size, dish_size):
+    """Un-dilute an observed intensity — the reverse beam correction the
+    vendored tool applies to observed background temperatures
+    (reference simulate_lte.py:1668-1700)."""
+    return intensity / beam_dilution(xp, freq_mhz, source_size, dish_size)
+
+
 def tau_sticks(xp, freq_mhz, elower, aij, gup, glow, Q, Ncol, Tex, dV):
     """Per-line peak opacity for an LTE column (reference classes.py:349-354).
 

@@ -84,6 +84,34 @@ class WorkbenchShell(cmd.Cmd):
         """modVLSR KM_S — set source velocity and re-simulate."""
         self._mod("modVLSR", arg)
 
+    def _modx(self, method: str):
+        getattr(self.wb, method)()
+        self._say(f"C -> {self.wb.C:.2e}")
+
+    def do_mod2(self, arg):
+        """mod2 — double the column density (reference mod2 :7516)."""
+        self._modx("mod2")
+
+    def do_mod12(self, arg):
+        """mod12 — multiply C by 1.2 (reference mod12: x1.2, not x12)."""
+        self._modx("mod12")
+
+    def do_mod10(self, arg):
+        """mod10 — multiply C by 10 (reference mod10 :7510)."""
+        self._modx("mod10")
+
+    def do_mod_2(self, arg):
+        """mod_2 — halve the column density (reference mod_2 :7528)."""
+        self._modx("mod_2")
+
+    def do_mod_12(self, arg):
+        """mod_12 — divide C by 1.2 (reference mod_12)."""
+        self._modx("mod_12")
+
+    def do_mod_10(self, arg):
+        """mod_10 — divide C by 10 (reference mod_10)."""
+        self._modx("mod_10")
+
     def do_limits(self, arg):
         """limits LL UL [RES] — set the simulation window (MHz)."""
         parts = arg.split()
@@ -222,6 +250,37 @@ class WorkbenchShell(cmd.Cmd):
         self.wb.load_freqs(freqs, peak=peak)
         self._say(f"manual spectrum: {self.wb.freq_man.size} points")
 
+    def do_autoset_limits(self, arg):
+        """autoset_limits [TOL] — set the simulation windows from the
+        observation's coverage chunks +- 25 MHz (reference :3535)."""
+        tol = float(arg) if arg.strip() else 100.0
+        self.wb.autoset_limits(tol)
+        wins = ", ".join(f"[{a:.1f}, {b:.1f}]" for a, b in self.wb._windows())
+        self._say(f"windows: {wins}")
+
+    def do_write_params(self, arg):
+        """write_params [OUT] [rms] [lines] — export the session's
+        simulation parameters (reference write_sim_params :5810)."""
+        parts = arg.split()
+        out = next((p for p in parts if p not in ("rms", "lines")), None)
+        path = self.wb.write_sim_params(out, rms="rms" in parts,
+                                        lines="lines" in parts)
+        self._say(f"wrote {path}")
+
+    def do_write_npz(self, arg):
+        """write_npz OUT.npz — save the observation as freq_obs/int_obs
+        (reference write_npz_spec :7175)."""
+        self.wb.write_npz_spec(arg.strip())
+        self._say(f"wrote {arg.strip()}")
+
+    def do_quickloads(self, arg):
+        """quickloads — list the named survey presets (reference
+        print_quickloads :7966)."""
+        from cha1_mcmc_tpu.pipeline.presets import PRESETS
+
+        for name in sorted(PRESETS):
+            self._say(f"  {name}")
+
     def do_baseline(self, arg):
         """baseline C0 [C1 C2 ...] — subtract a polynomial baseline from
         the observation (reference baseline())."""
@@ -273,9 +332,7 @@ class WorkbenchShell(cmd.Cmd):
             self._say("load an observation first (obs PATH)")
             return
         if kind == "postage":
-            i, i2 = wb.catalog.trim_indices(wb.ll, wb.ul)
-            freqs = wb.catalog.frequency[i:i2]
-            lines = freqs[np.argsort(wb.tau_sim)[::-1][:8]]
+            lines = wb.freq_rest[np.argsort(wb.tau_sim)[::-1][:8]]
             fig = postage_plot(wb.freq_obs, wb.int_obs, np.sort(lines),
                                dV=wb.dV, vlsr=wb.vlsr,
                                freq_sim=wb.freq_sim, int_sim=wb.int_sim)

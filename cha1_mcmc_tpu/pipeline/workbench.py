@@ -56,6 +56,7 @@ class Workbench:
         self.tau_sim = np.array([])
         self.freq_obs = None
         self.int_obs = None
+        self.obs_path = None
         self.freq_man = None   # manual line-list overlay (load_freqs)
         self.int_man = None
         self.obs_res = None
@@ -90,26 +91,37 @@ class Workbench:
     def get_Q(self, T=None):
         return self.get_Qrot(T) * self.get_Qvib(T)
 
+    def _windows(self):
+        """[(ll, ul), ...] simulation windows. ll/ul may be scalars or
+        equal-length sequences (the reference's trim_array accepts both,
+        functions ll/ul globals become lists after autoset_limits)."""
+        if np.isscalar(self.ll):
+            return [(float(self.ll), float(self.ul))]
+        return [(float(a), float(b)) for a, b in zip(self.ll, self.ul)]
+
     def _sticks(self):
         """Trimmed stick opacities + beam-diluted stick intensities on rest
         frequencies — the vendored run_sim's gauss=False compute core
-        (reference :1704-1820). Returns (i, i2, freq, tau, ints)."""
+        (reference :1704-1820). Windows are concatenated in order, like the
+        reference's trim_array append walk (functions.py:507-540).
+        Returns (idx, freq, tau, ints) with idx the catalog line indices."""
         cat = self.catalog
         if cat is None:
             raise RuntimeError("load_mol() first")
-        i, i2 = cat.trim_indices(self.ll, self.ul)
+        idx = np.concatenate([np.arange(*cat.trim_indices(a, b))
+                              for a, b in self._windows()]).astype(np.int64)
         Q = self.get_Q()
         with np.errstate(under="ignore", over="ignore"):
-            tau = tau_sticks(np, cat.frequency[i:i2], cat.elower[i:i2],
-                             cat.aij[i:i2], cat.gup[i:i2], cat.glow[i:i2],
+            tau = tau_sticks(np, cat.frequency[idx], cat.elower[idx],
+                             cat.aij[idx], cat.gup[idx], cat.glow[idx],
                              Q, self.C, self.T, self.dV)
-            freq = cat.frequency[i:i2]
+            freq = cat.frequency[idx]
             tbg = calc_tbg(self.tbg_params, self.tbg_type, self.tbg_range, freq)
             J_T = planck_J(np, freq, self.T)
             J_Tbg = planck_J(np, freq, tbg)
             ints = (J_T - J_Tbg) * (1.0 - np.exp(-tau))
             ints = apply_beam(np, freq, ints, self.source_size, self.dish_size)
-        return i, i2, freq, tau, ints
+        return idx, freq, tau, ints
 
     def line_table(self, thresh=float("-inf"), rest=True, mK=False):
         """Catalog info for the simulated lines above `thresh` — the
@@ -125,7 +137,7 @@ class Workbench:
         successors' QN assignment. Intensities are the stick simulation's
         (gauss is forced off, like the reference)."""
         cat = self.catalog
-        _, _, freq, _tau, ints = self._sticks()
+        _, freq, _tau, ints = self._sticks()
         out = []
         old_f = np.nan
         occ = 0
@@ -188,20 +200,30 @@ class Workbench:
 
     def run_sim(self):
         """Re-simulate with the current parameters (reference :1704-1855)."""
-        i, i2, freq, tau, stick_ints = self._sticks()
+        _idx, freq, tau, stick_ints = self._sticks()
         with np.errstate(under="ignore", over="ignore"):
             if self.gauss:
                 # Gaussian-profile rendering of the opacity sticks
                 # (reference :1358, functions.py:544-623), then RT on the
-                # rendered grid with the per-channel Tbg model.
-                fg, tau_g = render_gaussian_profile(
-                    freq, tau, dV=self.dV, ll=self.ll, ul=self.ul, res=self.res)
-                tbg = calc_tbg(self.tbg_params, self.tbg_type, self.tbg_range, fg)
-                J_T = planck_J(np, fg, self.T)
-                J_Tbg = planck_J(np, fg, tbg)
-                ints = (J_T - J_Tbg) * (1.0 - np.exp(-tau_g))
-                ints = apply_beam(np, fg, ints, self.source_size, self.dish_size)
-                freq_out = fg
+                # rendered grid with the per-channel Tbg model; rendered
+                # per window, concatenated in window order.
+                fgs, igs = [], []
+                for (a, b) in self._windows():
+                    in_w = (freq > a) & (freq <= b)
+                    fg, tau_g = render_gaussian_profile(
+                        freq[in_w], tau[in_w], dV=self.dV, ll=a, ul=b,
+                        res=self.res)
+                    tbg = calc_tbg(self.tbg_params, self.tbg_type,
+                                   self.tbg_range, fg)
+                    J_T = planck_J(np, fg, self.T)
+                    J_Tbg = planck_J(np, fg, tbg)
+                    ig = (J_T - J_Tbg) * (1.0 - np.exp(-tau_g))
+                    ig = apply_beam(np, fg, ig, self.source_size,
+                                    self.dish_size)
+                    fgs.append(fg)
+                    igs.append(ig)
+                freq_out = np.concatenate(fgs)
+                ints = np.concatenate(igs)
             else:
                 ints = stick_ints
                 freq_out = freq
@@ -213,6 +235,7 @@ class Workbench:
         # gauss mode freq_sim is the rendered grid (G points) while tau_sim
         # stays per-line (L points), so composites need this separately.
         self.freq_stick = freq * (1.0 - self.vlsr / CKM)
+        self.freq_rest = freq  # rest-frame line centers of tau_sim
         return self
 
     # live mutators (reference :1951-2130)
@@ -236,11 +259,38 @@ class Workbench:
         self.vlsr = float(vlsr)
         return self.run_sim()
 
+    # multiplicative column-density shortcuts (reference mod2/mod12/mod10
+    # and mod_2/mod_12/mod_10, :7510-7540; mod12 is x1.2, NOT x12 — the
+    # reference comments call this out)
+    def mod2(self):
+        return self.modC(self.C * 2)
+
+    def mod12(self):
+        return self.modC(self.C * 1.2)
+
+    def mod10(self):
+        return self.modC(self.C * 10)
+
+    def mod_2(self):
+        return self.modC(self.C / 2)
+
+    def mod_12(self):
+        return self.modC(self.C / 1.2)
+
+    def mod_10(self):
+        return self.modC(self.C / 10)
+
     def update_tbg(self, tbg_params, tbg_type="constant", tbg_range=()):
         """Change the background model and re-simulate (reference update())."""
         self.tbg_params, self.tbg_type = tbg_params, tbg_type
         self.tbg_range = list(tbg_range)
         return self.run_sim()
+
+    def tbg_at(self, freq_mhz: float) -> float:
+        """Background temperature of the session's Tbg model at one
+        frequency (reference check_tbg, :5694-5700)."""
+        return float(calc_tbg(self.tbg_params, self.tbg_type, self.tbg_range,
+                              np.array([float(freq_mhz)] * 2))[0])
 
     # -- storage (reference :2366-3075) --------------------------------
     def store(self, name: str):
@@ -291,7 +341,23 @@ class Workbench:
         return grid, total
 
     # -- observations / detection --------------------------------------
+    def autoset_limits(self, spacing_tolerance: float = 100.0):
+        """Set the simulation windows from the loaded observation's
+        coverage chunks, padded by the reference's fixed 25 MHz on each
+        side (reference autoset_limits, :3535-3570), and re-simulate."""
+        from cha1_mcmc_tpu.analysis.obs_tools import find_limits
+
+        if self.freq_obs is None:
+            raise RuntimeError("load_obs() first")
+        ll, ul = find_limits(self.freq_obs, spacing_tolerance)
+        self.ll = [float(x) - 25.0 for x in ll]
+        self.ul = [float(x) + 25.0 for x in ul]
+        if self.catalog is not None:
+            self.run_sim()
+        return self
+
     def load_obs(self, path: str, rms=None):
+        self.obs_path = path
         if path.endswith(".npy"):
             # (2, N) [freq_MHz, intensity] array, the DSN raw format
             # (reference data/DSN/*.npy, consumed by inference read_file)
@@ -350,8 +416,15 @@ class Workbench:
         ints = np.full(freqs.shape, float(peak))
         freqs = freqs - vlsr * freqs / CKM
         if self.gauss:
-            self.freq_man, self.int_man = render_gaussian_profile(
-                freqs, ints, dV=dV, ll=self.ll, ul=self.ul, res=self.res)
+            fgs, igs = [], []
+            for (a, b) in self._windows():
+                in_w = (freqs > a) & (freqs <= b)
+                fg, ig = render_gaussian_profile(
+                    freqs[in_w], ints[in_w], dV=dV, ll=a, ul=b, res=self.res)
+                fgs.append(fg)
+                igs.append(ig)
+            self.freq_man = np.concatenate(fgs)
+            self.int_man = np.concatenate(igs)
         else:
             self.freq_man, self.int_man = freqs, ints
         return self
@@ -386,6 +459,61 @@ class Workbench:
             raise KeyError(f"no spectrum called '{which}'")
         write_spectrum(freq, ints, output_file)
         return self
+
+    def write_npz_spec(self, path: str):
+        """Save the loaded observation as .npz with freq_obs/int_obs keys
+        (reference write_npz_spec, :7175-7181)."""
+        if self.freq_obs is None:
+            raise RuntimeError("load_obs() first")
+        np.savez(path, freq_obs=self.freq_obs, int_obs=self.int_obs)
+        return self
+
+    def write_sim_params(self, outfile: str | None = None, *, notes=None,
+                         rms: bool = False, lines: bool = False):
+        """Write the session's simulation parameters to a text file —
+        catalog/spectrum files, C/Tex/Tbg/dV/vlsr, Q/Qrot/Qvib, dish and
+        source size, optional in-window observed rms and a full line
+        table — in the vendored tool's .sim_params layout (reference
+        write_sim_params, :5810-5868)."""
+        from cha1_mcmc_tpu.analysis.ulim import get_obs_rms
+
+        if self.catalog is None:
+            raise RuntimeError("load_mol() first")
+        cat_file = self.catalog.catalog_file
+        if outfile is None:
+            outfile = cat_file.split("/")[-1].split(".")[0] + ".sim_params"
+        peak_freq = float(self.freq_sim[int(np.argmax(self.int_sim))])
+        T = self.T
+        with open(outfile, "w") as out:
+            out.write("Catalog File:\t{}\n".format(cat_file))
+            out.write("Spectrum File:\t{}\n".format(self.obs_path))
+            out.write("Column Density:\t{:.2e} cm-2\n".format(self.C))
+            out.write("Tex:\t\t\t{} K\n".format(T))
+            out.write("Tbg:\t\t\t{:.2f} K (@ {:.2f} MHz)\n"
+                      .format(self.tbg_at(peak_freq), peak_freq))
+            out.write("dV:\t\t\t\t{:.2f} km/s\n".format(self.dV))
+            out.write("vlsr:\t\t\t{:.2f} km/s\n".format(self.vlsr))
+            out.write("Q({})\t\t\t{}\n".format(T, int(self.get_Q())))
+            out.write("Qrot({})\t\t{}\n".format(T, int(self.get_Qrot())))
+            out.write("Qvib({})\t\t{:.5f}\n".format(T, self.get_Qvib()))
+            if self.vibs is not None:
+                out.write("Vib Freqs:\t\t{}\n".format(self.vibs))
+            out.write("Dish Size:\t\t{} m\n".format(self.dish_size))
+            out.write("Source Size:\t{} arcsec\n".format(self.source_size))
+            if rms:
+                lo = min(a for a, _ in self._windows())
+                hi = max(b for _, b in self._windows())
+                out.write("RMS in Range:\t{:.2f} mK\n".format(
+                    get_obs_rms(self.freq_obs, self.int_obs, lo, hi) * 1000))
+            if lines:
+                out.write("\n\n++++++Simulated Lines++++++\n\n")
+                for row in self.line_table(mK=True):
+                    out.write("{}\n".format(row))
+                out.write("\n")
+            if notes is not None:
+                out.write("\n++++++Notes++++++\n\n")
+                out.write("{}".format(notes))
+        return outfile
 
     def residual(self, use_sum: bool | None = None):
         """Observation minus the model on the observed grid (the compute

@@ -528,7 +528,7 @@ def test_workbench_line_table_matches_vendored(sim_lte, catname, qns, window):
     # threshold for the filtered case: inside the widest intensity gap, so
     # the ~4% Q-table offset between the two implementations cannot move a
     # line across it and change the row count
-    s = np.sort(wb._sticks()[4])
+    s = np.sort(wb._sticks()[3])
     s = s[s > 0]
     mid = slice(s.size // 4, 3 * s.size // 4)
     k = int(np.argmax(s[1:][mid] / s[:-1][mid])) + s.size // 4
@@ -561,3 +561,58 @@ def test_workbench_line_table_matches_vendored(sim_lte, catname, qns, window):
             assert float(gcols[6]) == pytest.approx(float(wcols[6]), abs=0.05)
             assert float(gcols[7]) == pytest.approx(float(wcols[7]),
                                                     abs=2e-3, rel=5e-2)
+
+
+@requires_reference
+def test_autoset_limits_matches_vendored(sim_lte):
+    """Workbench.autoset_limits vs the vendored global-mutating version
+    (reference :3535-3570): same chunk boundaries, same fixed 25 MHz pad."""
+    from cha1_mcmc_tpu.pipeline.workbench import Workbench
+
+    freq_obs = np.concatenate([np.arange(18000.0, 18100.0, 0.05),
+                               np.arange(20000.0, 20050.0, 0.05),
+                               np.arange(24800.0, 24900.0, 0.05)])
+    int_obs = np.zeros_like(freq_obs)
+    sim_lte.freq_obs, sim_lte.int_obs = list(freq_obs), list(int_obs)
+    sim_lte.autoset_limits()
+    wb = Workbench()
+    wb.freq_obs, wb.int_obs = freq_obs, int_obs
+    wb.autoset_limits()
+    np.testing.assert_allclose(wb.ll, sim_lte.ll, rtol=0, atol=0)
+    np.testing.assert_allclose(wb.ul, sim_lte.ul, rtol=0, atol=0)
+    assert len(wb.ll) == 3
+
+
+@requires_reference
+def test_beam_utilities_match_vendored(sim_lte):
+    """get_beam / invert_beam vs the vendored versions (reference
+    :1650-1700). rtol covers the truncated-vs-precise speed of light
+    (constants convention, CLAUDE.md); invert_beam is additionally checked
+    as the exact inverse of apply_beam."""
+    from cha1_mcmc_tpu.ops import apply_beam, get_beam, invert_beam
+
+    freq = np.linspace(9000.0, 30000.0, 7)
+    ints = np.linspace(0.5, 2.0, 7)
+    np.testing.assert_allclose(get_beam(np, freq, 100.0),
+                               sim_lte.get_beam(freq.copy(), 100.0),
+                               rtol=2e-4)
+    np.testing.assert_allclose(
+        invert_beam(np, freq, ints, 30.0, 100.0),
+        sim_lte.invert_beam(freq.copy(), ints.copy(), 30.0, 100.0),
+        rtol=5e-4)
+    round_trip = apply_beam(np, freq, invert_beam(np, freq, ints, 30.0, 100.0),
+                            30.0, 100.0)
+    np.testing.assert_allclose(round_trip, ints, rtol=1e-14)
+
+
+@requires_reference
+def test_make_gauss_params_matches_vendored(sim_lte, tmp_path):
+    """make_gauss_params vs the vendored version (reference :3968-3988):
+    identical triples, including the literal-3E5 velocity shift."""
+    from cha1_mcmc_tpu.analysis import make_gauss_params
+
+    path = tmp_path / "lines.txt"
+    path.write_text("18638.615 0.012\n20000.0 0.034\n24101.25 0.002\n")
+    mine = make_gauss_params(str(path), vlsr=5.8, dV=0.73)
+    ref = sim_lte.make_gauss_params(str(path), 5.8, 0.73)
+    assert mine == ref

@@ -317,3 +317,73 @@ def test_presets_and_spec_converter(tmp_path):
     # v=0 maps to the rest frequency
     idx = np.argmin(np.abs(arr[0] - 23963.9))
     assert np.isclose(arr[1][idx], i[100])
+
+
+@requires_reference
+def test_workbench_multiwindow_sticks():
+    """List-valued [ll, ul]: the stick sim concatenates per-window trims in
+    order (reference trim_array append walk, functions.py:507-540), and
+    equals the single-window runs pieced together."""
+    wb = Workbench(ll=[18000.0, 23000.0], ul=[19000.0, 24000.0],
+                   T=7.0, C=3.4e12, dV=0.89)
+    wb.load_mol(f"{CATALOG_DIR}/hc5n_hfs.cat")
+    multi_f, multi_i = wb.freq_rest.copy(), wb.int_sim.copy()
+    pieces_f, pieces_i = [], []
+    for a, b in [(18000.0, 19000.0), (23000.0, 24000.0)]:
+        w = Workbench(ll=a, ul=b, T=7.0, C=3.4e12, dV=0.89)
+        w.load_mol(f"{CATALOG_DIR}/hc5n_hfs.cat")
+        pieces_f.append(w.freq_rest)
+        pieces_i.append(w.int_sim)
+    np.testing.assert_array_equal(multi_f, np.concatenate(pieces_f))
+    np.testing.assert_array_equal(multi_i, np.concatenate(pieces_i))
+    assert multi_f.size > 0
+    # gauss mode renders per window on the same grid as single-window runs
+    wb.gauss = True
+    wb.run_sim()
+    w0 = Workbench(ll=18000.0, ul=19000.0, T=7.0, C=3.4e12, dV=0.89, gauss=True)
+    w0.load_mol(f"{CATALOG_DIR}/hc5n_hfs.cat")
+    n0 = w0.freq_sim.size
+    np.testing.assert_allclose(wb.freq_sim[:n0], w0.freq_sim)
+    np.testing.assert_allclose(wb.int_sim[:n0], w0.int_sim)
+
+
+@requires_reference
+def test_workbench_mod_shortcuts():
+    wb = Workbench(ll=18000.0, ul=25000.0, T=7.0, C=1.0e12, dV=0.89)
+    wb.load_mol(f"{CATALOG_DIR}/hc5n_hfs.cat")
+    wb.mod2()
+    assert wb.C == 2.0e12
+    wb.mod12()   # x1.2, not x12 (the reference's comment says so too)
+    assert wb.C == pytest.approx(2.4e12)
+    wb.mod_2()
+    wb.mod_12()
+    wb.mod10()
+    wb.mod_10()
+    assert wb.C == pytest.approx(1.0e12)
+
+
+@requires_reference
+def test_workbench_write_sim_params_and_npz(tmp_path):
+    wb = Workbench(ll=18000.0, ul=25000.0, T=7.0, C=3.4e12, dV=0.89,
+                   vlsr=4.1, source_size=52.0, dish_size=70.0)
+    wb.load_mol(f"{CATALOG_DIR}/hc5n_hfs.cat")
+    wb.load_obs(HC5N_DATA)
+
+    out = wb.write_sim_params(str(tmp_path / "hc5n.sim_params"),
+                              rms=True, lines=True, notes="verify run")
+    text = open(out).read()
+    assert f"Catalog File:\t{CATALOG_DIR}/hc5n_hfs.cat" in text
+    assert "Column Density:\t3.40e+12 cm-2" in text
+    assert f"Q(7.0)\t\t\t{int(wb.get_Q())}" in text
+    assert "Qvib(7.0)\t\t1.00000" in text
+    assert "RMS in Range:" in text
+    assert "++++++Simulated Lines++++++" in text
+    assert "++++++Notes++++++" in text and "verify run" in text
+    # the embedded line table is the mK line_table
+    for row in wb.line_table(mK=True):
+        assert row in text
+
+    wb.write_npz_spec(str(tmp_path / "obs.npz"))
+    data = np.load(tmp_path / "obs.npz")
+    np.testing.assert_array_equal(data["freq_obs"], wb.freq_obs)
+    np.testing.assert_array_equal(data["int_obs"], wb.int_obs)
