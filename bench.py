@@ -151,9 +151,10 @@ def bench_dense() -> dict:
     """Dense-catalog stress case (SURVEY §6): full batched lnprob over the
     35,460-transition 1-cyanonaphthalene catalog, 2048 channels, 128
     walkers — the HBM-bandwidth headline. Times build_lnprob_batched with
-    the CSR Pallas kernel (compiled, not interpreted — this is the one
-    place the driver exercises the kernel on the real chip every round)
-    against the pure-jnp einsum path (what XLA does unaided).
+    the channel-major gather path (the default) and the CSR Pallas kernel
+    (compiled, not interpreted — this is the one place the driver
+    exercises the kernel on the real chip every round) against the
+    pure-jnp einsum path (what XLA does unaided).
     """
     import jax
     import jax.numpy as jnp
@@ -190,8 +191,12 @@ def bench_dense() -> dict:
         np.array([3.24e12, 7.5, center, 0.78])
         * (1 + 0.01 * rng.standard_normal((NWALKERS, 4))), jnp.float32)
 
+    lnprob_gather = build_lnprob_batched(
+        model, spec, ints, yerrs, lnprior, use_pallas=True, dv_max=1.5,
+        pallas_kernel="gather")
     lnprob_csr = build_lnprob_batched(
-        model, spec, ints, yerrs, lnprior, use_pallas=True, dv_max=1.5)
+        model, spec, ints, yerrs, lnprior, use_pallas=True, dv_max=1.5,
+        pallas_kernel="csr")
 
     # jnp comparison path: same math as build_lnprob_batched's non-Pallas
     # branch, but with the (L, C) velocity grid passed as an *argument* —
@@ -246,15 +251,18 @@ def bench_dense() -> dict:
             best = min(best, (time.perf_counter() - t0) / DENSE_EVALS)
         return best
 
+    gather_s = timed(lnprob_gather)
     csr_s = timed(lnprob_csr)
     jnp_s = timed(lnprob_jnp, model.vel_grid)
+    best = min(gather_s, csr_s)
     return {
         "n_lines": L,
         "n_channels": DENSE_CHANNELS,
         "nwalkers": NWALKERS,
+        "gather_ms_per_eval": round(gather_s * 1e3, 3),
         "csr_ms_per_eval": round(csr_s * 1e3, 3),
         "jnp_ms_per_eval": round(jnp_s * 1e3, 3),
-        "speedup_vs_jnp": round(jnp_s / csr_s, 2),
+        "speedup_vs_jnp": round(jnp_s / best, 2),
     }
 
 

@@ -16,7 +16,7 @@ from cha1_mcmc_tpu.analysis.tbg import calc_tbg
 from cha1_mcmc_tpu.analysis.peaks import (find_peaks, find_obs_peaks,
                                            find_obs_brights)
 from cha1_mcmc_tpu.analysis.fitting import gauss_func, gauss_fit, make_gauss_params
-from cha1_mcmc_tpu.analysis.conversions import jy_to_k, k_to_jy
+from cha1_mcmc_tpu.analysis.conversions import jy_to_k, k_to_jy, planck_k_to_jy
 from cha1_mcmc_tpu.analysis.renderer import render_gaussian_profile
 from cha1_mcmc_tpu.analysis.obs_tools import (
     subtract_baseline,
@@ -59,5 +59,6 @@ __all__ = [
     "make_gauss_params",
     "jy_to_k",
     "k_to_jy",
+    "planck_k_to_jy",
     "render_gaussian_profile",
 ]

@@ -19,7 +19,8 @@ __all__ = ["render_gaussian_profile"]
 
 
 def render_gaussian_profile(stick_freqs, stick_ints, dV: float,
-                            ll: float, ul: float, res: float):
+                            ll: float, ul: float, res: float,
+                            cavity_split: float | None = None):
     """Return (freq_grid, intensity) of the Gaussian-broadened spectrum.
 
     stick_freqs/stick_ints: line frequencies (MHz) and stick amplitudes;
@@ -27,6 +28,12 @@ def render_gaussian_profile(stick_freqs, stick_ints, dV: float,
     Matches reference functions.py:544-623 semantics: the adaptive grid is
     the union of per-line windows of +-10 FWHM at resolution `res`, sorted;
     accumulated intensity is interpolated onto arange(ll, ul + 1e-8, res).
+
+    cavity_split (km/s): cavity-FTMW Doppler doublets — each stick renders
+    as two half-amplitude Gaussians at f(1 -+ split/ckm), the grid still
+    built from the unsplit line centers (reference simulate_lte.py's
+    vendored sim_gaussian, :1475-1487; pass dV = the cavity linewidth, the
+    tool overrides it to cavity_dV at :1370).
     """
     stick_freqs = np.asarray(stick_freqs, dtype=np.float64)
     stick_ints = np.asarray(stick_ints, dtype=np.float64)
@@ -62,9 +69,18 @@ def render_gaussian_profile(stick_freqs, stick_ints, dV: float,
     chunk = max(1, int(2e7 // max(G, 1)))
     for s in range(0, stick_freqs.size, chunk):
         e = min(s + chunk, stick_freqs.size)
-        d = freq_gauss[None, :] - stick_freqs[s:e, None]
-        int_gauss += (stick_ints[s:e, None]
-                      * np.exp(-(d * d) / (2.0 * c[s:e, None] ** 2))).sum(axis=0)
+        if cavity_split is not None:
+            shift = cavity_split * stick_freqs[s:e, None] / CKM
+            two_c2 = 2.0 * c[s:e, None] ** 2
+            dl = freq_gauss[None, :] - (stick_freqs[s:e, None] - shift)
+            dh = freq_gauss[None, :] - (stick_freqs[s:e, None] + shift)
+            int_gauss += (0.5 * stick_ints[s:e, None]
+                          * (np.exp(-(dl * dl) / two_c2)
+                             + np.exp(-(dh * dh) / two_c2))).sum(axis=0)
+        else:
+            d = freq_gauss[None, :] - stick_freqs[s:e, None]
+            int_gauss += (stick_ints[s:e, None]
+                          * np.exp(-(d * d) / (2.0 * c[s:e, None] ** 2))).sum(axis=0)
 
     freq_sim = np.arange(ll, ul + 1e-8, res)
     return freq_sim, np.interp(freq_sim, freq_gauss, int_gauss)

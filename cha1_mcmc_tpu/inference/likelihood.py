@@ -24,7 +24,8 @@ from cha1_mcmc_tpu.ops.lte import planck_J, beam_dilution, tau_sticks
 from cha1_mcmc_tpu.inference.params import ParamSpec
 
 __all__ = ["build_lnlike", "build_lnprob", "build_lnprob_batched",
-           "batched_model_pallas", "batched_model_pallas_csr"]
+           "batched_model_pallas", "batched_model_pallas_csr",
+           "batched_model_gather"]
 
 
 def _rt_tail(opac, ss, Tex, grid_freq, dish_size, Tbg, dtype):
@@ -106,6 +107,32 @@ def batched_model_pallas_csr(line_freq, line_elower, line_aij, line_gup,
     return _rt_tail(opac, ss, Tex, grid_freq, dish_size, Tbg, dtype)
 
 
+def batched_model_gather(line_freq, line_elower, line_aij, line_gup,
+                         line_glow, q_model, grid_freq, mask_center,
+                         dish_size, Tbg, dtype, spec, thetas, line_table,
+                         vel_t):
+    """(N, C) walker-batched forward model via the channel-major gather
+    opacity (models/pallas_kernels.py:opacity_gather) — pure jnp, fastest
+    when the ±10·dV window is element-sparse (dense catalogs on coarse
+    grids). The line arrays here are the *active subset* selected by
+    build_opacity_gather; taus are computed only for those."""
+    from cha1_mcmc_tpu.models.pallas_kernels import opacity_gather
+
+    thetas = jnp.asarray(thetas, dtype=dtype)
+    N = thetas.shape[0]
+    K = spec.ncomp
+    ss, Ncol, Tex, vlsr, dV = spec.unpack(thetas)
+    Q = q_model(Tex)
+    taus = tau_sticks(jnp, line_freq, line_elower, line_aij, line_gup,
+                      line_glow, Q[:, None, None], Ncol[..., None],
+                      Tex[:, None, None], dV[:, None, None])      # (N, K, La)
+    opac = opacity_gather(
+        taus.reshape(N * K, -1), vlsr.reshape(N * K),
+        jnp.broadcast_to(dV[:, None], (N, K)).reshape(N * K),
+        line_table, vel_t, mask_center=mask_center).reshape(N, K, -1)
+    return _rt_tail(opac, ss, Tex, grid_freq, dish_size, Tbg, dtype)
+
+
 def build_lnlike(model: SpectralModel, spec: ParamSpec, grid_ints, grid_yerrs):
     """Scalar lnlike(theta) (reference inference.py:127-166).
 
@@ -146,7 +173,7 @@ def build_lnprob(model: SpectralModel, spec: ParamSpec, grid_ints, grid_yerrs, l
 def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
                          grid_yerrs, lnprior_fn, *, use_pallas: bool = False,
                          dv_max: float | None = None, interpret: bool = False,
-                         pallas_kernel: str = "csr",
+                         pallas_kernel: str = "gather",
                          dv_min: float | None = None,
                          vlsr_bounds: tuple | None = None):
     """Batched lnprob(thetas (N, D)) -> (N,), optionally Pallas-backed.
@@ -154,11 +181,13 @@ def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
     The vmapped scalar path (build_lnprob) materializes a (N, L, C) Gaussian
     intermediate; for dense catalogs that is HBM-bandwidth-bound or simply
     too large to compile. This builder keeps the walker batch explicit so
-    the opacity accumulation can run through a Pallas kernel
+    the opacity accumulation can run through a sparse kernel
     (models/pallas_kernels.py) exploiting the +-10*dV window sparsity:
-    pallas_kernel="csr" (default) compacts each channel tile to its active
-    lines; "block" uses tile-level block sparsity (the fallback when the
-    compaction tables would be degenerate).
+    pallas_kernel="gather" (default) uses the channel-major gather table
+    (pure jnp; fastest when few lines touch each channel); "csr" is the
+    Pallas kernel compacting each channel tile to its active lines
+    (for when the gather table's M would be large); "block" uses
+    tile-level block sparsity.
 
     dv_max: upper bound on dV used for the *static* sparsity structure
     (take it from the prior box bounds); required when use_pallas=True.
@@ -186,7 +215,18 @@ def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
                     and window_is_exact(
                         dv_min, max(abs(vlsr_bounds[0] - model.mask_center),
                                     abs(vlsr_bounds[1] - model.mask_center))))
-        if pallas_kernel == "csr":
+        if pallas_kernel == "gather":
+            from cha1_mcmc_tpu.models.pallas_kernels import build_opacity_gather
+
+            g_table, g_vel, g_active = build_opacity_gather(
+                np.asarray(model.vel_grid), model.mask_center, dv_max)
+            g_table = jnp.asarray(g_table)
+            g_vel = jnp.asarray(g_vel, dtype)
+            g_lines = tuple(jnp.asarray(np.asarray(arr)[g_active])
+                            for arr in (model.line_freq, model.line_elower,
+                                        model.line_aij, model.line_gup,
+                                        model.line_glow))
+        elif pallas_kernel == "csr":
             line_table, vel_compact, tile_counts = build_opacity_csr(
                 np.asarray(model.vel_grid), model.mask_center, dv_max)
             line_table = jnp.asarray(line_table)
@@ -200,7 +240,12 @@ def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
 
     def lnprob_batch(thetas):
         thetas = jnp.asarray(thetas, dtype=dtype)
-        if use_pallas and pallas_kernel == "csr":
+        if use_pallas and pallas_kernel == "gather":
+            m = batched_model_gather(
+                *g_lines, model.q_model, model.grid_freq, model.mask_center,
+                model.dish_size, model.Tbg, dtype, spec, thetas, g_table,
+                g_vel)
+        elif use_pallas and pallas_kernel == "csr":
             m = batched_model_pallas_csr(
                 model.line_freq, model.line_elower, model.line_aij,
                 model.line_gup, model.line_glow, model.q_model,

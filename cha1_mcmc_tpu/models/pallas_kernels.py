@@ -32,7 +32,8 @@ from cha1_mcmc_tpu.constants import FWHM_TO_SIGMA_MODEL, VELOCITY_WINDOW_DV
 
 __all__ = ["opacity_pallas", "opacity_pallas_mxu", "opacity_pallas_fused",
            "opacity_pallas_csr", "build_opacity_csr", "window_is_exact",
-           "block_activity_mask", "block_activity_mask_traced"]
+           "block_activity_mask", "block_activity_mask_traced",
+           "build_opacity_gather", "opacity_gather"]
 
 # Tile sizes: walker tile x channel tile x line tile. Chosen so the largest
 # in-kernel intermediate (TL x TC f32) is 256 KB and the velocity block DMA
@@ -436,3 +437,67 @@ def opacity_pallas_csr(taus, vlsr, dV, line_table, vel_compact, tile_counts,
         interpret=interpret,
     )(*tables, tau_c, vlsr_p, dv_p, jnp.asarray(vel_compact, dtype))
     return out[:W, :n_channels]
+
+
+# ---------------------------------------------------------------------------
+# Channel-major gather formulation: the window sparsity transposed. The CSR
+# kernel compacts lines per 128-channel tile, but each line's ±10·dV window
+# covers only ~1-2 channels of the 128 it is then evaluated against, so even
+# the compacted kernel burns ~99% of its VPU exp work on zeros
+# (1-cyanonaphthalene @ 2048 channels: 4,972 in-window (line, channel) pairs
+# out of 72.6M — 2.4 contributing lines per channel on average, max 46).
+# Here the static table is per *channel*: line_table[m, c] lists the lines
+# whose widest-possible window covers channel c. The opacity becomes a
+# gather + (W, M, C) elementwise Gaussian + a length-M reduction — pure jnp
+# (no Pallas needed; XLA fuses it), with M ~ tens instead of L ~ tens of
+# thousands. Lines that cover no channel at all are dropped from the tau
+# computation too (the `active` subset).
+# ---------------------------------------------------------------------------
+
+
+def build_opacity_gather(vel_grid: np.ndarray, mask_center: float,
+                         dv_max: float):
+    """Static channel-major gather tables for opacity_gather.
+
+    Returns (line_table (M, C) int32, vel_t (M, C) f32, active (La,) int64):
+    line_table[m, c] indexes into the `active` line subset (the caller
+    computes taus only for catalog lines `active`); vel_t[m, c] is that
+    line's velocity at channel c. M is the max number of in-window lines
+    over channels. Padding entries carry vel 1e30 (Gaussian exactly 0 in
+    f32) and line index 0. Static per (datagrid, prior dV bound) — same
+    inputs as block_activity_mask / build_opacity_csr.
+    """
+    vel_grid = np.asarray(vel_grid)
+    L, C = vel_grid.shape
+    inside = np.abs(vel_grid - mask_center) < VELOCITY_WINDOW_DV * dv_max
+    counts = inside.sum(axis=0)
+    M = max(int(counts.max()), 1)
+    active = np.flatnonzero(inside.any(axis=1))
+    if active.size == 0:
+        active = np.array([0], dtype=np.int64)
+    remap = np.zeros(L, dtype=np.int32)
+    remap[active] = np.arange(active.size, dtype=np.int32)
+    line_table = np.zeros((M, C), dtype=np.int32)
+    vel_t = np.full((M, C), 1e30, dtype=vel_grid.dtype)
+    for c in np.flatnonzero(counts):
+        idx = np.flatnonzero(inside[:, c])
+        line_table[:idx.size, c] = remap[idx]
+        vel_t[:idx.size, c] = vel_grid[idx, c]
+    return line_table, vel_t, active
+
+
+@functools.partial(jax.jit, static_argnames=("mask_center",))
+def opacity_gather(taus, vlsr, dV, line_table, vel_t, *, mask_center: float):
+    """Accumulated Gaussian opacity via the channel-major gather, (W, C).
+
+    taus: (W, La) over the active-line subset from build_opacity_gather;
+    vlsr, dV: (W,); line_table/vel_t: (M, C). Exact ±10·dV window
+    semantics (the per-walker window select is kept — it is M-cheap here).
+    """
+    sigma = (dV / FWHM_TO_SIGMA_MODEL)[:, None, None]
+    window = jnp.abs(vel_t - mask_center) < (
+        VELOCITY_WINDOW_DV * dV[:, None, None])
+    z = (vel_t - vlsr[:, None, None]) / sigma
+    gauss = jnp.where(window, jnp.exp(-0.5 * z * z), 0.0)   # (W, M, C)
+    tau_g = jnp.take(taus, line_table, axis=-1)             # (W, M, C)
+    return jnp.sum(tau_g * gauss, axis=-2)

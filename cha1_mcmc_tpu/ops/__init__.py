@@ -10,6 +10,7 @@ from cha1_mcmc_tpu.ops.lte import (
     planck_J,
     beam_dilution,
     apply_beam,
+    apply_beam_interferometer,
     get_beam,
     invert_beam,
     tau_sticks,
@@ -17,4 +18,4 @@ from cha1_mcmc_tpu.ops.lte import (
     scale_temp,
 )
 
-__all__ = ["planck_J", "beam_dilution", "apply_beam", "get_beam", "invert_beam", "tau_sticks", "stick_spectrum", "scale_temp"]
+__all__ = ["planck_J", "beam_dilution", "apply_beam", "apply_beam_interferometer", "get_beam", "invert_beam", "tau_sticks", "stick_spectrum", "scale_temp"]

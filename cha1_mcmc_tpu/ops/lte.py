@@ -49,6 +49,16 @@ def apply_beam(xp, freq_mhz, intensity, source_size, dish_size):
     return intensity * beam_dilution(xp, freq_mhz, source_size, dish_size)
 
 
+def apply_beam_interferometer(xp, intensity, source_size, synth_beam):
+    """Beam dilution against a synthesized (bmaj, bmin) arcsec beam — the
+    vendored tool's interferometer=True branch (reference
+    simulate_lte.py:1580-1648): beam = (bmaj + bmin) / 2, frequency-
+    independent; same ss^2/(beam^2 + ss^2) dilution."""
+    beam_size = (synth_beam[0] + synth_beam[1]) / 2.0
+    return intensity * (source_size ** 2
+                        / (beam_size ** 2 + source_size ** 2))
+
+
 def get_beam(xp, freq_mhz, dish_size):
     """Diffraction-limited beam size in arcseconds
     (reference simulate_lte.py:1650-1664)."""

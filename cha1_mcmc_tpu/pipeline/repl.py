@@ -275,11 +275,28 @@ class WorkbenchShell(cmd.Cmd):
 
     def do_quickloads(self, arg):
         """quickloads — list the named survey presets (reference
-        print_quickloads :7966)."""
-        from cha1_mcmc_tpu.pipeline.presets import PRESETS
+        print_quickloads :7966): fit presets and workbench sessions."""
+        from cha1_mcmc_tpu.pipeline.presets import PRESETS, WORKBENCH_PRESETS
 
+        self._say("fit presets (python -m cha1_mcmc_tpu fit):")
         for name in sorted(PRESETS):
             self._say(f"  {name}")
+        self._say("workbench sessions (preset NAME [OBS_PATH]):")
+        for name in sorted(WORKBENCH_PRESETS):
+            self._say(f"  {name}")
+
+    def do_preset(self, arg):
+        """preset NAME [OBS_PATH] — replace the session with a survey
+        quickload (reference load_mm1/load_tmc1/load_asai/..., :7554);
+        with OBS_PATH also loads the observation and autosets windows."""
+        from cha1_mcmc_tpu.pipeline.presets import load_workbench_preset
+
+        parts = arg.split()
+        self.wb = load_workbench_preset(parts[0],
+                                        parts[1] if len(parts) > 1 else None)
+        self._say(f"session '{parts[0]}': T={self.wb.T} K  dV={self.wb.dV} "
+                  f"km/s  vlsr={self.wb.vlsr}  dish={self.wb.dish_size} m  "
+                  f"tbg={self.wb.tbg_type}")
 
     def do_baseline(self, arg):
         """baseline C0 [C1 C2 ...] — subtract a polynomial baseline from

@@ -41,7 +41,9 @@ class Workbench:
     def __init__(self, *, ll=0.0, ul=1e9, res=0.01, dish_size=100.0,
                  source_size=1e20, vlsr=0.0, dV=5.0, T=300.0, C=1e13,
                  tbg_params=T_CMB, tbg_type="constant", tbg_range=(),
-                 gauss=False, vibs=None):
+                 gauss=False, vibs=None, eta=1.0, planck=False,
+                 synth_beam=None, interferometer=False, cavity_ftmw=False,
+                 cavity_dV=0.13, cavity_split=0.826):
         self.ll, self.ul, self.res = ll, ul, res
         self.dish_size, self.source_size = dish_size, source_size
         self.vlsr, self.dV, self.T, self.C = vlsr, dV, T, C
@@ -49,6 +51,16 @@ class Workbench:
         self.tbg_range = list(tbg_range)
         self.gauss = gauss
         self.vibs = list(vibs) if vibs is not None else None
+        # telescope frame (reference simulate_lte.py:196-226): eta = beam
+        # efficiency; planck + synth_beam = Jy/beam display scale;
+        # interferometer = synthesized-beam dilution; cavity_* = FTMW
+        # Doppler-doublet simulation (gauss mode only, like the tool).
+        self.eta = float(eta)
+        self.planck = bool(planck)
+        self.synth_beam = list(synth_beam) if synth_beam is not None else None
+        self.interferometer = bool(interferometer)
+        self.cavity_ftmw = bool(cavity_ftmw)
+        self.cavity_dV, self.cavity_split = float(cavity_dV), float(cavity_split)
         self.catalog = None
         self.q_model = None
         self.freq_sim = np.array([])
@@ -119,9 +131,21 @@ class Workbench:
             tbg = calc_tbg(self.tbg_params, self.tbg_type, self.tbg_range, freq)
             J_T = planck_J(np, freq, self.T)
             J_Tbg = planck_J(np, freq, tbg)
-            ints = (J_T - J_Tbg) * (1.0 - np.exp(-tau))
-            ints = apply_beam(np, freq, ints, self.source_size, self.dish_size)
+            ints = (J_T - J_Tbg) * (1.0 - np.exp(-tau)) / self.eta
+            ints = self._beam(freq, ints)
         return idx, freq, tau, ints
+
+    def _beam(self, freq, ints):
+        """Dish-beam or synthesized-beam dilution (reference apply_beam,
+        simulate_lte.py:1580-1648)."""
+        if self.interferometer:
+            from cha1_mcmc_tpu.ops.lte import apply_beam_interferometer
+
+            if self.synth_beam is None:
+                raise RuntimeError("interferometer=True needs synth_beam=[bmaj, bmin]")
+            return apply_beam_interferometer(np, ints, self.source_size,
+                                             self.synth_beam)
+        return apply_beam(np, freq, ints, self.source_size, self.dish_size)
 
     def line_table(self, thresh=float("-inf"), rest=True, mK=False):
         """Catalog info for the simulated lines above `thresh` — the
@@ -208,18 +232,21 @@ class Workbench:
                 # rendered grid with the per-channel Tbg model; rendered
                 # per window, concatenated in window order.
                 fgs, igs = [], []
+                # cavity mode renders doublets at the cavity linewidth
+                # (reference sim_gaussian overrides linewidth, :1370)
+                r_dV = self.cavity_dV if self.cavity_ftmw else self.dV
+                split = self.cavity_split if self.cavity_ftmw else None
                 for (a, b) in self._windows():
                     in_w = (freq > a) & (freq <= b)
                     fg, tau_g = render_gaussian_profile(
-                        freq[in_w], tau[in_w], dV=self.dV, ll=a, ul=b,
-                        res=self.res)
+                        freq[in_w], tau[in_w], dV=r_dV, ll=a, ul=b,
+                        res=self.res, cavity_split=split)
                     tbg = calc_tbg(self.tbg_params, self.tbg_type,
                                    self.tbg_range, fg)
                     J_T = planck_J(np, fg, self.T)
                     J_Tbg = planck_J(np, fg, tbg)
-                    ig = (J_T - J_Tbg) * (1.0 - np.exp(-tau_g))
-                    ig = apply_beam(np, fg, ig, self.source_size,
-                                    self.dish_size)
+                    ig = (J_T - J_Tbg) * (1.0 - np.exp(-tau_g)) / self.eta
+                    ig = self._beam(fg, ig)
                     fgs.append(fg)
                     igs.append(ig)
                 freq_out = np.concatenate(fgs)
@@ -227,6 +254,12 @@ class Workbench:
             else:
                 ints = stick_ints
                 freq_out = freq
+            if self.planck:
+                from cha1_mcmc_tpu.analysis.conversions import planck_k_to_jy
+
+                if self.synth_beam is None:
+                    raise RuntimeError("planck=True needs synth_beam=[bmaj, bmin]")
+                ints = planck_k_to_jy(ints, freq_out, self.synth_beam)
         # vlsr shift of the simulated frame (reference :1816-1820)
         self.freq_sim = freq_out * (1.0 - self.vlsr / CKM)
         self.int_sim = ints

@@ -616,3 +616,129 @@ def test_make_gauss_params_matches_vendored(sim_lte, tmp_path):
     mine = make_gauss_params(str(path), vlsr=5.8, dV=0.73)
     ref = sim_lte.make_gauss_params(str(path), 5.8, 0.73)
     assert mine == ref
+
+
+@requires_reference
+def test_telescope_frame_matches_vendored(sim_lte):
+    """eta / interferometer / planck stick-mode branches vs the vendored
+    tool run in place (reference simulate_lte.py run_sim :1817-1855,
+    apply_beam :1580-1648): the base Kelvin spectrum is taken from the
+    tool itself (source_size=1e20 -> dilution exactly 1.0 in f64), so the
+    precise-vs-truncated constants difference cancels and each branch's
+    multiplicative transform is checked exactly."""
+    from cha1_mcmc_tpu.analysis.conversions import planck_k_to_jy
+    from cha1_mcmc_tpu.ops.lte import apply_beam_interferometer
+    from tests.conftest import CATALOG_DIR
+
+    cat = f"{CATALOG_DIR}/benzonitrile.cat"
+    sim_lte.T, sim_lte.C, sim_lte.dV, sim_lte.vlsr = 12.0, 5.0e12, 0.7, 0.0
+    sim_lte.ll, sim_lte.ul = 5000.0, 9000.0
+    sim_lte.gauss = False
+    sim_lte.rms, sim_lte.thermal = float("-inf"), float("inf")
+    sim_lte.tbg_params, sim_lte.tbg_type, sim_lte.tbg_range = 2.7, "constant", []
+    sim_lte.eta, sim_lte.planck, sim_lte.interferometer = 1.0, False, False
+    sim_lte.synth_beam = [0.26, 0.26]
+    sim_lte.source_size, sim_lte.dish_size = 1e20, 100.0
+    sim_lte.load_mol(cat)
+    f0 = np.copy(sim_lte.freq_sim)
+    int_undil = np.copy(sim_lte.int_sim)
+    assert int_undil.size and np.abs(int_undil).max() > 0
+
+    try:
+        # eta divides the stick intensities (run_sim :1817)
+        sim_lte.eta = 2.5
+        sim_lte.load_mol(cat)
+        np.testing.assert_allclose(sim_lte.int_sim, int_undil / 2.5,
+                                   rtol=1e-12)
+        sim_lte.eta = 1.0
+
+        # interferometer: frequency-independent (bmaj+bmin)/2 dilution
+        sim_lte.interferometer, sim_lte.synth_beam = True, [10.0, 6.0]
+        sim_lte.source_size = 5.0
+        sim_lte.load_mol(cat)
+        np.testing.assert_allclose(
+            sim_lte.int_sim,
+            apply_beam_interferometer(np, int_undil, 5.0, [10.0, 6.0]),
+            rtol=1e-12)
+        sim_lte.interferometer, sim_lte.source_size = False, 1e20
+
+        # planck-scale K -> Jy (run_sim :1831-1855)
+        sim_lte.planck, sim_lte.synth_beam = True, [0.26, 0.26]
+        sim_lte.load_mol(cat)
+        np.testing.assert_allclose(
+            sim_lte.int_sim, planck_k_to_jy(int_undil, f0, [0.26, 0.26]),
+            rtol=1e-12)
+    finally:
+        sim_lte.eta, sim_lte.planck, sim_lte.interferometer = 1.0, False, False
+        sim_lte.source_size = 1e20
+
+    # the Workbench wires the same branches (workbench.py _beam/run_sim)
+    from cha1_mcmc_tpu.pipeline.workbench import Workbench
+
+    common = dict(ll=5000.0, ul=9000.0, T=12.0, C=5.0e12, dV=0.7, vlsr=0.0)
+    wb = Workbench(**common)
+    wb.load_mol(cat)
+    base = wb.int_sim.copy()
+    wb_eta = Workbench(eta=2.5, **common)
+    wb_eta.load_mol(cat)
+    np.testing.assert_allclose(wb_eta.int_sim, base / 2.5, rtol=1e-12)
+    wb_int = Workbench(interferometer=True, synth_beam=[10.0, 6.0],
+                       source_size=5.0, **common)
+    wb_int.load_mol(cat)
+    np.testing.assert_allclose(
+        wb_int.int_sim, apply_beam_interferometer(np, base, 5.0, [10.0, 6.0]),
+        rtol=1e-12)
+    wb_pl = Workbench(planck=True, synth_beam=[0.26, 0.26], **common)
+    wb_pl.load_mol(cat)
+    np.testing.assert_allclose(
+        wb_pl.int_sim, planck_k_to_jy(base, wb.freq_sim, [0.26, 0.26]),
+        rtol=1e-12)
+
+
+@requires_reference
+def test_cavity_ftmw_renderer_matches_vendored(sim_lte):
+    """Cavity-FTMW Doppler doublets vs the vendored sim_gaussian called
+    directly on controlled sticks (reference :1368-1487: linewidth
+    overridden to cavity_dV, half-amplitude components at
+    f(1 -+ split/ckm), grid built from the unsplit centers). The tool
+    returns the RT'd spectrum with its own precise constants; invert that
+    RT exactly with the tool's h/k to recover the accumulated tau and
+    compare grids + accumulation at 1e-10."""
+    rng = np.random.default_rng(7)
+    freqs = np.sort(rng.uniform(18100.0, 18900.0, 12))
+    taus = rng.uniform(0.02, 0.4, freqs.size)
+    T, res, cav_dV, cav_split = 9.0, 0.01, 0.13, 0.826
+
+    sim_lte.T, sim_lte.eta, sim_lte.res = T, 1.0, res
+    sim_lte.rms = float("-inf")
+    sim_lte.tbg_params, sim_lte.tbg_type, sim_lte.tbg_range = 2.7, "constant", []
+    sim_lte.quietflag = True
+    sim_lte.two_fwhm_only = sim_lte.match_obs = False
+    sim_lte.cavity_ftmw = True
+    sim_lte.cavity_dV, sim_lte.cavity_split = cav_dV, cav_split
+    # pin the tool's precise ckm to the live pipeline's truncated value
+    # (constants.py:10, CLAUDE.md convention) for the comparison
+    ckm_tool = sim_lte.ckm
+    sim_lte.ckm = 2.998e5
+    try:
+        fg, ig = sim_lte.sim_gaussian(taus.copy(), freqs.copy(), 5.0)
+    finally:
+        sim_lte.cavity_ftmw = False
+        sim_lte.ckm = ckm_tool
+    # invert the tool's RT with the tool's own constants
+    h, k = sim_lte.h, sim_lte.k
+    J_T = (h * fg * 1e6 / k) / (np.exp(h * fg * 1e6 / (k * T)) - 1.0)
+    J_Tbg = (h * fg * 1e6 / k) / (np.exp(h * fg * 1e6 / (k * 2.7)) - 1.0)
+    tau_tool = -np.log(1.0 - ig / (J_T - J_Tbg))
+
+    ll, ul = 18000.0, 19000.0
+    fu, tau_mine = render_gaussian_profile(freqs, taus, dV=cav_dV, ll=ll,
+                                           ul=ul, res=res,
+                                           cavity_split=cav_split)
+    expected = np.interp(fu, fg, tau_tool)
+    np.testing.assert_allclose(tau_mine, expected, rtol=1e-8, atol=1e-12)
+    # doublet structure: no peak at the rest frequency, peaks at +-split
+    i0 = np.argmin(np.abs(fu - freqs[0]))
+    ckm = 299792.458
+    ilo = np.argmin(np.abs(fu - freqs[0] * (1 - cav_split / ckm)))
+    assert tau_mine[ilo] > 2 * tau_mine[i0]

@@ -271,3 +271,65 @@ def test_sampler_with_batched_lnprob(hc5n_problem, hc5n_datagrid):
                                        batched=True)
     assert np.isfinite(np.asarray(lnps)).all()
     assert np.asarray(chain).shape == (40, 16, 4)
+
+
+@pytest.mark.parametrize("W,L,C", [(12, 700, 300), (8, 512, 128), (3, 50, 700)])
+def test_opacity_gather_matches_dense(W, L, C):
+    """Channel-major gather path (pure jnp) vs the dense reference,
+    including the active-line subset bookkeeping."""
+    from cha1_mcmc_tpu.models.pallas_kernels import (build_opacity_gather,
+                                                     opacity_gather)
+
+    center = 4.10
+    vel, taus, vlsr, dV = _random_problem(W, L, C)
+    expected = _dense_reference(vel, taus, vlsr, dV, center)
+    line_table, vel_t, active = build_opacity_gather(vel, center, dv_max=1.5)
+    assert active.size <= L
+    out = opacity_gather(jnp.asarray(taus[:, active]), jnp.asarray(vlsr),
+                         jnp.asarray(dV), jnp.asarray(line_table),
+                         jnp.asarray(vel_t), mask_center=center)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4,
+                               atol=1e-6 * max(1.0, expected.max()))
+
+
+def test_opacity_gather_window_semantics():
+    """The per-walker window select stays exact: a line just outside
+    10*dV_w for one walker but inside 10*dv_max must not contribute for
+    that walker (same regression family as the unmasked-kernel test)."""
+    from cha1_mcmc_tpu.models.pallas_kernels import (build_opacity_gather,
+                                                     opacity_gather)
+
+    center = 4.10
+    vel, taus, vlsr, dV = _random_problem(6, 120, 80, seed=3)
+    dV = np.full_like(dV, 0.5)
+    dV[0] = 1.4  # walker 0 sees a much wider window than the others
+    expected = _dense_reference(vel, taus, vlsr, dV, center)
+    line_table, vel_t, active = build_opacity_gather(vel, center, dv_max=1.5)
+    out = opacity_gather(jnp.asarray(taus[:, active]), jnp.asarray(vlsr),
+                         jnp.asarray(dV), jnp.asarray(line_table),
+                         jnp.asarray(vel_t), mask_center=center)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4,
+                               atol=1e-7)
+
+
+def test_batched_lnprob_gather_matches_csr(hc5n_problem, hc5n_datagrid):
+    """build_lnprob_batched(pallas_kernel='gather') == 'csr' (interpret) ==
+    the plain jnp path on the flagship problem."""
+    from cha1_mcmc_tpu.inference.likelihood import build_lnprob_batched
+
+    model, spec, lnprior = (hc5n_problem["model"], hc5n_problem["spec"],
+                            hc5n_problem["lnprior"])
+    ints, yerrs = hc5n_datagrid.ints, hc5n_datagrid.yerrs
+    rng = np.random.default_rng(5)
+    thetas = np.array([3.24e12, 7.5, 4.11, 0.78]) * (
+        1 + 0.02 * rng.standard_normal((10, 4)))
+    base = build_lnprob_batched(model, spec, ints, yerrs, lnprior)
+    gather = build_lnprob_batched(model, spec, ints, yerrs, lnprior,
+                                  use_pallas=True, dv_max=1.5,
+                                  pallas_kernel="gather")
+    a = np.asarray(base(thetas))
+    b = np.asarray(gather(thetas))
+    keep = np.isfinite(a)
+    assert keep.any()
+    np.testing.assert_allclose(a[keep], b[keep], rtol=1e-5, atol=2e-3)
+    np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))

@@ -387,3 +387,26 @@ def test_workbench_write_sim_params_and_npz(tmp_path):
     data = np.load(tmp_path / "obs.npz")
     np.testing.assert_array_equal(data["freq_obs"], wb.freq_obs)
     np.testing.assert_array_equal(data["int_obs"], wb.int_obs)
+
+
+@requires_reference
+def test_workbench_quickload_presets(tmp_path):
+    """The vendored tool's quickload vocabulary as session presets
+    (reference simulate_lte.py:7554-7998): parameters land on the session,
+    the observation loads, windows autoset, and each preset's Tbg model
+    evaluates."""
+    from cha1_mcmc_tpu.pipeline.presets import (WORKBENCH_PRESETS,
+                                                load_workbench_preset)
+
+    assert len(WORKBENCH_PRESETS) == 16
+    wb = load_workbench_preset("tmc1", HC5N_DATA)
+    assert (wb.T, wb.dV, wb.vlsr, wb.source_size) == (8.0, 0.15, 5.82, 30.0)
+    assert not np.isscalar(wb.ll)  # autoset_limits ran
+    wb.load_mol(f"{CATALOG_DIR}/hc5n_hfs.cat")
+    assert wb.freq_sim.size > 0
+    # every preset constructs and its Tbg model evaluates at 20 GHz
+    for name in WORKBENCH_PRESETS:
+        w = load_workbench_preset(name)
+        assert np.isfinite(w.tbg_at(2e4)), name
+    with pytest.raises(KeyError):
+        load_workbench_preset("nope")
