@@ -20,7 +20,10 @@ __all__ = ["render_gaussian_profile"]
 
 def render_gaussian_profile(stick_freqs, stick_ints, dV: float,
                             ll: float, ul: float, res: float,
-                            cavity_split: float | None = None):
+                            cavity_split: float | None = None,
+                            two_fwhm_only: bool = False,
+                            match_obs=None,
+                            rms: float = float("-inf")):
     """Return (freq_grid, intensity) of the Gaussian-broadened spectrum.
 
     stick_freqs/stick_ints: line frequencies (MHz) and stick amplitudes;
@@ -34,9 +37,28 @@ def render_gaussian_profile(stick_freqs, stick_ints, dV: float,
     built from the unsplit line centers (reference simulate_lte.py's
     vendored sim_gaussian, :1475-1487; pass dV = the cavity linewidth, the
     tool overrides it to cavity_dV at :1370).
+
+    two_fwhm_only: the vendored tool's grid-thinning flag (simulate_lte.py
+    :236, :1376-1384): per-line windows shrink to +-2 FWHM, but the
+    window-merge walk still extends groups by +10 FWHM of the group leader
+    (the reference quirk at :1388-1394 is kept).
+
+    match_obs: observed frequency axis (MHz); when given, each line window
+    becomes the slice of this axis between the nearest samples to
+    [min_f, max_f] (the tool's match_obs mode, :1396-1404), and the
+    *adaptive* grid is returned un-regridded — the vendored sim_gaussian
+    never interpolates onto a uniform grid; the uniform regrid below is
+    the live pipeline's (functions.py:618-623) convention.
+
+    rms: sticks with |amplitude| < rms/10 are skipped in the accumulation
+    (but still shape the grid) — the tool's weak-line cutoff (:1425).
+    (The tool's res_kHz / res_kms unit flags are declared at :208-212 but
+    never read by any code path, so they are not reproduced.)
     """
     stick_freqs = np.asarray(stick_freqs, dtype=np.float64)
     stick_ints = np.asarray(stick_ints, dtype=np.float64)
+    if match_obs is not None:
+        match_obs = np.asarray(match_obs, dtype=np.float64)
 
     l_f = dV * stick_freqs / CKM                       # per-line FWHM in MHz
     # Adaptive grid with the reference's exact window-merging walk
@@ -48,18 +70,29 @@ def render_gaussian_profile(stick_freqs, stick_ints, dV: float,
     x = 0
     while x < n:
         w = l_f[x]
-        min_f = stick_freqs[x] - 10 * w
-        max_f = stick_freqs[x] + 10 * w
+        half = 2 if two_fwhm_only else 10
+        min_f = stick_freqs[x] - half * w
+        max_f = stick_freqs[x] + half * w
         if x < n - 2:
             while stick_freqs[x + 1] < max_f and x < n - 2:
                 x += 1
                 max_f = stick_freqs[x] + 10 * w
-        pieces.append(np.arange(min_f, max_f, res))
+        if match_obs is not None:
+            l_idx = int(np.abs(match_obs - min_f).argmin())
+            u_idx = int(np.abs(match_obs - max_f).argmin())
+            pieces.append(match_obs[l_idx:u_idx])
+        else:
+            pieces.append(np.arange(min_f, max_f, res))
         x += 1
     if pieces:
         freq_gauss = np.sort(np.concatenate(pieces))
     else:
         freq_gauss = np.arange(ll, ul + 1e-8, res)
+
+    if np.isfinite(rms):
+        keep = ~(np.abs(stick_ints) < rms / 10.0)
+        stick_freqs, stick_ints, l_f = (stick_freqs[keep], stick_ints[keep],
+                                        l_f[keep])
 
     c = l_f / FWHM_TO_SIGMA_PLOT                       # per-line sigma in MHz
     # (L, G) accumulation, vectorized; for very large L x G fall back to
@@ -82,5 +115,7 @@ def render_gaussian_profile(stick_freqs, stick_ints, dV: float,
             int_gauss += (stick_ints[s:e, None]
                           * np.exp(-(d * d) / (2.0 * c[s:e, None] ** 2))).sum(axis=0)
 
+    if match_obs is not None:
+        return freq_gauss, int_gauss
     freq_sim = np.arange(ll, ul + 1e-8, res)
     return freq_sim, np.interp(freq_sim, freq_gauss, int_gauss)

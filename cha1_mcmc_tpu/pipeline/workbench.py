@@ -43,7 +43,8 @@ class Workbench:
                  tbg_params=T_CMB, tbg_type="constant", tbg_range=(),
                  gauss=False, vibs=None, eta=1.0, planck=False,
                  synth_beam=None, interferometer=False, cavity_ftmw=False,
-                 cavity_dV=0.13, cavity_split=0.826):
+                 cavity_dV=0.13, cavity_split=0.826, two_fwhm_only=False,
+                 match_obs=False, rms=float("-inf")):
         self.ll, self.ul, self.res = ll, ul, res
         self.dish_size, self.source_size = dish_size, source_size
         self.vlsr, self.dV, self.T, self.C = vlsr, dV, T, C
@@ -61,6 +62,12 @@ class Workbench:
         self.interferometer = bool(interferometer)
         self.cavity_ftmw = bool(cavity_ftmw)
         self.cavity_dV, self.cavity_split = float(cavity_dV), float(cavity_split)
+        # gauss-mode grid variants (reference :234-236) and the weak-line
+        # accumulation cutoff (|stick| < rms/10 skipped, reference :1425;
+        # rms is session state the tool's user sets by hand, :176).
+        self.two_fwhm_only = bool(two_fwhm_only)
+        self.match_obs = bool(match_obs)
+        self.rms = float(rms)
         self.catalog = None
         self.q_model = None
         self.freq_sim = np.array([])
@@ -236,11 +243,16 @@ class Workbench:
                 # (reference sim_gaussian overrides linewidth, :1370)
                 r_dV = self.cavity_dV if self.cavity_ftmw else self.dV
                 split = self.cavity_split if self.cavity_ftmw else None
+                obs_axis = (self.freq_obs if self.match_obs
+                            and self.freq_obs is not None
+                            and np.size(self.freq_obs) else None)
                 for (a, b) in self._windows():
                     in_w = (freq > a) & (freq <= b)
                     fg, tau_g = render_gaussian_profile(
                         freq[in_w], tau[in_w], dV=r_dV, ll=a, ul=b,
-                        res=self.res, cavity_split=split)
+                        res=self.res, cavity_split=split,
+                        two_fwhm_only=self.two_fwhm_only,
+                        match_obs=obs_axis, rms=self.rms)
                     tbg = calc_tbg(self.tbg_params, self.tbg_type,
                                    self.tbg_range, fg)
                     J_T = planck_J(np, fg, self.T)

@@ -742,3 +742,104 @@ def test_cavity_ftmw_renderer_matches_vendored(sim_lte):
     ckm = 299792.458
     ilo = np.argmin(np.abs(fu - freqs[0] * (1 - cav_split / ckm)))
     assert tau_mine[ilo] > 2 * tau_mine[i0]
+
+
+@requires_reference
+def test_renderer_grid_variants_match_vendored(sim_lte):
+    """two_fwhm_only / match_obs / rms weak-line cutoff vs the vendored
+    sim_gaussian called directly (reference :1376-1425): same adaptive
+    grids (including the merge-walk-still-extends-by-10-FWHM quirk in
+    two_fwhm_only mode and the nearest-sample obs slicing in match_obs
+    mode) and the same accumulation with sticks below rms/10 dropped.
+    The tool's constants are pinned to the truncated ones and the RT is
+    inverted exactly as in the cavity test."""
+    rng = np.random.default_rng(11)
+    freqs = np.sort(rng.uniform(18100.0, 18900.0, 10))
+    taus = rng.uniform(0.02, 0.4, 10)
+    taus[3], taus[7] = 1e-4, 2e-5      # below the rms/10 cutoff used below
+    T, res, dV = 9.0, 0.01, 0.5
+    freq_obs = np.arange(18050.0, 18950.0, 0.033)
+
+    sim_lte.T, sim_lte.eta, sim_lte.res = T, 1.0, res
+    sim_lte.tbg_params, sim_lte.tbg_type, sim_lte.tbg_range = 2.7, "constant", []
+    sim_lte.quietflag = True
+    sim_lte.cavity_ftmw = False
+    ckm_tool = sim_lte.ckm
+    sim_lte.ckm = 2.998e5
+    h, k = sim_lte.h, sim_lte.k
+
+    def tool_tau(**globals_):
+        for name, val in globals_.items():
+            setattr(sim_lte, name, val)
+        try:
+            fg, ig = sim_lte.sim_gaussian(taus.copy(), freqs.copy(), dV)
+        finally:
+            sim_lte.rms = float("-inf")
+            sim_lte.two_fwhm_only = sim_lte.match_obs = False
+        J_T = (h * fg * 1e6 / k) / (np.exp(h * fg * 1e6 / (k * T)) - 1.0)
+        J_Tbg = (h * fg * 1e6 / k) / (np.exp(h * fg * 1e6 / (k * 2.7)) - 1.0)
+        return fg, -np.log(1.0 - ig / (J_T - J_Tbg))
+
+    try:
+        ll, ul = 18000.0, 19000.0
+        # rms cutoff: sticks 3 and 7 are skipped but still shape the grid
+        fg, tau_tool = tool_tau(rms=5e-3)
+        fu, mine = render_gaussian_profile(freqs, taus, dV=dV, ll=ll, ul=ul,
+                                           res=res, rms=5e-3)
+        np.testing.assert_allclose(mine, np.interp(fu, fg, tau_tool),
+                                   rtol=1e-8, atol=1e-12)
+        full = render_gaussian_profile(freqs, taus, dV=dV, ll=ll, ul=ul,
+                                       res=res)[1]
+        assert np.abs(mine - full).max() > 1e-6  # the cutoff did something
+
+        # two_fwhm_only: thinned grid, 10-FWHM merge-extension quirk kept
+        fg, tau_tool = tool_tau(two_fwhm_only=True)
+        fu, mine = render_gaussian_profile(freqs, taus, dV=dV, ll=ll, ul=ul,
+                                           res=res, two_fwhm_only=True)
+        np.testing.assert_allclose(mine, np.interp(fu, fg, tau_tool),
+                                   rtol=1e-8, atol=1e-12)
+
+        # match_obs: identical grid (no regrid on either side)
+        sim_lte.freq_obs = freq_obs
+        fg, tau_tool = tool_tau(match_obs=True)
+        fu, mine = render_gaussian_profile(freqs, taus, dV=dV, ll=ll, ul=ul,
+                                           res=res, match_obs=freq_obs)
+        np.testing.assert_array_equal(fu, fg)
+        np.testing.assert_allclose(mine, tau_tool, rtol=1e-10, atol=1e-14)
+    finally:
+        sim_lte.ckm = ckm_tool
+
+
+@requires_reference
+def test_workbench_grid_variant_flags(sim_lte, tmp_path):
+    """The Workbench session flags wire through to the renderer: match_obs
+    renders on the loaded observation axis, two_fwhm_only thins the grid,
+    rms drops weak sticks."""
+    from cha1_mcmc_tpu.pipeline.workbench import Workbench
+    from tests.conftest import CATALOG_DIR, HC5N_DATA
+
+    cat = f"{CATALOG_DIR}/hc5n_hfs.cat"
+    common = dict(ll=18000.0, ul=22000.0, T=8.0, C=5.0e12, dV=0.6,
+                  vlsr=0.0, gauss=True)
+    wb = Workbench(**common)
+    wb.load_mol(cat)
+    base_int = wb.int_sim.copy()
+
+    # two_fwhm_only thins the adaptive grid to +-2 FWHM: the uniform
+    # regrid keeps the peaks but flattens the outer wings
+    wb2 = Workbench(two_fwhm_only=True, **common)
+    wb2.load_mol(cat)
+    # (the arange phase shifts with the window start, so the regridded
+    # peak sample moves slightly)
+    assert wb2.int_sim.max() == pytest.approx(base_int.max(), rel=2e-2)
+    assert np.abs(wb2.int_sim - base_int).max() > 0
+
+    wb3 = Workbench(match_obs=True, **common)
+    wb3.load_obs(HC5N_DATA)
+    wb3.load_mol(cat)
+    assert np.isin(wb3.freq_sim * (1 - 0.0), wb3.freq_obs).all() or \
+        np.isin(np.round(wb3.freq_sim, 6), np.round(wb3.freq_obs, 6)).all()
+
+    wb4 = Workbench(rms=1e6, **common)   # absurd rms: every stick skipped
+    wb4.load_mol(cat)
+    assert np.allclose(wb4.int_sim, 0.0)
