@@ -236,7 +236,12 @@ def bench_dense() -> dict:
         @jax.jit
         def run(thetas, *extra):
             def body(carry, _):
-                lnp = fn(thetas * (1.0 + 1e-6 * carry), *extra)
+                # data dependence between iterations defeats the runtime's
+                # identical-call caching; sin() bounds the perturbation to
+                # +-1e-6 so thetas stay inside the prior box for every one
+                # of the timed evals (an unbounded carry feedback walks
+                # vlsr out of bounds mid-scan and times -inf/NaN inputs)
+                lnp = fn(thetas * (1.0 + 1e-6 * jnp.sin(carry)), *extra)
                 return jnp.float32(jnp.mean(lnp)), ()
 
             carry, _ = jax.lax.scan(body, jnp.float32(0.0), None,
@@ -360,6 +365,17 @@ def bench_baseline() -> dict:
 
 
 def main():
+    # Persistent compiled-executable cache: bench wall time is dominated by
+    # XLA compiles (the sampling itself is ~0.2 s total), so repeated runs
+    # on the same machine skip straight to measurement. jax is pre-imported
+    # by this machine's sitecustomize, so the env var may be too late —
+    # use the runtime config knob.
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    except Exception:
+        pass
     tpu = bench_tpu()
     base = bench_baseline()
     try:

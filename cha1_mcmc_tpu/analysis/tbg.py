@@ -18,6 +18,8 @@ __all__ = ["calc_tbg"]
 
 def _range_indices(frequencies: np.ndarray, ll: float, ul: float):
     """Same windowing convention as trim_array (reference functions.py:507)."""
+    if frequencies.size == 0:   # empty simulation window: nothing to label
+        return None
     above_ll = np.where(frequencies > ll)[0]
     if above_ll.size == 0:
         if frequencies[-1] < ll:

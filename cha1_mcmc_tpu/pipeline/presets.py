@@ -88,13 +88,13 @@ def _asai(T, dV, source_size=1e20):
 
 # Session parameters of the vendored tool's quickloads (reference
 # simulate_lte.py:7554-7998). Keys are workbench keyword arguments; the
-# observation data is user-supplied (see module docstring). mm1's Jy-scale
-# (planck=True, synth_beam=[0.26, 0.26]) display mode is not a session
-# parameter here — use analysis.k_to_jy on the outputs instead.
+# observation data is user-supplied (see module docstring).
 WORKBENCH_PRESETS = {
-    # ALMA NGC 6334I MM1 (load_mm1, :7554): per-window continuum Tbg.
+    # ALMA NGC 6334I MM1 (load_mm1, :7554): per-window continuum Tbg,
+    # Jy/beam display scale (planck=True + 0.26" synthesized beam).
     "mm1": dict(
         T=135.0, dV=3.2, vlsr=-7.0, C=1e17,
+        planck=True, synth_beam=[0.26, 0.26],
         tbg_type="constant",
         tbg_params=[11.25, 11.25, 27.4, 27.4, 27.4, 26.94, 28.16, 35.0,
                     31.28, 31.28, 43.0, 41.38, 35.9, 35.9],
@@ -103,8 +103,10 @@ WORKBENCH_PRESETS = {
                    [290000, 295000], [302400, 306100], [336000, 340000],
                    [348000, 352000], [635000, 690000], [698400, 706000],
                    [873500, 881500], [890000, 898000]]),
-    # GBT TMC-1 (load_tmc1 / load_tmc1_II, :7567): GOTHAM cold cloud.
-    "tmc1": dict(T=8.0, dV=0.15, vlsr=5.82, source_size=30.0,
+    # GBT TMC-1 (load_tmc1 / load_tmc1_II, :7567): GOTHAM cold cloud;
+    # the quickload doubles the render resolution (res *= 2 from the
+    # 0.01 MHz default, :7600).
+    "tmc1": dict(T=8.0, dV=0.15, vlsr=5.82, source_size=30.0, res=0.02,
                  dish_size=100.0, tbg_params=2.7, tbg_type="constant"),
     # GBT PRIMOS Sgr B2(N) (load_primos_cold / _hot, :7589): sgrb2
     # continuum model.

@@ -135,11 +135,20 @@ class Workbench:
                              cat.aij[idx], cat.gup[idx], cat.glow[idx],
                              Q, self.C, self.T, self.dV)
             freq = cat.frequency[idx]
-            tbg = calc_tbg(self.tbg_params, self.tbg_type, self.tbg_range, freq)
-            J_T = planck_J(np, freq, self.T)
-            J_Tbg = planck_J(np, freq, tbg)
+            # The vendored tool shifts frequencies into the observed frame
+            # *before* run_sim (simulate_lte.py:1969: freq_tmp +=
+            # (-vlsr)*freq_tmp/ckm), so every frequency-dependent factor —
+            # piecewise Tbg windows, J(T), beam dilution (and downstream
+            # the planck Jy scale and the gauss render grid) — is
+            # evaluated at observed-frame frequencies. Line selection and
+            # tau use rest frequencies (run_sim trims by the rest-frame
+            # global `frequency`, :1768-1778).
+            fs = freq * (1.0 - self.vlsr / CKM)
+            tbg = calc_tbg(self.tbg_params, self.tbg_type, self.tbg_range, fs)
+            J_T = planck_J(np, fs, self.T)
+            J_Tbg = planck_J(np, fs, tbg)
             ints = (J_T - J_Tbg) * (1.0 - np.exp(-tau)) / self.eta
-            ints = self._beam(freq, ints)
+            ints = self._beam(fs, ints)
         return idx, freq, tau, ints
 
     def _beam(self, freq, ints):
@@ -246,10 +255,17 @@ class Workbench:
                 obs_axis = (self.freq_obs if self.match_obs
                             and self.freq_obs is not None
                             and np.size(self.freq_obs) else None)
+                # observed frame throughout, like the vendored tool: the
+                # render grid is built around the *shifted* line centers
+                # (sim_gaussian receives pre-shifted freqs, :1969), so the
+                # window bounds shift with them and the Tbg/J/beam factors
+                # below are evaluated at observed-frame grid points.
+                shift = 1.0 - self.vlsr / CKM
                 for (a, b) in self._windows():
-                    in_w = (freq > a) & (freq <= b)
+                    in_w = (freq > a) & (freq <= b)   # selection: rest frame
                     fg, tau_g = render_gaussian_profile(
-                        freq[in_w], tau[in_w], dV=r_dV, ll=a, ul=b,
+                        freq[in_w] * shift, tau[in_w], dV=r_dV,
+                        ll=a * shift, ul=b * shift,
                         res=self.res, cavity_split=split,
                         two_fwhm_only=self.two_fwhm_only,
                         match_obs=obs_axis, rms=self.rms)
@@ -264,16 +280,18 @@ class Workbench:
                 freq_out = np.concatenate(fgs)
                 ints = np.concatenate(igs)
             else:
+                # _sticks() already evaluated the factors at observed-frame
+                # frequencies; only the axis labels shift here.
                 ints = stick_ints
-                freq_out = freq
+                freq_out = freq * (1.0 - self.vlsr / CKM)
             if self.planck:
                 from cha1_mcmc_tpu.analysis.conversions import planck_k_to_jy
 
                 if self.synth_beam is None:
                     raise RuntimeError("planck=True needs synth_beam=[bmaj, bmin]")
                 ints = planck_k_to_jy(ints, freq_out, self.synth_beam)
-        # vlsr shift of the simulated frame (reference :1816-1820)
-        self.freq_sim = freq_out * (1.0 - self.vlsr / CKM)
+        # freq_out is already the observed (vlsr-shifted) frame
+        self.freq_sim = freq_out
         self.int_sim = ints
         self.tau_sim = tau
         # Stick frequencies for the opacities, shifted like freq_sim: in
@@ -524,6 +542,11 @@ class Workbench:
 
         if self.catalog is None:
             raise RuntimeError("load_mol() first")
+        if self.int_sim.size == 0:
+            raise RuntimeError("no lines in the simulation windows — "
+                               "widen [ll, ul] before write_sim_params()")
+        if rms and self.freq_obs is None:
+            raise RuntimeError("load_obs() first (write_sim_params(rms=True))")
         cat_file = self.catalog.catalog_file
         if outfile is None:
             outfile = cat_file.split("/")[-1].split(".")[0] + ".sim_params"
@@ -622,7 +645,14 @@ class Workbench:
                         vlsr=self.vlsr, dV=self.dV, T=self.T, C=self.C,
                         tbg_params=self.tbg_params, tbg_type=self.tbg_type,
                         tbg_range=self.tbg_range, gauss=self.gauss,
-                        vibs=self.vibs),
+                        vibs=self.vibs, eta=self.eta, planck=self.planck,
+                        synth_beam=self.synth_beam,
+                        interferometer=self.interferometer,
+                        cavity_ftmw=self.cavity_ftmw,
+                        cavity_dV=self.cavity_dV,
+                        cavity_split=self.cavity_split,
+                        two_fwhm_only=self.two_fwhm_only,
+                        match_obs=self.match_obs, rms=self.rms),
             catalog_file=self.catalog.catalog_file if self.catalog else None,
             stored_names=list(self.stored),
         )

@@ -843,3 +843,66 @@ def test_workbench_grid_variant_flags(sim_lte, tmp_path):
     wb4 = Workbench(rms=1e6, **common)   # absurd rms: every stick skipped
     wb4.load_mol(cat)
     assert np.allclose(wb4.int_sim, 0.0)
+
+
+@requires_reference
+def test_vlsr_frame_matches_vendored(sim_lte):
+    """Frequency-dependent factors are evaluated in the *observed* frame:
+    the vendored tool shifts frequencies before run_sim (simulate_lte.py
+    :1969), so Tbg windows / J(T) / beam dilution see vlsr-shifted
+    frequencies while line selection and tau stay rest-frame. Compared via
+    the per-line ratio int(vlsr=v)/int(vlsr=0), which cancels the tool's
+    precise-vs-truncated constants and its own Q tables; the Tbg window
+    boundary is placed between one line's rest and shifted frequency so a
+    rest-frame evaluation (ratio exactly 1) cannot pass."""
+    from cha1_mcmc_tpu.pipeline.workbench import Workbench
+    from tests.conftest import CATALOG_DIR
+
+    cat = f"{CATALOG_DIR}/benzonitrile.cat"
+    v = -7.0
+    sim_lte.T, sim_lte.C, sim_lte.dV = 12.0, 5.0e12, 0.7
+    sim_lte.ll, sim_lte.ul = 5000.0, 9000.0
+    sim_lte.gauss = False
+    sim_lte.rms, sim_lte.thermal = float("-inf"), float("inf")
+    sim_lte.eta, sim_lte.planck, sim_lte.interferometer = 1.0, False, False
+    sim_lte.source_size, sim_lte.dish_size = 30.0, 100.0
+    sim_lte.vlsr = 0.0
+    sim_lte.tbg_params, sim_lte.tbg_type = 2.7, "constant"
+    sim_lte.tbg_range = []
+    sim_lte.load_mol(cat)
+    f_rest = np.copy(sim_lte.freq_sim)
+
+    # place a Tbg boundary between line 0's rest and shifted frequency
+    f0 = float(f_rest[0])
+    edge = f0 * (1 - 0.5 * v / sim_lte.ckm)     # halfway to the shift
+    tbg_params = [3.0, 30.0]
+    tbg_range = [[5000.0, edge], [edge, 9000.0]]
+
+    def tool_ints(vlsr):
+        sim_lte.vlsr = vlsr
+        sim_lte.tbg_params, sim_lte.tbg_type = tbg_params, "constant"
+        sim_lte.tbg_range = tbg_range
+        sim_lte.load_mol(cat)
+        return np.copy(sim_lte.int_sim)
+
+    try:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio_tool = tool_ints(v) / tool_ints(0.0)
+    finally:
+        sim_lte.vlsr = 0.0
+        sim_lte.tbg_params, sim_lte.tbg_range = 2.7, []
+    keep = np.isfinite(ratio_tool)        # zero-intensity sticks give 0/0
+    assert np.abs(ratio_tool[keep] - 1.0).max() > 0.5  # the boundary crossing
+
+    common = dict(ll=5000.0, ul=9000.0, T=12.0, C=5.0e12, dV=0.7,
+                  source_size=30.0, dish_size=100.0,
+                  tbg_params=tbg_params, tbg_type="constant",
+                  tbg_range=tbg_range)
+    wb_v = Workbench(vlsr=v, **common)
+    wb_v.load_mol(cat)
+    wb_0 = Workbench(vlsr=0.0, **common)
+    wb_0.load_mol(cat)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio_mine = wb_v.int_sim / wb_0.int_sim
+    np.testing.assert_allclose(ratio_mine[keep], ratio_tool[keep], rtol=1e-7)
+    np.testing.assert_array_equal(np.isfinite(ratio_mine), keep)
