@@ -164,8 +164,12 @@ def _tokenize_python(lines: list[str]) -> dict:
             gup[i] = _decode_qn(gup_s, has_pm=False)
         tag[i] = int(ln[44:51])
         qnformat[i] = int(ln[51:55])
-        for q in range(12):
+        for q in range(11):
             qn_raw[i][q] = ln[55 + 2 * q: 57 + 2 * q].strip() if len(ln) > 55 + 2 * q else ""
+        # qn12 runs to end of line, not 2 chars (reference classes.py:178:
+        # qn12 = x[line][77:].strip()) — matters only for catalogs wider
+        # than 79 columns, but the hash-matched glow depends on it.
+        qn_raw[i][11] = ln[77:].strip() if len(ln) > 77 else ""
 
     # Column-wise parity detection, then per-field decode (reference
     # classes.py:180-214 applies fix_pm per column).

@@ -273,11 +273,8 @@ def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
             z = (model.vel_grid - vlsr[..., None, None]) / sigma
             gauss = jnp.where(window, jnp.exp(-0.5 * z * z), 0.0)  # (N,K,L,C)
             opac = jnp.einsum("nkl,nklc->nkc", taus, gauss)
-            J_T = planck_J(jnp, model.grid_freq, Tex[:, None, None], guard=1e-10)
-            J_Tbg = planck_J(jnp, model.grid_freq,
-                             jnp.asarray(model.Tbg, dtype=dtype), guard=1e-10)
-            dil = beam_dilution(jnp, model.grid_freq, ss[..., None], model.dish_size)
-            m = jnp.sum(dil * (J_T - J_Tbg) * (1.0 - jnp.exp(-opac)), axis=1)
+            m = _rt_tail(opac, ss, Tex, model.grid_freq, model.dish_size,
+                         model.Tbg, dtype)
 
         resid = y - m
         ll = -0.5 * jnp.sum(resid * resid * inv_sigma2 - jnp.log(inv_sigma2), axis=-1)

@@ -234,20 +234,22 @@ class SpectralFit:
                   f"({prev.shape[1]} existing steps).{RESET}")
             state = self.sampler.load_state(cfg.chain_path)
             if state is not None:
-                pos, key = state[0], state[1]  # exact random-stream continuation
+                pos, lnp0, key = state  # exact random-stream continuation
             else:
+                lnp0 = None
                 key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), prev.shape[1])
         else:
             rng = np.random.default_rng(cfg.seed)
             pos = initialize_walkers(initial, prior_stds, cfg.nwalkers,
                                      self._is_within_bounds, rng=rng)
             key = jax.random.PRNGKey(cfg.seed)
+            lnp0 = None
 
         from cha1_mcmc_tpu.utils import trace_profile
 
         with trace_profile(cfg.profile_dir):
             self.sampler.run_mcmc(
-                pos, cfg.nruns, key,
+                pos, cfg.nruns, key, lnp0=lnp0,
                 checkpoint_every=cfg.checkpoint_every,
                 chain_file=cfg.chain_path, progress=True)
         print(f"{GRAY}Acceptance fraction: {self.sampler.acceptance_fraction:.3f}{RESET}")

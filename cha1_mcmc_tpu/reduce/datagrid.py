@@ -49,23 +49,18 @@ class Datagrid:
             [self.freqs, self.ints, self.yerrs, self.covered_trans], dtype=object)
 
 
-def read_spectrum(data, restfreqs, int_sim, *, aligned_velocity, shift=None,
-                  GHz=False, block_interlopers=True, verbose=True,
-                  peak_threshold: float = 0.05, velocity_halfwidth: float = 1.5,
-                  interloper_sigma: float = 3.5, calibration_frac: float = 0.1) -> Datagrid:
-    """Select covered channels from an observed spectrum.
+def _select_channels(data, restfreqs, int_sim, *, vel_of, vel_window,
+                     noise_fn, interloper_sigma, GHz, block_interlopers,
+                     verbose, peak_threshold, calibration_frac) -> Datagrid:
+    """Shared per-transition channel-selection walk (reference
+    inference.py:256-303 and scripts/MCMC/TMC1_four_component.py:69-116 —
+    the two variants differ only in the velocity conversion, the window
+    criterion, the noise estimator, and the interloper threshold, all
+    injected here so the selection loop exists once).
 
-    `data` is a (2, N) array [freqs_MHz, intensity]. Semantics per reference
-    read_file (reference inference.py:256-303), including:
-      * a transition participates if its simulated intensity exceeds 5% of
-        the simulation's peak (reference :272-273);
-      * windows are channels with velocity within +-1.5 km/s of the aligned
-        velocity (reference :274-275);
-      * a window whose peak exceeds 3.5x its clipped noise is blocked as an
-        interloper (reference :279);
-      * yerr = sqrt(noise_std^2 + (0.1 * intensity)^2) (reference :290);
-      * overlapping windows overwrite; zero-frequency channels are dropped
-        at the end (reference :298-301).
+    Quirks kept: overlapping windows overwrite; zero-frequency channels
+    are dropped at the end (reference :298-301); yerr =
+    sqrt(noise_std^2 + (calibration_frac * intensity)^2) (reference :290).
     """
     freqs = np.asarray(data[0], dtype=np.float64)
     intensity = np.asarray(data[1], dtype=np.float64)
@@ -85,11 +80,10 @@ def read_spectrum(data, restfreqs, int_sim, *, aligned_velocity, shift=None,
     peak = np.max(int_sim)
     for i, rf in enumerate(np.asarray(restfreqs, dtype=np.float64)):
         if int_sim[i] > peak_threshold * peak:
-            vel = (rf - freqs) / rf * CKM + (shift if shift else aligned_velocity)
-            locs = np.where((vel < (aligned_velocity + velocity_halfwidth))
-                            & (vel > (aligned_velocity - velocity_halfwidth)))
+            vel = vel_of(rf, freqs)
+            locs = np.where((vel < vel_window[1]) & (vel > vel_window[0]))
             if locs[0].size != 0:
-                noise_mean, noise_std = calc_noise_std(intensity[locs])
+                noise_mean, noise_std = noise_fn(intensity[locs])
                 if block_interlopers and (np.max(intensity[locs]) > interloper_sigma * noise_std):
                     log(f"{rf:10.4f} MHz  |  Interloping line detected.")
                 else:
@@ -109,6 +103,35 @@ def read_spectrum(data, restfreqs, int_sim, *, aligned_velocity, shift=None,
         yerrs=relevant_yerrs[mask],
         covered_trans=np.array(covered_trans, dtype=int),
     )
+
+
+def read_spectrum(data, restfreqs, int_sim, *, aligned_velocity, shift=None,
+                  GHz=False, block_interlopers=True, verbose=True,
+                  peak_threshold: float = 0.05, velocity_halfwidth: float = 1.5,
+                  interloper_sigma: float = 3.5, calibration_frac: float = 0.1) -> Datagrid:
+    """Select covered channels from an observed spectrum.
+
+    `data` is a (2, N) array [freqs_MHz, intensity]. Semantics per reference
+    read_file (reference inference.py:256-303), including:
+      * a transition participates if its simulated intensity exceeds 5% of
+        the simulation's peak (reference :272-273);
+      * windows are channels with velocity within +-1.5 km/s of the aligned
+        velocity (reference :274-275);
+      * a window whose peak exceeds 3.5x its clipped noise is blocked as an
+        interloper (reference :279);
+      * yerr = sqrt(noise_std^2 + (0.1 * intensity)^2) (reference :290);
+      * overlapping windows overwrite; zero-frequency channels are dropped
+        at the end (reference :298-301).
+    """
+    return _select_channels(
+        data, restfreqs, int_sim,
+        vel_of=lambda rf, freqs: ((rf - freqs) / rf * CKM
+                                  + (shift if shift else aligned_velocity)),
+        vel_window=(aligned_velocity - velocity_halfwidth,
+                    aligned_velocity + velocity_halfwidth),
+        noise_fn=calc_noise_std, interloper_sigma=interloper_sigma,
+        GHz=GHz, block_interlopers=block_interlopers, verbose=verbose,
+        peak_threshold=peak_threshold, calibration_frac=calibration_frac)
 
 
 def read_spectrum_gotham(data, restfreqs, int_sim, *, shift: float = 0.0,
@@ -128,47 +151,13 @@ def read_spectrum_gotham(data, restfreqs, int_sim, *, shift: float = 0.0,
       * interlopers are blocked at 6 sigma (reference :92);
       * the 3-pass +-10-channel noise estimator (reference :29-66).
     """
-    freqs = np.asarray(data[0], dtype=np.float64)
-    intensity = np.asarray(data[1], dtype=np.float64)
-    if GHz:
-        freqs = freqs * 1000.0
-
-    relevant_freqs = np.zeros(freqs.shape)
-    relevant_intensity = np.zeros(intensity.shape)
-    relevant_yerrs = np.zeros(freqs.shape)
-    covered_trans = []
-
-    def log(msg):
-        if verbose:
-            print(f"{GRAY}{msg}{RESET}")
-
-    int_sim = np.asarray(int_sim, dtype=np.float64)
-    peak = np.max(int_sim)
-    for i, rf in enumerate(np.asarray(restfreqs, dtype=np.float64)):
-        if int_sim[i] > peak_threshold * peak:
-            vel = (rf - freqs) / rf * 300000.0 + shift
-            locs = np.where((vel < vel_window[1]) & (vel > vel_window[0]))
-            if locs[0].size != 0:
-                noise_mean, noise_std = calc_noise_std_gotham(intensity[locs])
-                if block_interlopers and (np.max(intensity[locs]) > interloper_sigma * noise_std):
-                    log(f"{rf:10.4f} MHz  |  Interloping line detected.")
-                else:
-                    covered_trans.append(i)
-                    log(f"{rf:10.4f} MHz  |  Line found.")
-                    relevant_freqs[locs] = freqs[locs]
-                    relevant_intensity[locs] = intensity[locs]
-                    relevant_yerrs[locs] = np.sqrt(
-                        noise_std ** 2 + (intensity[locs] * calibration_frac) ** 2)
-            else:
-                log(f"{rf:10.4f} MHz  |  No data.")
-
-    mask = relevant_freqs > 0
-    return Datagrid(
-        freqs=relevant_freqs[mask],
-        ints=relevant_intensity[mask],
-        yerrs=relevant_yerrs[mask],
-        covered_trans=np.array(covered_trans, dtype=int),
-    )
+    return _select_channels(
+        data, restfreqs, int_sim,
+        vel_of=lambda rf, freqs: (rf - freqs) / rf * 300000.0 + shift,
+        vel_window=vel_window,
+        noise_fn=calc_noise_std_gotham, interloper_sigma=interloper_sigma,
+        GHz=GHz, block_interlopers=block_interlopers, verbose=verbose,
+        peak_threshold=peak_threshold, calibration_frac=calibration_frac)
 
 
 def reduce_spectrum(catalog: Catalog, data_path: str, *, ll: float, ul: float,

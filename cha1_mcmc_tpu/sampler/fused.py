@@ -71,12 +71,15 @@ def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
         return q_scale * q
 
     def lnprob(th):  # (h, D) -> (h, 1)
+        dt = th.dtype  # keep scalar constants in the walkers' dtype so the
+        # f64 verification mode cross-checks the kernel bitwise against the
+        # general sampler (f32-rounding Tbg/ss would perturb lnp at ~1e-8)
         if ss is None:  # free source size: 5-dim (ss, Ncol, Tex, vlsr, dV)
             ss_w = th[:, 0:1]
             Ncol, Tex = th[:, 1:2], th[:, 2:3]
             vlsr, dV = th[:, 3:4], th[:, 4:5]
         else:
-            ss_w = jnp.float32(ss)
+            ss_w = jnp.asarray(ss, dt)
             Ncol, Tex = th[:, 0:1], th[:, 1:2]
             vlsr, dV = th[:, 2:3], th[:, 3:4]
         taus = tau_sticks(jnp, lf, le, la, lg, lgl,
@@ -92,7 +95,7 @@ def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
         gauss = jnp.where(window, jnp.exp2(aa * (d * d)), 0.0)
         opac = jnp.sum(taus[:, :, None] * gauss, axis=1)      # (h, C)
         J_T = planck_J(jnp, gf, Tex, guard=1e-10)
-        J_Tbg = planck_J(jnp, gf, jnp.float32(Tbg), guard=1e-10)
+        J_Tbg = planck_J(jnp, gf, jnp.asarray(Tbg, dt), guard=1e-10)
         dil = beam_dilution(jnp, gf, ss_w, dish_size)
         m = dil * (J_T - J_Tbg) * (1.0 - jnp.exp(-opac))
         resid = y - m
@@ -112,12 +115,15 @@ def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
         val = lp + ll
         return jnp.where(ok & jnp.isfinite(val), val, -jnp.inf)
 
-    def onehot(rows):  # (h, 1) int32 -> (h, W) f32 exact selector
+    wdt = coords_ref.dtype  # selector/accumulation dtype follows the
+    # walkers (f64 verification mode keeps the one-hot matmuls f64-exact)
+
+    def onehot(rows):  # (h, 1) int32 -> (h, W) exact selector
         cols = jax.lax.broadcasted_iota(jnp.int32, (h, W), 1)
-        return (cols == rows).astype(jnp.float32)
+        return (cols == rows).astype(wdt)
 
     def gather(sel, m):  # exact: each row multiplies one entry by 1.0
-        return jnp.dot(sel, m, preferred_element_type=jnp.float32,
+        return jnp.dot(sel, m, preferred_element_type=wdt,
                        precision=jax.lax.Precision.HIGHEST)
 
     # state carries coords || lnp as one (W, D+1) block so every gather /
@@ -139,9 +145,9 @@ def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
             # partner: pair indexes into the complementary half
             comp_rows = gather(onehot(comp), state)[:, :D]        # (h, D)
             sel_p = (jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)
-                     == pair_ref[r:r + 1, :].T).astype(jnp.float32)
+                     == pair_ref[r:r + 1, :].T).astype(wdt)
             c = jnp.dot(sel_p, comp_rows,
-                        preferred_element_type=jnp.float32,
+                        preferred_element_type=wdt,
                         precision=jax.lax.Precision.HIGHEST)      # (h, D)
             zz = (((a - 1.0) * zu_ref[r:r + 1, :] + 1.0) ** 2 / a).T
             proposal = c + zz * (s - c)                           # (h, D)
@@ -153,7 +159,7 @@ def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
                                         axis=1), 0.0)             # (h, D+1)
             # scatter back: one-hot transpose matmul (rows are disjoint)
             state = state + jnp.dot(sel_a.T, delta,
-                                    preferred_element_type=jnp.float32,
+                                    preferred_element_type=wdt,
                                     precision=jax.lax.Precision.HIGHEST)
             step_acc = step_acc + jnp.sum(accept.astype(jnp.float32))
         out_chain_ref[step * W:(step + 1) * W, :] = state[:, :D]

@@ -212,7 +212,7 @@ class EnsembleSampler:
 
     def run_mcmc(self, pos, nsteps: int, key, checkpoint_every: int = 256,
                  chain_file: str | None = None, progress: bool = False,
-                 thin: int = 1, max_retries: int = 2):
+                 thin: int = 1, max_retries: int = 2, lnp0=None):
         """Run `nsteps` steps, checkpointing the cumulative chain per block.
 
         Alongside the chain .npy, a `<chain>.state.npz` sidecar records the
@@ -228,7 +228,12 @@ class EnsembleSampler:
         inference.py:460-473).
         """
         pos = jnp.asarray(pos, dtype=self.dtype)
-        lnp = self._init_lnp(pos)
+        # lnp0 (from load_state) continues with the *saved* lnp rather
+        # than recomputing: a freshly-compiled lnprob program can round
+        # its reductions differently (and the fused kernel's in-kernel
+        # chi-2 differs by an f32 ulp from the scalar path), which could
+        # flip a marginal acceptance and break bitwise resume parity.
+        lnp = self._init_lnp(pos) if lnp0 is None else jnp.asarray(lnp0)
         done = 0
         retries = 0  # per-block; reset after each successful block
         iterator = None
@@ -275,8 +280,9 @@ class EnsembleSampler:
         return np.asarray(pos), np.asarray(lnp)
 
     def load_state(self, chain_file: str):
-        """Restore (pos, key) from a `.state.npz` sidecar for an exact
-        continuation; returns None if no sidecar exists."""
+        """Restore (pos, lnp, key) from a `.state.npz` sidecar for an exact
+        continuation (pass lnp to run_mcmc's lnp0); returns None if no
+        sidecar exists."""
         import os
 
         state_path = _state_path(chain_file)
@@ -285,7 +291,8 @@ class EnsembleSampler:
         state = np.load(state_path)
         self.accepted = int(state["accepted"])
         self.total_proposals = int(state["total_proposals"])
-        return state["pos"], jnp.asarray(state["key"], dtype=jnp.uint32)
+        return (state["pos"], state["lnp"],
+                jnp.asarray(state["key"], dtype=jnp.uint32))
 
 
 @dataclasses.dataclass

@@ -98,7 +98,9 @@ long spcat_parse(const char* text, long length, long max_lines,
         if (!is_blank(q, line_end)) {
             long line_len = line_end - q;
             for (int col = 0; col < 12; ++col) {
-                std::string s = field(q, line_len, 55 + 2 * col, 2);
+                // qn12 runs to end of line (reference classes.py:178)
+                long w = (col == 11) ? line_len - 77 : 2;
+                std::string s = field(q, line_len, 55 + 2 * col, w);
                 if (s == "+" || s == "-") col_has_pm[col] = true;
             }
         }
@@ -126,8 +128,9 @@ long spcat_parse(const char* text, long length, long max_lines,
             tag[n] = parse_long(field(q, line_len, 44, 7));
             qnformat[n] = parse_long(field(q, line_len, 51, 4));
             for (int col = 0; col < 12; ++col) {
+                long w = (col == 11) ? line_len - 77 : 2;  // qn12: to EOL
                 qn[n * 12 + col] =
-                    decode_qn(field(q, line_len, 55 + 2 * col, 2), col_has_pm[col]);
+                    decode_qn(field(q, line_len, 55 + 2 * col, w), col_has_pm[col]);
             }
             ++n;
         }

@@ -185,3 +185,41 @@ def test_parity_label_qns_synthetic(tmp_path):
         with open(path, "rb") as fh:
             nat = tokenize_native(fh.read())
         np.testing.assert_array_equal(nat["qn"], mine.qn)
+
+
+@requires_reference
+def test_qn12_reads_to_end_of_line(tmp_path):
+    """qn12 spans column 77 to end-of-line in the reference parser
+    (classes.py:178: x[line][77:]), not a 2-char field — verified on a
+    synthetic catalog with rows wider than 79 columns, against the
+    reference parser and both tokenizers."""
+    from cha1_mcmc_tpu.catalogs.native import native_available, tokenize_native
+    from cha1_mcmc_tpu.catalogs.spcat import _tokenize_python
+    from tests import reference_oracle
+
+    def row(freq, elow, gup, qns, tail=""):
+        qn_str = "".join(f"{q:>2}" for q in qns)
+        return (f"{freq:13.4f}{0.001:8.4f}{-5.0:8.4f} 2{elow:10.4f}"
+                f"{gup:3d}    123 304{qn_str}{tail}")
+
+    # last QN written as 3 digits: chars 77:80 = '123'
+    lines = [
+        row(10000.0, 0.0, 3, ["1", "0", "0", "1", "", "", "0", "0", "0", "1", "", "1"], "23"),
+        row(12000.0, 0.3, 5, ["2", "0", "0", "2", "", "", "1", "0", "0", "1", "", "9"], "87"),
+        row(14000.0, 0.7, 7, ["3", "0", "0", "3", "", "", "2", "0", "0", "2", "", "7"]),
+    ]
+    path = str(tmp_path / "wide_qn12.cat")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    classes, _, _ = reference_oracle.load_reference()
+    ref = classes.MolCat("wide", path)
+    mine = load_catalog(path)
+    assert list(mine.qn[:, 11]) == [123, 987, 7]
+    ref_qn = np.vstack([getattr(ref, f"qn{i}") for i in range(1, 13)]).T.astype(int)
+    np.testing.assert_array_equal(mine.qn, ref_qn)
+    np.testing.assert_array_equal(ref.glow, mine.glow)
+    if native_available():
+        with open(path, "rb") as fh:
+            nat = tokenize_native(fh.read())
+        np.testing.assert_array_equal(nat["qn"], mine.qn)

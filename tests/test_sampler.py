@@ -180,10 +180,10 @@ def test_multichain_sampler_pools_chains(tmp_path):
     s2 = MultiChainSampler(lnprob_fn=lnprob, nwalkers=K * W, ndim=2, n_chains=K)
     prev = np.load(chain_file)
     s2.preload(prev)
-    pos_r, key_r = s2.load_state(chain_file)
+    pos_r, lnp_r, key_r = s2.load_state(chain_file)
     assert pos_r.shape == (K, W, 2)
     s.run_mcmc(pos, 10, key, checkpoint_every=10)  # uninterrupted continuation
-    s2.run_mcmc(pos_r, 10, key_r, checkpoint_every=10)
+    s2.run_mcmc(pos_r, 10, key_r, checkpoint_every=10, lnp0=lnp_r)
     np.testing.assert_array_equal(s.chain, s2.chain)
 
 
