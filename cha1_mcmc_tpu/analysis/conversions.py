@@ -43,6 +43,9 @@ def planck_k_to_jy(intensity_k, freq_mhz, synth_beam):
     omega = synth_beam[0] * synth_beam[1]
     out = np.zeros_like(intensity_k)
     mask = intensity_k != 0
-    out[mask] = (3.92e-8 * freq_ghz[mask] ** 3 * omega
-                 / (np.exp(0.048 * freq_ghz[mask] / intensity_k[mask]) - 1.0))
+    # tiny K values overflow the exp to inf -> 0 Jy; the reference runs
+    # under a global np.seterr(over='ignore') (simulate_lte.py:1710-1711)
+    with np.errstate(over="ignore"):
+        out[mask] = (3.92e-8 * freq_ghz[mask] ** 3 * omega
+                     / (np.exp(0.048 * freq_ghz[mask] / intensity_k[mask]) - 1.0))
     return out

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from cha1_mcmc_tpu.analysis.stacking import find_nearest
 from cha1_mcmc_tpu.constants import CKM, FWHM_TO_SIGMA_PLOT
 
 __all__ = ["render_gaussian_profile"]
@@ -78,8 +79,10 @@ def render_gaussian_profile(stick_freqs, stick_ints, dV: float,
                 x += 1
                 max_f = stick_freqs[x] + 10 * w
         if match_obs is not None:
-            l_idx = int(np.abs(match_obs - min_f).argmin())
-            u_idx = int(np.abs(match_obs - max_f).argmin())
+            # exact find_nearest semantics (searchsorted, ties to the
+            # right) — the tool's window edges, simulate_lte.py:1396-1400
+            l_idx = find_nearest(match_obs, min_f)
+            u_idx = find_nearest(match_obs, max_f)
             pieces.append(match_obs[l_idx:u_idx])
         else:
             pieces.append(np.arange(min_f, max_f, res))

@@ -118,12 +118,25 @@ class Workbench:
             return [(float(self.ll), float(self.ul))]
         return [(float(a), float(b)) for a, b in zip(self.ll, self.ul)]
 
-    def _sticks(self):
-        """Trimmed stick opacities + beam-diluted stick intensities on rest
-        frequencies — the vendored run_sim's gauss=False compute core
-        (reference :1704-1820). Windows are concatenated in order, like the
+    def _sticks(self, obs_frame: bool = True):
+        """Trimmed stick opacities + beam-diluted stick intensities —
+        the vendored run_sim's gauss=False compute core (reference
+        :1704-1820). Windows are concatenated in order, like the
         reference's trim_array append walk (functions.py:507-540).
-        Returns (idx, freq, tau, ints) with idx the catalog line indices."""
+        Returns (idx, freq, tau, ints) with idx the catalog line indices
+        and freq the *rest* frequencies.
+
+        obs_frame: the vendored tool's main path shifts frequencies into
+        the observed frame *before* run_sim (simulate_lte.py:1969:
+        freq_tmp += (-vlsr)*freq_tmp/ckm), so every frequency-dependent
+        factor — piecewise Tbg windows, J(T), beam dilution (and
+        downstream the planck Jy scale and the gauss render grid) — is
+        evaluated at observed-frame frequencies; line selection and tau
+        use rest frequencies (run_sim trims by the rest-frame global
+        `frequency`, :1768-1778). print_lines, however, calls run_sim on
+        the *unshifted* catalog (:3719), so line_table passes
+        obs_frame=False to evaluate the factors at rest — a reference
+        inconsistency reproduced deliberately."""
         cat = self.catalog
         if cat is None:
             raise RuntimeError("load_mol() first")
@@ -135,15 +148,7 @@ class Workbench:
                              cat.aij[idx], cat.gup[idx], cat.glow[idx],
                              Q, self.C, self.T, self.dV)
             freq = cat.frequency[idx]
-            # The vendored tool shifts frequencies into the observed frame
-            # *before* run_sim (simulate_lte.py:1969: freq_tmp +=
-            # (-vlsr)*freq_tmp/ckm), so every frequency-dependent factor —
-            # piecewise Tbg windows, J(T), beam dilution (and downstream
-            # the planck Jy scale and the gauss render grid) — is
-            # evaluated at observed-frame frequencies. Line selection and
-            # tau use rest frequencies (run_sim trims by the rest-frame
-            # global `frequency`, :1768-1778).
-            fs = freq * (1.0 - self.vlsr / CKM)
+            fs = freq * (1.0 - self.vlsr / CKM) if obs_frame else freq
             tbg = calc_tbg(self.tbg_params, self.tbg_type, self.tbg_range, fs)
             J_T = planck_J(np, fs, self.T)
             J_Tbg = planck_J(np, fs, tbg)
@@ -175,9 +180,20 @@ class Workbench:
         occurrence counter for duplicate frequencies only advances on
         *printed* lines, so a below-threshold duplicate shifts its
         successors' QN assignment. Intensities are the stick simulation's
-        (gauss is forced off, like the reference)."""
+        (gauss is forced off, like the reference) computed with
+        *rest-frame* factors — print_lines runs run_sim on the unshifted
+        catalog (:3719), unlike the main vlsr-shifted path — and convert
+        to Jy/mJy in planck mode (run_sim's planck branch applies inside
+        that call, headers at :3792-3806); thresh filters the converted
+        values."""
         cat = self.catalog
-        _, freq, _tau, ints = self._sticks()
+        _, freq, _tau, ints = self._sticks(obs_frame=False)
+        if self.planck:
+            from cha1_mcmc_tpu.analysis.conversions import planck_k_to_jy
+
+            if self.synth_beam is None:
+                raise RuntimeError("planck=True needs synth_beam=[bmaj, bmin]")
+            ints = planck_k_to_jy(ints, freq, self.synth_beam)
         out = []
         old_f = np.nan
         occ = 0
@@ -203,9 +219,11 @@ class Workbench:
                 out.append("Column Density: {:.2e} cm-2\tTemperature: {} K\t"
                            "Linewidth: {} km/s\tvlsr: {} km/s\n"
                            .format(self.C, self.T, self.dV, self.vlsr))
+                unit = (("mJy" if mK else "Jy") if self.planck
+                        else ("mK" if mK else "K"))
                 out.append("Frequency\tIntensity ({})\t{}\tEu (K)   \tgu\tgl"
                            "\tlog(Aij)\tSijmu^2"
-                           .format("mK" if mK else "K", qn_str))
+                           .format(unit, qn_str))
             f_val = freq[x] if rest else freq[x] - self.vlsr * freq[x] / 3e5
             out.append(
                 "{:.4f}\t{:<13.3f}\t{}\t{:<9.3f}\t{}\t{}\t{:.2f}    \t{:.4f}"
@@ -373,9 +391,14 @@ class Workbench:
     def sum_stored(self, grid=None, thick: bool = True):
         """Composite of all stored simulations on a common grid.
 
-        thick=True sums opacities then radiative-transfers the total
-        (reference sum_stored's optically-thick mode, :3000-3075);
-        thick=False sums intensities (optically-thin approximation).
+        thick=True sums opacities then radiative-transfers the total with
+        the *current session's* temperature — regardless of each stored
+        sim's own T (reference sum_stored, :3021-3024: J_T uses the
+        global T; a quirk kept deliberately) — and converts to Jy in
+        planck mode (:3025-3055). Beam dilution is NOT applied, also like
+        the reference. thick=False sums the stored intensities
+        (optically-thin approximation; in planck mode those are already
+        Jy).
         """
         if not self.stored:
             raise RuntimeError("nothing stored")
@@ -385,18 +408,22 @@ class Workbench:
             grid = np.arange(lo, hi + self.res, self.res)
         if thick:
             tau_total = np.zeros_like(grid)
-            T_weight = np.zeros_like(grid)
             for e in self.stored.values():
                 dV = e["params"]["dV"]
                 fg, tau_g = render_gaussian_profile(
                     e["tau_freq"], e["tau"], dV=dV, ll=grid[0], ul=grid[-1],
                     res=self.res)
-                tau_g = np.interp(grid, fg, tau_g)
-                tau_total += tau_g
-                T_weight += tau_g * e["params"]["T"]
-            T_eff = np.where(tau_total > 0, T_weight / np.maximum(tau_total, 1e-300), T_CMB)
+                tau_total += np.interp(grid, fg, tau_g)
             tbg = calc_tbg(self.tbg_params, self.tbg_type, self.tbg_range, grid)
-            ints = (planck_J(np, grid, T_eff) - planck_J(np, grid, tbg)) * (1 - np.exp(-tau_total))
+            ints = ((planck_J(np, grid, self.T) - planck_J(np, grid, tbg))
+                    * (1 - np.exp(-tau_total)))
+            if self.planck:
+                from cha1_mcmc_tpu.analysis.conversions import planck_k_to_jy
+
+                if self.synth_beam is None:
+                    raise RuntimeError(
+                        "planck=True needs synth_beam=[bmaj, bmin]")
+                ints = planck_k_to_jy(ints, grid, self.synth_beam)
             return grid, ints
         total = np.zeros_like(grid)
         for e in self.stored.values():
@@ -566,7 +593,13 @@ class Workbench:
             out.write("Qvib({})\t\t{:.5f}\n".format(T, self.get_Qvib()))
             if self.vibs is not None:
                 out.write("Vib Freqs:\t\t{}\n".format(self.vibs))
-            out.write("Dish Size:\t\t{} m\n".format(self.dish_size))
+            # dish size only for single-dish sessions; planck-scale
+            # sessions record the synthesized beam instead
+            # (reference :5836-5839)
+            if not self.planck:
+                out.write("Dish Size:\t\t{} m\n".format(self.dish_size))
+            else:
+                out.write("Synth Beam:\t\t{} arcsec\n".format(self.synth_beam))
             out.write("Source Size:\t{} arcsec\n".format(self.source_size))
             if rms:
                 lo = min(a for a, _ in self._windows())
@@ -621,7 +654,10 @@ class Workbench:
         """Upper limit from the highest-expected-SNR line — autoset_ulim_c
         (reference :7285): find the best line, rescale around it, then
         repeat on the re-simulated spectrum (converges the marginally
-        optically thick case). Returns (best_freq, C)."""
+        optically thick case). The reference performs *three* rescales in
+        total — one in the first pass, then set_ulim_c twice back-to-back
+        in the second (:7311-7313) — so the final extra rescale is kept.
+        Returns (best_freq, C)."""
         from cha1_mcmc_tpu.analysis.ulim import find_best_ulim_lines
 
         if self.freq_obs is None:
@@ -635,6 +671,8 @@ class Workbench:
             dV_f = self.dV * best / CKM
             self.ulim(best - rms_spread * dV_f, best + rms_spread * dV_f,
                       absorption=absorption)
+        self.ulim(best - rms_spread * dV_f, best + rms_spread * dV_f,
+                  absorption=absorption)
         return best, self.C
 
     # -- session persistence (reference :2723, :3076) -------------------
@@ -654,6 +692,7 @@ class Workbench:
                         two_fwhm_only=self.two_fwhm_only,
                         match_obs=self.match_obs, rms=self.rms),
             catalog_file=self.catalog.catalog_file if self.catalog else None,
+            obs_path=self.obs_path,
             stored_names=list(self.stored),
         )
         with open(path + ".json", "w") as fh:
@@ -674,6 +713,11 @@ class Workbench:
         with open(path + ".json") as fh:
             state = json.load(fh)
         wb = cls(**{k: v for k, v in state["params"].items()})
+        # the reference's restore reloads the session's observation file
+        # by path (simulate_lte.py restore: read_obs(active_dict['obs']))
+        obs_path = state.get("obs_path")
+        if obs_path and os.path.exists(obs_path):
+            wb.load_obs(obs_path)
         if state["catalog_file"] and os.path.exists(state["catalog_file"]):
             wb.load_mol(state["catalog_file"], vib_states=wb.vibs)
         data = np.load(path + ".npz")

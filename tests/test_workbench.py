@@ -410,3 +410,75 @@ def test_workbench_quickload_presets(tmp_path):
         assert np.isfinite(w.tbg_at(2e4)), name
     with pytest.raises(KeyError):
         load_workbench_preset("nope")
+
+
+@requires_reference
+def test_workbench_planck_surfaces(tmp_path):
+    """planck-mode parity surfaces fixed in round 2: line_table converts
+    to Jy with Jy/mJy headers (reference print_lines :3792-3806 — run_sim
+    applies the planck branch inside the :3719 call), sum_stored(thick)
+    radiative-transfers at the *session* T (reference :3021-3024 quirk)
+    and converts to Jy (:3025-3055), and write_sim_params records the
+    synthesized beam instead of the dish (reference :5836-5839)."""
+    from cha1_mcmc_tpu.analysis.conversions import planck_k_to_jy
+    from cha1_mcmc_tpu.analysis.tbg import calc_tbg
+    from cha1_mcmc_tpu.ops.lte import planck_J
+
+    common = dict(ll=5000.0, ul=9000.0, T=12.0, C=5.0e12, dV=0.7, vlsr=0.0)
+    wb_k = Workbench(**common)
+    wb_k.load_mol(f"{CATALOG_DIR}/benzonitrile.cat")
+    wb = Workbench(planck=True, synth_beam=[0.26, 0.26], **common)
+    wb.load_mol(f"{CATALOG_DIR}/benzonitrile.cat")
+
+    rows_k = wb_k.line_table(mK=False)
+    rows = wb.line_table(mK=False)
+    assert "Intensity (Jy)" in rows[2] and "Intensity (K)" in rows_k[2]
+    assert "Intensity (mJy)" in wb.line_table(mK=True)[2]
+    # data rows: Jy column == planck conversion of the K column
+    for rk, rj in zip(rows_k[3:], rows[3:]):
+        f, k_val = float(rk.split("\t")[0]), float(rk.split("\t")[1])
+        j_val = float(rj.split("\t")[1])
+        expect = float(planck_k_to_jy(np.array([k_val]), np.array([f]),
+                                      [0.26, 0.26])[0])
+        assert j_val == pytest.approx(expect, rel=1e-2, abs=1e-6)
+
+    # sum_stored thick: session-T RT + planck conversion
+    wb.store("a")
+    wb.modT(40.0)
+    wb.store("b")
+    grid, ints = wb.sum_stored(thick=True)
+    # manual recomputation with the session (current) T=40
+    tau_total = np.zeros_like(grid)
+    from cha1_mcmc_tpu.analysis.renderer import render_gaussian_profile
+    for name in ("a", "b"):
+        e = wb.stored[name]
+        fg, tg = render_gaussian_profile(e["tau_freq"], e["tau"],
+                                         dV=e["params"]["dV"], ll=grid[0],
+                                         ul=grid[-1], res=wb.res)
+        tau_total += np.interp(grid, fg, tg)
+    tbg = calc_tbg(wb.tbg_params, wb.tbg_type, wb.tbg_range, grid)
+    k_ints = (planck_J(np, grid, 40.0) - planck_J(np, grid, tbg)) * (
+        1 - np.exp(-tau_total))
+    np.testing.assert_allclose(
+        ints, planck_k_to_jy(k_ints, grid, [0.26, 0.26]), rtol=1e-12)
+
+    # write_sim_params: Synth Beam replaces Dish Size in planck sessions
+    out = wb.write_sim_params(str(tmp_path / "p.sim_params"))
+    text = open(out).read()
+    assert "Synth Beam:\t\t[0.26, 0.26] arcsec" in text
+    assert "Dish Size" not in text
+    out_k = wb_k.write_sim_params(str(tmp_path / "k.sim_params"))
+    assert "Dish Size" in open(out_k).read()
+
+
+@requires_reference
+def test_session_restores_observation(tmp_path):
+    """restore_session reloads the saved observation by path, like the
+    reference's restore (read_obs(active_dict['obs']))."""
+    wb = Workbench(ll=18000.0, ul=25000.0)
+    wb.load_obs(HC5N_DATA)
+    path = str(tmp_path / "sess")
+    wb.save_session(path)
+    wb2 = Workbench.restore_session(path)
+    assert wb2.obs_path == HC5N_DATA
+    np.testing.assert_array_equal(wb2.freq_obs, wb.freq_obs)
