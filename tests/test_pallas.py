@@ -333,3 +333,51 @@ def test_batched_lnprob_gather_matches_csr(hc5n_problem, hc5n_datagrid):
     assert keep.any()
     np.testing.assert_allclose(a[keep], b[keep], rtol=1e-5, atol=2e-3)
     np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
+
+
+@requires_reference
+def test_fused_step_kernel_f64_exact(hc5n_problem, hc5n_datagrid,
+                                     hc5n_catalog):
+    """In the float64 verification mode the fused kernel matches the
+    general sampler *exactly* — trajectories AND lnp bitwise — because
+    the kernel's scalar constants and one-hot selector matmuls follow the
+    walkers' dtype (regression: hardcoded f32 ss/Tbg rounded Tbg to
+    2.70000004768, perturbing lnp at ~1e-8)."""
+    from cha1_mcmc_tpu.inference import single_component_lnprior, build_lnprob
+    from cha1_mcmc_tpu.sampler import run_ensemble
+    from cha1_mcmc_tpu.sampler.fused import make_fused_ensemble
+
+    from cha1_mcmc_tpu.models.forward import SpectralModel
+
+    with jax.enable_x64():
+        spec = hc5n_problem["spec"]
+        grid = hc5n_datagrid
+        # rebuild the model inside the x64 scope so its static arrays are
+        # f64 (the session fixture's model is f32)
+        model = SpectralModel.build(
+            hc5n_catalog, grid.covered_trans, grid.freqs,
+            ll=18000, ul=25000, dish_size=70, vel_offset=4.10,
+            mask_center=4.10, dtype=jnp.float64)
+        bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
+                  "vlsr": (3.0, 5.5), "dV": (0.4, 1.5)}
+        means = np.array([3.4e10, 8.0, 4.3, 0.7575])
+        stds = np.array([0.34e10, 3.0, 0.06, 0.22])
+        lnprior = single_component_lnprior(spec, bounds, means, stds)
+        lnprob = build_lnprob(model, spec, grid.ints, grid.yerrs, lnprior)
+        run_fused = make_fused_ensemble(model, spec, grid.ints, grid.yerrs,
+                                        bounds, means, stds, interpret=True)
+        rng = np.random.default_rng(2)
+        pos0 = jnp.asarray(np.array([3.24e12, 7.5, 4.11, 0.78]) *
+                           (1 + 0.01 * rng.standard_normal((16, 4))),
+                           jnp.float64)
+        lnp0 = jax.vmap(lnprob)(pos0)
+        key = jax.random.PRNGKey(9)
+        cf, lf, af, (pf, lpf) = run_fused(pos0, lnp0, key, 12, 4)
+        cu, lu, au, (pu, lpu) = run_ensemble(lnprob, pos0, lnp0, key,
+                                             nsteps=12)
+        assert np.asarray(cf).dtype == np.float64
+        np.testing.assert_array_equal(np.asarray(cf), np.asarray(cu))
+        # lnp: in-kernel chi-2 reduction order differs, so agreement is
+        # to f64 round-off, not bitwise (trajectories above ARE bitwise)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lu),
+                                   rtol=1e-11)
