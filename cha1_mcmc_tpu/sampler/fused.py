@@ -210,7 +210,11 @@ def make_fused_ensemble(model, spec, grid_ints, grid_yerrs, bounds,
         prior_mean=tuple(means), prior_std=tuple(stds))
 
     @functools.partial(jax.jit, static_argnames=("nsteps", "k_steps"))
-    def run(pos0, lnp0, key, nsteps: int, k_steps: int = 8):
+    def run(pos0, lnp0, key, nsteps: int, k_steps: int = 16):
+        # k_steps default from a v5e sweep at the flagship size (128
+        # walkers): 20.2 us/step @ k=8, 18.7 @ k=16, 18.4 @ k=32, 19.2 @
+        # k=64 — k=16 takes most of the launch-amortization gain at half
+        # of k=32's unrolled program size / compile time.
         W, D = pos0.shape
         if W % 2:
             raise ValueError(f"nwalkers={W} must be even")
