@@ -129,6 +129,45 @@ class WorkbenchShell(cmd.Cmd):
             self.wb.run_sim()
         self._say(f"gauss = {self.wb.gauss}")
 
+    # session attributes the vendored tool's users set as ipython globals
+    # (reference simulate_lte.py:172-236: eta, planck, synth_beam,
+    # interferometer, cavity_ftmw/..., two_fwhm_only, match_obs, rms)
+    _SETTABLE = {
+        "eta": float, "planck": None, "interferometer": None,
+        "cavity_ftmw": None, "cavity_dV": float, "cavity_split": float,
+        "two_fwhm_only": None, "match_obs": None, "rms": float,
+        "source_size": float, "dish_size": float, "res": float,
+    }
+
+    def do_set(self, arg):
+        """set NAME VALUE [VALUE2] — set a telescope-frame/session flag and
+        re-simulate. Booleans take on/off; `set synth_beam BMAJ BMIN`.
+        Names: eta, planck, synth_beam, interferometer, cavity_ftmw,
+        cavity_dV, cavity_split, two_fwhm_only, match_obs, rms,
+        source_size, dish_size, res (the vendored tool's module globals,
+        reference :172-236)."""
+        parts = arg.split()
+        if not parts:
+            self._say("usage: set NAME VALUE")
+            return
+        name = parts[0]
+        if name == "synth_beam":
+            self.wb.synth_beam = [float(parts[1]), float(parts[2])]
+        elif name in self._SETTABLE:
+            conv = self._SETTABLE[name]
+            if conv is None:
+                value = parts[1].strip().lower() in ("on", "true", "1")
+            else:
+                value = conv(parts[1])
+            setattr(self.wb, name, value)
+        else:
+            self._say(f"unknown session attribute {name!r}; "
+                      f"settable: synth_beam, {', '.join(self._SETTABLE)}")
+            return
+        if self.wb.catalog is not None:
+            self.wb.run_sim()
+        self._say(f"{name} = {getattr(self.wb, name)}")
+
     def do_tbg(self, arg):
         """tbg PARAMS [TYPE] — set the background model (reference update())."""
         parts = arg.split()

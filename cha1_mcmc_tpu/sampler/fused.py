@@ -24,8 +24,10 @@ v5e; the one-hot gathers are exact), with lnp agreeing to the last f32
 ulp (in-kernel chi-2 reduction order can differ, which in principle can
 flip a marginal acceptance — none observed over 40k-step runs; the
 posterior-parity gates cover the pipeline either way). Measured on the
-v5e at the flagship size: 17 us/step (k_steps=16) vs ~24 us for the
-general scan, ~1.4x.
+v5e at the flagship size with two-length slope timing (which cancels
+this machine's fixed ~30 ms per-dispatch relay overhead — see bench.py):
+4.6 us/step at k_steps=16, i.e. ~28M walker-steps/s for one 128-walker
+chain; the general scan is ~1.3-1.4x slower.
 
 Scope: single-component problems (4-dim fixed- or 5-dim free-source-
 size) with an analytic Q(T) polynomial — the flagship and

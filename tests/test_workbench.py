@@ -143,6 +143,12 @@ def test_workbench_repl(tmp_path):
         "limits 18000 25000 0.03",
         f"load_mol {CATALOG_DIR}/hc5n_hfs.cat",
         "modT 7.0", "modC 3.4e12", "moddV 0.89", "modVLSR 4.1",
+        "set eta 0.9",
+        "set eta 1.0",
+        "set two_fwhm_only on",
+        "set two_fwhm_only off",
+        "set synth_beam 10 6",
+        "set nonsense 1",      # unknown attribute reports, not raises
         "status",
         "print_lines 3",
         "store cold",
