@@ -169,6 +169,85 @@ def bench_large() -> dict:
             "walker_steps_per_sec": round(LARGE_WALKERS / slope, 1)}
 
 
+MULTIFIT_STEPS = 512
+
+
+def bench_multifit() -> dict:
+    """Widest model family: the 14-dim 4-component GOTHAM TMC-1 fit
+    (reference scripts/MCMC/TMC1_four_component.py) on the pre-reduced
+    hc9n_hfs datagrid — 4 velocity components over 66 covered transitions
+    x 1133 channels, ordered-velocity prior, general lax.scan sampler
+    (the fused kernel is single-component-only). Slope-timed like
+    bench_tpu."""
+    import contextlib
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from cha1_mcmc_tpu import MultiFitConfig, MultiComponentFit
+    from cha1_mcmc_tpu.inference import ordered_velocity_lnprior
+    from cha1_mcmc_tpu.sampler import run_ensemble
+
+    data = os.path.join(REFERENCE_ROOT, "data", "GOTHAM", "hc9n_hfs_chunks.npy")
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = MultiFitConfig(
+            mol_name="hc9n_hfs", template_run=True,
+            cat_folder=os.path.join(REFERENCE_ROOT, "catalog"),
+            data_path=data, fit_folder=tmp, nwalkers=NWALKERS)
+        fit = MultiComponentFit(cfg)
+        with contextlib.redirect_stdout(sys.stderr):  # keep stdout JSON-only
+            grid = fit.init_setup()
+            model = fit.build_model(grid)
+    lnprior = ordered_velocity_lnprior(fit.spec,
+                                       np.asarray(cfg.template_means),
+                                       np.asarray(cfg.template_stds))
+    from cha1_mcmc_tpu.inference import build_lnprob_batched
+
+    # the pipeline's default path: channel-major gather opacity + batched
+    # sampler (MultiFitConfig.use_sparse_opacity)
+    lnprob_b = build_lnprob_batched(model, fit.spec, grid.ints, grid.yerrs,
+                                    lnprior, use_pallas=True,
+                                    pallas_kernel="gather", dv_max=0.3)
+    rng = np.random.default_rng(0)
+    pos0 = jnp.asarray(
+        np.asarray(cfg.template_means)
+        + np.asarray(cfg.perturbation) * rng.standard_normal((NWALKERS, cfg.ndim)),
+        jnp.float32)
+    lnp0 = lnprob_b(pos0)
+    key = jax.random.PRNGKey(0)
+    n1, n2 = MULTIFIT_STEPS, 4 * MULTIFIT_STEPS
+
+    def runner(p, l, k, n):
+        return run_ensemble(lnprob_b, p, l, k, nsteps=n, batched=True)
+
+    chain, lnps, acc, (pos, lnp) = runner(pos0, lnp0, key, n1)
+    jax.block_until_ready(chain)
+    jax.block_until_ready(runner(pos0, lnp0, key, n2)[0])
+
+    def best_of(nsteps, tag):
+        best = float("inf")
+        for rep in range(3):
+            k = jax.random.fold_in(key, 7 * tag + rep)
+            t0 = time.perf_counter()
+            out = runner(pos, jnp.asarray(lnp), k, nsteps)
+            jax.block_until_ready(out[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = best_of(n1, 1), best_of(n2, 2)
+    slope = (t2 - t1) / (n2 - n1)
+    return {
+        "ndim": cfg.ndim,
+        "ncomp": cfg.ncomp,
+        "n_covered": int(grid.covered_trans.size),
+        "n_channels": int(grid.freqs.size),
+        "nwalkers": NWALKERS,
+        "walker_steps_per_sec": round(NWALKERS / slope, 1),
+        "us_per_step": round(slope * 1e6, 2),
+    }
+
+
 DENSE_CAT = os.path.join(REFERENCE_ROOT, "catalog", "1-cyanonapthalene.cat")
 DENSE_CHANNELS = 2048
 DENSE_EVALS = 30
@@ -425,6 +504,11 @@ def main():
         large = bench_large()
     except Exception as exc:
         large = {"error": f"{type(exc).__name__}: {exc}"}
+    try:
+        gotham = (bench_multifit() if os.path.exists(os.path.join(
+            REFERENCE_ROOT, "data", "GOTHAM", "hc9n_hfs_chunks.npy")) else None)
+    except Exception as exc:
+        gotham = {"error": f"{type(exc).__name__}: {exc}"}
     result = {
         "metric": "walker_steps_per_sec_hc5n",
         "value": round(tpu["rate"], 1),
@@ -440,6 +524,7 @@ def main():
         "nwalkers": NWALKERS,
         "dense_catalog_1cyanonaphthalene": dense,
         "saturation_8192_walkers": large,
+        "gotham_14dim_multifit": gotham,
     }
     print(json.dumps(result))
 

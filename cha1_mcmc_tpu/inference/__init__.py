@@ -5,7 +5,11 @@ from cha1_mcmc_tpu.inference.priors import (
     single_component_lnprior,
     ordered_velocity_lnprior,
 )
-from cha1_mcmc_tpu.inference.likelihood import build_lnlike, build_lnprob
+from cha1_mcmc_tpu.inference.likelihood import (
+    build_lnlike,
+    build_lnprob,
+    build_lnprob_batched,
+)
 from cha1_mcmc_tpu.inference.mle import estimate_ncol_mle
 
 __all__ = [
@@ -14,5 +18,6 @@ __all__ = [
     "ordered_velocity_lnprior",
     "build_lnlike",
     "build_lnprob",
+    "build_lnprob_batched",
     "estimate_ncol_mle",
 ]
