@@ -268,3 +268,43 @@ def test_lnprob_float64_mode_matches_oracle_tightly(tmp_path):
                          text=True, env=env, timeout=600)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "WORST_ABS_DIFF" in out.stdout
+
+
+@requires_reference
+def test_batched_gather_matches_scalar_14dim():
+    """The multi-component fit's default sparse path
+    (build_lnprob_batched(pallas_kernel='gather'), ncomp=4, the
+    MultiFitConfig.use_sparse_opacity default) == the vmapped scalar
+    lnprob on the GOTHAM problem — same finiteness pattern, values to f32
+    round-off — at the prior's dv_max=0.3 static-table bound."""
+    tmc1 = reference_oracle.load_reference_tmc1()
+    classes = reference_oracle.load_reference()[0]
+    catfile = f"{CATALOG_DIR}/hc9n_hfs.cat"
+    datagrid, _, _ = _gotham_datagrid(tmc1, classes, catfile)
+
+    from cha1_mcmc_tpu.inference import build_lnprob_batched
+
+    catalog = load_catalog(catfile)
+    spec = ParamSpec(ncomp=4)
+    model = SpectralModel.build(
+        catalog, np.asarray(datagrid[3], dtype=int), np.asarray(datagrid[0]),
+        ll=7000, ul=30000, dish_size=100, vel_offset=0.0, mask_center=5.8)
+    means = np.array([37, 25, 56, 22, 2.47e12, 11.19e12, 2.20e12, 5.64e12,
+                      6.7, 5.624, 5.790, 5.910, 6.033, 0.117])
+    stds = np.array([2.5, 2.0, 6.5, 2.0, 0.30e12, 1.75e12, 0.265e12, 1.185e12,
+                     0.1, 0.0015, 0.001, 0.0035, 0.002, 0.002])
+    lnprior = ordered_velocity_lnprior(spec, means, stds)
+    ints, yerrs = np.asarray(datagrid[1]), np.asarray(datagrid[2])
+    scalar = jax.vmap(build_lnprob(model, spec, ints, yerrs, lnprior))
+    batched = build_lnprob_batched(model, spec, ints, yerrs, lnprior,
+                                   use_pallas=True, pallas_kernel="gather",
+                                   dv_max=0.3)
+    rng = np.random.default_rng(5)
+    thetas = means * (1 + 0.02 * rng.standard_normal((24, 14)))
+    thetas[:, 9:13] = np.sort(thetas[:, 9:13], axis=1)
+    a = np.asarray(scalar(jnp.asarray(thetas, jnp.float32)))
+    b = np.asarray(batched(thetas))
+    np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
+    keep = np.isfinite(a)
+    assert keep.sum() >= 5
+    np.testing.assert_allclose(a[keep], b[keep], rtol=2e-4, atol=0.05)
