@@ -42,6 +42,38 @@ def _problem():
     return _flagship_problem()
 
 
+def _slope_timed(run, n1: int, n2: int, reps: int = 3):
+    """Steady-state per-unit time via two run lengths.
+
+    This machine's TPU sits behind a relay with a FIXED ~25-30 ms cost
+    per dispatched execution, independent of the work inside — a naive
+    t/N at N~2000 under-reports the device by up to 4x. Timing at two
+    lengths and taking (t(n2) - t(n1)) / (n2 - n1) cancels the fixed
+    term exactly. Best-of-`reps` per length: the TPU is a shared pool,
+    so single measurements occasionally catch a contended patch.
+
+    `run(n, tag)` must execute one measurement of length n (with inputs
+    varied by `tag` to defeat the runtime's identical-call caching) and
+    return a value to block on. Returns (per_unit_seconds, fixed_ms).
+    """
+    import jax
+
+    jax.block_until_ready(run(n1, 0))   # compile + warm, both lengths
+    jax.block_until_ready(run(n2, 0))
+
+    def best_of(n, tag):
+        best = float("inf")
+        for rep in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(n, reps * tag + rep))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = best_of(n1, 1), best_of(n2, 2)
+    slope = (t2 - t1) / (n2 - n1)
+    return slope, (t1 - n1 * slope) * 1e3
+
+
 def bench_tpu() -> dict:
     """Headline: walker-steps/s of what the pipeline actually runs at the
     flagship size — the fused whole-step Pallas sampler (sampler/fused.py)
@@ -64,35 +96,13 @@ def bench_tpu() -> dict:
     key = jax.random.PRNGKey(0)
 
     def timed(run):
-        """Slope-based steady-state rate: time the run at N and 4N steps
-        and take (t(4N) - t(N)) / 3N as the per-step cost.
-
-        This machine's TPU sits behind a relay with a FIXED ~25-30 ms
-        cost per dispatched execution, independent of the work inside —
-        a naive t/N at N=2048 reports ~4x slower than the device's
-        actual rate (measured: 35.8 ms total at N=2048 vs 70.2 ms at
-        N=8192 -> 4.6 us/step real, ~30 ms fixed). The two-length slope
-        cancels the fixed term exactly. Best-of-three per length: the
-        TPU is a shared pool, so single measurements occasionally catch
-        a contended patch.
-        """
         chain, lnps, acc, (pos, lnp) = run(pos0, lnp0, key, TPU_STEPS)
-        jax.block_until_ready(chain)    # compile + warm, both lengths
-        jax.block_until_ready(run(pos0, lnp0, key, 4 * TPU_STEPS)[0])
-
-        def best_of(nsteps, tag):
-            best = float("inf")
-            for rep in range(3):
-                k = jax.random.fold_in(key, 7 * tag + rep)  # distinct inputs
-                t0 = time.perf_counter()
-                out = run(pos, jnp.asarray(lnp), k, nsteps)
-                jax.block_until_ready(out[0])
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        t1, t2 = best_of(TPU_STEPS, 1), best_of(4 * TPU_STEPS, 2)
-        slope = (t2 - t1) / (3 * TPU_STEPS)
-        return NWALKERS / slope, acc, (t1 - TPU_STEPS * slope) * 1e3
+        jax.block_until_ready(chain)
+        lnp = jnp.asarray(lnp)
+        slope, fixed_ms = _slope_timed(
+            lambda n, tag: run(pos, lnp, jax.random.fold_in(key, tag), n)[0],
+            TPU_STEPS, 4 * TPU_STEPS)
+        return NWALKERS / slope, acc, fixed_ms
 
     unfused_rate, acc, overhead_ms = timed(
         lambda p, l, k, n: run_ensemble(lnprob, p, l, k, nsteps=n))
@@ -145,26 +155,14 @@ def bench_large() -> dict:
         * (1 + 0.01 * rng.standard_normal((LARGE_WALKERS, 4))), jnp.float32)
     lnp0 = jax.vmap(lnprob)(pos0)
     key = jax.random.PRNGKey(3)
-    # Two-length slope timing cancels the relay's fixed per-dispatch
-    # overhead (see bench_tpu.timed).
     chain, lnps, acc, (pos, lnp) = run_ensemble(
         lnprob, pos0, lnp0, key, nsteps=LARGE_STEPS)
-    jax.block_until_ready(chain)  # compile + warm, both lengths
-    jax.block_until_ready(run_ensemble(
-        lnprob, pos0, lnp0, key, nsteps=4 * LARGE_STEPS)[0])
-
-    def best_of(nsteps, tag):
-        best = float("inf")
-        for rep in range(3):
-            k = jax.random.fold_in(key, 7 * tag + rep)
-            t0 = time.perf_counter()
-            out = run_ensemble(lnprob, pos, lnp, k, nsteps=nsteps)
-            jax.block_until_ready(out[0])
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1, t2 = best_of(LARGE_STEPS, 1), best_of(4 * LARGE_STEPS, 2)
-    slope = (t2 - t1) / (3 * LARGE_STEPS)
+    jax.block_until_ready(chain)
+    slope, _ = _slope_timed(
+        lambda n, tag: run_ensemble(lnprob, pos, lnp,
+                                    jax.random.fold_in(key, tag),
+                                    nsteps=n)[0],
+        LARGE_STEPS, 4 * LARGE_STEPS)
     return {"nwalkers": LARGE_WALKERS,
             "walker_steps_per_sec": round(LARGE_WALKERS / slope, 1)}
 
@@ -216,27 +214,16 @@ def bench_multifit() -> dict:
         jnp.float32)
     lnp0 = lnprob_b(pos0)
     key = jax.random.PRNGKey(0)
-    n1, n2 = MULTIFIT_STEPS, 4 * MULTIFIT_STEPS
-
-    def runner(p, l, k, n):
-        return run_ensemble(lnprob_b, p, l, k, nsteps=n, batched=True)
-
-    chain, lnps, acc, (pos, lnp) = runner(pos0, lnp0, key, n1)
+    chain, lnps, acc, (pos, lnp) = run_ensemble(lnprob_b, pos0, lnp0, key,
+                                                nsteps=MULTIFIT_STEPS,
+                                                batched=True)
     jax.block_until_ready(chain)
-    jax.block_until_ready(runner(pos0, lnp0, key, n2)[0])
-
-    def best_of(nsteps, tag):
-        best = float("inf")
-        for rep in range(3):
-            k = jax.random.fold_in(key, 7 * tag + rep)
-            t0 = time.perf_counter()
-            out = runner(pos, jnp.asarray(lnp), k, nsteps)
-            jax.block_until_ready(out[0])
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1, t2 = best_of(n1, 1), best_of(n2, 2)
-    slope = (t2 - t1) / (n2 - n1)
+    lnp = jnp.asarray(lnp)
+    slope, _ = _slope_timed(
+        lambda n, tag: run_ensemble(lnprob_b, pos, lnp,
+                                    jax.random.fold_in(key, tag),
+                                    nsteps=n, batched=True)[0],
+        MULTIFIT_STEPS, 4 * MULTIFIT_STEPS)
     return {
         "ndim": cfg.ndim,
         "ncomp": cfg.ncomp,
@@ -354,25 +341,10 @@ def bench_dense() -> dict:
                                     length=length)
             return carry
 
-        # Two-length slope cancels the relay's fixed per-dispatch
-        # overhead (~25-30 ms — comparable to 30 whole evals on the
-        # sparse kernels; see bench_tpu.timed).
-        n1, n2 = DENSE_EVALS, 4 * DENSE_EVALS
-        jax.block_until_ready(run(thetas, *extra, length=n1))
-        jax.block_until_ready(run(thetas, *extra, length=n2))
-
-        def best_of(length, tag):
-            best = float("inf")
-            for rep in range(3):
-                t0 = time.perf_counter()
-                jax.block_until_ready(
-                    run(thetas * (1.0 + 1e-9 * (3 * tag + rep)), *extra,
-                        length=length))
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        t1, t2 = best_of(n1, 1), best_of(n2, 2)
-        return (t2 - t1) / (n2 - n1)
+        slope, _ = _slope_timed(
+            lambda n, tag: run(thetas * (1.0 + 1e-9 * tag), *extra, length=n),
+            DENSE_EVALS, 4 * DENSE_EVALS)
+        return slope
 
     gather_s = timed(lnprob_gather)
     csr_s = timed(lnprob_csr)

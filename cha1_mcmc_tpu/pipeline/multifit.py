@@ -72,7 +72,13 @@ class MultiFitConfig:
     stretch_a: float = 2.0
     use_sparse_opacity: bool = True  # channel-major gather opacity (~2x at
                                      # GOTHAM sparsity; set False for the
-                                     # dense einsum path)
+                                     # dense einsum path). Single-device
+                                     # only: the sharded (n_devices > 1)
+                                     # runner keeps its einsum formulation.
+    dv_bound: float = 0.3            # hard upper bound on dV, shared by the
+                                     # prior box (ordered_velocity_lnprior)
+                                     # and the gather table's static window
+                                     # (reference TMC1_four_component.py:224)
     n_devices: int | None = None     # shard the fit over this many chips
     n_line_shards: int = 1           # of which, this many shard the line axis
 
@@ -167,7 +173,8 @@ class MultiComponentFit:
                 chain_data = load_chain(cfg.chain_path)[:, -200:, :].reshape(-1, cfg.ndim).T
                 initial = np.median(chain_data, axis=1)
 
-        lnprior = ordered_velocity_lnprior(self.spec, prior_means, prior_stds)
+        lnprior = ordered_velocity_lnprior(self.spec, prior_means, prior_stds,
+                                           dv_max=cfg.dv_bound)
 
         # Fixed-perturbation walker ball, no rejection
         # (reference TMC1_four_component.py:330-331).
@@ -194,16 +201,17 @@ class MultiComponentFit:
                 # ~1.5% window-dense (each covered line touches ~17 of the
                 # 1133 channels at the 0.3 km/s dV prior bound), so the
                 # sparse path halves the per-step cost (measured v5e:
-                # 54 vs 110 us/step at 128 walkers). dv_max=0.3 is the
-                # prior's hard dV bound (ordered_velocity_lnprior), so
-                # the static table is exact for every in-bounds walker;
-                # lnprob agrees with the dense path to f32 round-off
-                # (out-of-bounds proposals are -inf either way).
+                # 54 vs 110 us/step at 128 walkers). cfg.dv_bound feeds
+                # BOTH the prior's hard dV bound and the static table's
+                # window, so the table is exact for every in-bounds
+                # walker; lnprob agrees with the dense path to f32
+                # round-off (out-of-bounds proposals are -inf either way).
                 from cha1_mcmc_tpu.inference import build_lnprob_batched
 
                 lnprob_b = build_lnprob_batched(
                     model, self.spec, grid.ints, grid.yerrs, lnprior,
-                    use_pallas=True, pallas_kernel="gather", dv_max=0.3)
+                    use_pallas=True, pallas_kernel="gather",
+                    dv_max=cfg.dv_bound)
                 self.sampler = EnsembleSampler(
                     lnprob_fn=lnprob_b, nwalkers=cfg.nwalkers, ndim=cfg.ndim,
                     a=cfg.stretch_a, dtype=self.dtype, batched=True)

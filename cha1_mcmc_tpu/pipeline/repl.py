@@ -147,11 +147,13 @@ class WorkbenchShell(cmd.Cmd):
         source_size, dish_size, res (the vendored tool's module globals,
         reference :172-236)."""
         parts = arg.split()
-        if not parts:
-            self._say("usage: set NAME VALUE")
+        name = parts[0] if parts else ""
+        needed = 3 if name == "synth_beam" else 2
+        if len(parts) < needed:
+            self._say("usage: set NAME VALUE  (set synth_beam BMAJ BMIN)")
             return
-        name = parts[0]
         if name == "synth_beam":
+            old = self.wb.synth_beam
             self.wb.synth_beam = [float(parts[1]), float(parts[2])]
         elif name in self._SETTABLE:
             conv = self._SETTABLE[name]
@@ -159,13 +161,21 @@ class WorkbenchShell(cmd.Cmd):
                 value = parts[1].strip().lower() in ("on", "true", "1")
             else:
                 value = conv(parts[1])
+            old = getattr(self.wb, name)
             setattr(self.wb, name, value)
         else:
             self._say(f"unknown session attribute {name!r}; "
                       f"settable: synth_beam, {', '.join(self._SETTABLE)}")
             return
         if self.wb.catalog is not None:
-            self.wb.run_sim()
+            try:
+                self.wb.run_sim()
+            except Exception as exc:
+                # e.g. planck=True without synth_beam: revert so later
+                # commands' re-simulations keep working
+                setattr(self.wb, name, old)
+                self._say(f"cannot set {name}: {exc} (reverted)")
+                return
         self._say(f"{name} = {getattr(self.wb, name)}")
 
     def do_tbg(self, arg):

@@ -26,8 +26,9 @@ flip a marginal acceptance — none observed over 40k-step runs; the
 posterior-parity gates cover the pipeline either way). Measured on the
 v5e at the flagship size with two-length slope timing (which cancels
 this machine's fixed ~30 ms per-dispatch relay overhead — see bench.py):
-4.6 us/step at k_steps=16, i.e. ~28M walker-steps/s for one 128-walker
-chain; the general scan is ~1.3-1.4x slower.
+~5 us/step at k_steps=16, i.e. ~24-25M walker-steps/s for one
+128-walker chain; the general scan is ~2.4x slower (BENCH_r*.json
+records the per-round measurement).
 
 Scope: single-component problems (4-dim fixed- or 5-dim free-source-
 size) with an analytic Q(T) polynomial — the flagship and

@@ -149,6 +149,8 @@ def test_workbench_repl(tmp_path):
         "set two_fwhm_only off",
         "set synth_beam 10 6",
         "set nonsense 1",      # unknown attribute reports, not raises
+        "set eta",             # missing value: usage line, not IndexError
+        "set planck on",       # run_sim fails (no synth_beam) -> reverted
         "status",
         "print_lines 3",
         "store cold",
