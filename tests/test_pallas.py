@@ -312,6 +312,7 @@ def test_opacity_gather_window_semantics():
                                atol=1e-7)
 
 
+@requires_reference
 def test_batched_lnprob_gather_matches_csr(hc5n_problem, hc5n_datagrid):
     """build_lnprob_batched(pallas_kernel='gather') == 'csr' (interpret) ==
     the plain jnp path on the flagship problem."""
@@ -327,12 +328,18 @@ def test_batched_lnprob_gather_matches_csr(hc5n_problem, hc5n_datagrid):
     gather = build_lnprob_batched(model, spec, ints, yerrs, lnprior,
                                   use_pallas=True, dv_max=1.5,
                                   pallas_kernel="gather")
+    csr = build_lnprob_batched(model, spec, ints, yerrs, lnprior,
+                               use_pallas=True, dv_max=1.5,
+                               pallas_kernel="csr", interpret=True)
     a = np.asarray(base(thetas))
     b = np.asarray(gather(thetas))
+    c = np.asarray(csr(thetas))
     keep = np.isfinite(a)
     assert keep.any()
     np.testing.assert_allclose(a[keep], b[keep], rtol=1e-5, atol=2e-3)
+    np.testing.assert_allclose(b[keep], c[keep], rtol=1e-5, atol=2e-3)
     np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
+    np.testing.assert_array_equal(np.isfinite(a), np.isfinite(c))
 
 
 @requires_reference

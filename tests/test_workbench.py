@@ -33,7 +33,7 @@ def test_workbench_mutators_match_molsim(hc5n_catalog):
 
 
 @requires_reference
-def test_workbench_store_recall_session(tmp_path, hc5n_catalog):
+def test_workbench_store_recall_session(tmp_path):
     wb = Workbench(ll=18000, ul=25000, dish_size=70, source_size=52.0,
                    dV=0.89, T=7.0, C=3.4e12)
     wb.load_mol(f"{CATALOG_DIR}/hc5n_hfs.cat")
@@ -58,7 +58,7 @@ def test_workbench_store_recall_session(tmp_path, hc5n_catalog):
 
 
 @requires_reference
-def test_workbench_vlsr_shift(hc5n_catalog):
+def test_workbench_vlsr_shift():
     wb = Workbench(ll=18000, ul=25000, dish_size=70, source_size=52.0,
                    dV=0.89, T=7.0, C=3.4e12)
     wb.load_mol(f"{CATALOG_DIR}/hc5n_hfs.cat")
@@ -82,6 +82,7 @@ def test_read_obs_lis_equivalent(tmp_path):
             fh.write(f"{a} {b}\n")
     freq, ints, res, rms = read_obs(path)
     np.testing.assert_allclose(freq, f)
+    np.testing.assert_allclose(ints, i)   # intensities co-sorted with freqs
     assert res == pytest.approx(0.1, rel=1e-6)
 
 
