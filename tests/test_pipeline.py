@@ -366,3 +366,25 @@ def test_batch_fit_molecules(tmp_path):
     with contextlib.redirect_stdout(io.StringIO()):
         empty = fit_molecules(base, paths, process_index=1, process_count=2)
     assert empty == {}
+
+
+@requires_reference
+@pytest.mark.parametrize("mol", ["hc7n_hfs", "hc11n", "benzonitrile"])
+def test_multifit_other_gotham_datasets(tmp_path, mol):
+    """Every pre-reduced GOTHAM datagrid the reference ships (not just
+    hc9n_hfs) runs through the 14-dim multifit pipeline — different
+    catalogs, line counts (19-153 covered) and channel counts, through
+    the sparse gather opacity default."""
+    from cha1_mcmc_tpu import MultiFitConfig, MultiComponentFit
+    from tests.conftest import REFERENCE_ROOT
+
+    cfg = MultiFitConfig(
+        mol_name=mol, cat_folder=f"{REFERENCE_ROOT}/catalog",
+        data_path=f"{REFERENCE_ROOT}/data/GOTHAM/{mol}_chunks.npy",
+        fit_folder=str(tmp_path), nruns=2, nwalkers=16,
+        template_run=True, seed=0, checkpoint_every=2)
+    fit = MultiComponentFit(cfg)
+    grid = fit.init_setup()
+    chain = fit.fit(grid)
+    assert chain.shape == (16, 2, 14)
+    assert np.isfinite(np.asarray(fit.sampler.lnprobability)).all()
