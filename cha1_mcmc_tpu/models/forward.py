@@ -300,37 +300,6 @@ class SpectralModel:
     def n_channels(self) -> int:
         return int(self.grid_freq.shape[0])
 
-    def taus(self, Ncol, Tex, dV):
-        """Covered-line opacities (reference classes.py:349-354).
-
-        Ncol may carry a leading component axis; Tex and dV are scalars
-        (components share them in every reference parameterization).
-        """
-        Q = self.q_model(jnp.asarray(Tex, dtype=self.dtype))
-        Ncol = jnp.asarray(Ncol, dtype=self.dtype)
-        return tau_sticks(
-            jnp, self.line_freq, self.line_elower, self.line_aij,
-            self.line_gup, self.line_glow, Q,
-            Ncol[..., None], Tex, dV,
-        )
-
-    def opacity(self, taus, vlsr, dV):
-        """Accumulate Gaussian opacity profiles onto the channel grid.
-
-        opac[..., c] = sum_l 1{|v_lc - mask_center| < 10 dV}
-                       * tau[..., l] * exp(-0.5 ((v_lc - vlsr) / (dV/2.355))^2)
-        (reference inference.py:50-53). `taus` is (..., L); vlsr broadcasts
-        against the leading axes. Returns (..., C).
-        """
-        vlsr = jnp.asarray(vlsr, dtype=self.dtype)
-        sigma = dV / FWHM_TO_SIGMA_MODEL
-        window = jnp.abs(self.vel_grid - self.mask_center) < VELOCITY_WINDOW_DV * dV
-        z = (self.vel_grid - vlsr[..., None, None]) / sigma
-        gauss = jnp.where(window, jnp.exp(-0.5 * z * z), 0.0)
-        # Contraction over lines: batched mat-vec; lands on the MXU for
-        # walker-batched evaluation.
-        return jnp.einsum("...l,...lc->...c", taus, gauss)
-
     def forward(self, source_size, Ncol, Tex, vlsr, dV, axis_name: str | None = None):
         """Composite emission model on the channel grid, in K.
 

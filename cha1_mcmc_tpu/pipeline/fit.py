@@ -34,7 +34,6 @@ from cha1_mcmc_tpu.sampler import (
 )
 from cha1_mcmc_tpu.reduce.datagrid import (
     Datagrid,
-    load_datagrid,
     reduce_spectrum,
     save_datagrid,
 )
@@ -245,14 +244,19 @@ class SpectralFit:
             key = jax.random.PRNGKey(cfg.seed)
             lnp0 = None
 
-        from cha1_mcmc_tpu.utils import trace_profile
+        from cha1_mcmc_tpu.utils import Throughput, trace_profile
 
-        with trace_profile(cfg.profile_dir):
+        throughput = Throughput()
+        with trace_profile(cfg.profile_dir), throughput:
             self.sampler.run_mcmc(
                 pos, cfg.nruns, key, lnp0=lnp0,
                 checkpoint_every=cfg.checkpoint_every,
                 chain_file=cfg.chain_path, progress=True)
-        print(f"{GRAY}Acceptance fraction: {self.sampler.acceptance_fraction:.3f}{RESET}")
+        throughput.add(cfg.nruns, cfg.nwalkers)
+        print(f"{GRAY}Acceptance fraction: "
+              f"{self.sampler.acceptance_fraction:.3f}  |  "
+              f"{throughput.walker_steps_per_sec:,.0f} walker-steps/s "
+              f"(wall, incl. compile + checkpoints){RESET}")
         if cfg.n_chains > 1:
             from cha1_mcmc_tpu.sampler import summarize_convergence
 

@@ -33,7 +33,16 @@ def postage_plot(freq_obs, int_obs, line_freqs, dV, *, freq_sim=None,
                  vlsr: float = 0.0, ncols: int = 4, milli: bool = False):
     """Grid of per-line stamps: observation (and optionally simulation)
     within +-nwidths*dV of each line (reference PostagePlot semantics:
-    nwidths, velocity axis, mK scaling)."""
+    nwidths, velocity axis, mK scaling).
+
+    velocity=True plots the reference's *relative* velocity axis
+    x = (f - center) * c / center (reference PostagePlot,
+    simulate_lte.py:6085) with the stamp centered on the vlsr-shifted
+    line position, so the source's line sits at x ~ 0 for raw-frame
+    observations. The axis is an offset, not an absolute LSR velocity —
+    the absolute frame depends on whether the observation was already
+    Doppler-corrected (the shipped DSN spectra are; GOTHAM's are not),
+    which a plot helper cannot know."""
     plt = _mpl()
     freq_obs = np.asarray(freq_obs)
     int_obs = np.asarray(int_obs) * (1e3 if milli else 1.0)
@@ -47,19 +56,19 @@ def postage_plot(freq_obs, int_obs, line_freqs, dV, *, freq_sim=None,
         shifted = lf * (1 - vlsr / CKM)
         half = nwidths * dV * shifted / CKM
         sel = (freq_obs > shifted - half) & (freq_obs < shifted + half)
-        x = ((freq_obs[sel] - shifted) / shifted * CKM + vlsr) if velocity else freq_obs[sel]
+        x = ((freq_obs[sel] - shifted) / shifted * CKM) if velocity else freq_obs[sel]
         ax.step(x, int_obs[sel], color="black", lw=0.8, where="mid")
         if freq_sim is not None:
             fs = np.asarray(freq_sim)
             sel_s = (fs > shifted - half) & (fs < shifted + half)
-            xs = ((fs[sel_s] - shifted) / shifted * CKM + vlsr) if velocity else fs[sel_s]
+            xs = ((fs[sel_s] - shifted) / shifted * CKM) if velocity else fs[sel_s]
             ax.step(xs, np.asarray(int_sim)[sel_s] * (1e3 if milli else 1.0),
                     color="red", lw=0.8, where="mid")
         ax.set_title(f"{lf:.2f} MHz", fontsize=8)
         ax.tick_params(labelsize=7)
     for j in range(n, nrows * ncols):
         axes[j // ncols][j % ncols].set_visible(False)
-    fig.supxlabel("Velocity (km/s)" if velocity else "Frequency (MHz)")
+    fig.supxlabel("Velocity offset (km/s)" if velocity else "Frequency (MHz)")
     fig.supylabel(("T (mK)" if milli else "T (K)"))
     fig.tight_layout()
     return fig

@@ -70,11 +70,9 @@ def corner_plot(samples: np.ndarray, labels_latex: list[str], bins: int = 40):
     Uses mathtext (not an external TeX install) regardless of global
     rcParams; the reference instead requires usetex (inference.py:493).
     """
-    import matplotlib
+    from cha1_mcmc_tpu.pipeline.plots import _mpl
 
-    matplotlib.use("Agg")
-    matplotlib.rcParams["text.usetex"] = False
-    import matplotlib.pyplot as plt
+    plt = _mpl()
 
     ndim = samples.shape[1]
     fig, axes = plt.subplots(ndim, ndim, figsize=(2.2 * ndim, 2.2 * ndim))
@@ -111,11 +109,9 @@ def plot_results(chain_path: str, param_labels: list[str],
                  dpi: int = 200):
     """Corner plot + optional trace plots + summary table
     (reference inference.py:491-581). Saves <chain>_corner.png."""
-    import matplotlib
+    from cha1_mcmc_tpu.pipeline.plots import _mpl
 
-    matplotlib.use("Agg")
-    matplotlib.rcParams["text.usetex"] = False
-    import matplotlib.pyplot as plt
+    plt = _mpl()
 
     chain = np.load(chain_path)
     samples = _flatten_chain(chain, burn_in_frac)

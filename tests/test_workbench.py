@@ -148,10 +148,10 @@ def test_workbench_repl(tmp_path):
         "set eta 1.0",
         "set two_fwhm_only on",
         "set two_fwhm_only off",
+        "set planck on",       # run_sim fails (no synth_beam yet) -> reverted
         "set synth_beam 10 6",
         "set nonsense 1",      # unknown attribute reports, not raises
         "set eta",             # missing value: usage line, not IndexError
-        "set planck on",       # run_sim fails (no synth_beam) -> reverted
         "status",
         "print_lines 3",
         "store cold",
@@ -491,3 +491,25 @@ def test_session_restores_observation(tmp_path):
     wb2 = Workbench.restore_session(path)
     assert wb2.obs_path == HC5N_DATA
     np.testing.assert_array_equal(wb2.freq_obs, wb.freq_obs)
+
+
+def test_postage_plot_velocity_axis_reference_convention():
+    """velocity=True uses the reference's relative axis (f - center) *
+    c / center centered on the vlsr-shifted line: the source's own line
+    peaks at x ~ 0 and an interloper at LSR velocity v sits at
+    -(v - vlsr) (regression: a former +vlsr term mirrored the axis)."""
+    from cha1_mcmc_tpu.pipeline.plots import postage_plot
+
+    ckm = 2.998e5
+    lf, vlsr, dV = 20000.0, 4.0, 0.5
+    freq = np.arange(lf - 5.0, lf + 5.0, 0.005)
+    sigma = dV * lf / ckm / 2.355
+    ints = np.exp(-0.5 * ((freq - lf * (1 - vlsr / ckm)) / sigma) ** 2)
+    fig = postage_plot(freq, ints, [lf], dV=dV, vlsr=vlsr, velocity=True)
+    x, y = fig.axes[0].lines[0].get_data()
+    assert x[np.argmax(y)] == pytest.approx(0.0, abs=0.1)
+    # interloper at LSR 6.0 with the source at 4.0: offset -(6-4) = -2
+    ints2 = np.exp(-0.5 * ((freq - lf * (1 - 6.0 / ckm)) / sigma) ** 2)
+    fig2 = postage_plot(freq, ints2, [lf], dV=dV, vlsr=vlsr, velocity=True)
+    x2, y2 = fig2.axes[0].lines[0].get_data()
+    assert x2[np.argmax(y2)] == pytest.approx(-2.0, abs=0.1)

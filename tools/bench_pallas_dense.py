@@ -56,27 +56,27 @@ def build_problem():
             jnp.asarray(dV, jnp.float32), jnp.asarray(vel_grid, jnp.float32), L)
 
 
-def time_fn(fn, taus, vlsr, dV, vel_grid, label):
+def time_fn(fn, taus, vlsr, dV, vel_grid, label, *tables):
     """Scan NEVALS evals with a data dependence so no rep is cache-served.
-    vel_grid (the ~300 MB array) is a jit *argument* — closing over it
-    would embed it as an HLO constant and blow the compile relay's request
-    limit."""
+    vel_grid (the ~300 MB array) and the kernels' static tables are jit
+    *arguments* — closing over them would embed them as HLO constants and
+    blow the compile relay's request limit."""
 
     @jax.jit
-    def run(taus, vlsr, dV, vel_grid):
+    def run(taus, vlsr, dV, vel_grid, *tables):
         def body(carry, _):
-            out = fn(taus * (1.0 + 1e-6 * carry), vlsr, dV, vel_grid)
+            out = fn(taus * (1.0 + 1e-6 * carry), vlsr, dV, vel_grid, *tables)
             return jnp.float32(jnp.mean(out)), ()
 
         carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=NEVALS)
         return carry
 
-    r = run(taus, vlsr, dV, vel_grid)
+    r = run(taus, vlsr, dV, vel_grid, *tables)
     jax.block_until_ready(r)  # compile + warm
     best = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
-        r = run(taus * (1.0 + 1e-9 * rep), vlsr, dV, vel_grid)
+        r = run(taus * (1.0 + 1e-9 * rep), vlsr, dV, vel_grid, *tables)
         jax.block_until_ready(r)
         best = min(best, (time.perf_counter() - t0) / NEVALS)
     print(f"{label:12s} {best*1e3:8.2f} ms/eval")
@@ -147,24 +147,22 @@ def main():
         lt_j, vc_j = jnp.asarray(lt), jnp.asarray(vc, jnp.float32)
         cnt_j = jnp.asarray(cnt)
 
-        def csr(t, v, d, vg, lt_j=lt_j, vc_j=vc_j, cnt_j=cnt_j,
-                tiles=(tw, tlc)):
-            return pk.opacity_pallas_csr(t, v, d, lt_j, vc_j, cnt_j,
+        def csr(t, v, d, vg, lt, vc, cnt, tiles=(tw, tlc)):
+            return pk.opacity_pallas_csr(t, v, d, lt, vc, cnt,
                                          mask_center=center, n_channels=C,
                                          tiles=tiles)
 
-        def csr_unmasked(t, v, d, vg, lt_j=lt_j, vc_j=vc_j, cnt_j=cnt_j,
-                         tiles=(tw, tlc)):
-            return pk.opacity_pallas_csr(t, v, d, lt_j, vc_j, cnt_j,
+        def csr_unmasked(t, v, d, vg, lt, vc, cnt, tiles=(tw, tlc)):
+            return pk.opacity_pallas_csr(t, v, d, lt, vc, cnt,
                                          mask_center=center, n_channels=C,
                                          tiles=tiles, unmasked=True)
 
         key = f"csr({tw},{tlc})"
         results[key] = time_fn(csr, taus, vlsr, dV, vel_grid,
-                               f"{key} K={lt.shape[1]}")
+                               f"{key} K={lt.shape[1]}", lt_j, vc_j, cnt_j)
         results[key + "u"] = time_fn(csr_unmasked, taus, vlsr, dV, vel_grid,
-                                     f"{key} unmasked")
-        b = np.asarray(csr(taus, vlsr, dV, vel_grid))
+                                     f"{key} unmasked", lt_j, vc_j, cnt_j)
+        b = np.asarray(csr(taus, vlsr, dV, vel_grid, lt_j, vc_j, cnt_j))
         err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
         print(f"  {key} vs pallas max rel err: {err:.2e}")
     results["jnp"] = time_fn(jnp_path, taus, vlsr, dV, vel_grid, "jnp")

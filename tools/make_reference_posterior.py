@@ -7,8 +7,9 @@ Cha-MMS1 spectrum with a NumPy implementation of the emcee v3 stretch move
 inference.py:455-473), long enough that the Monte-Carlo error of every
 posterior mean and std is well below 1% (ESS >~ 40k per dimension).
 
-Writes tests/golden/hc5n_reference_posterior.json. Deterministic: fixed
-seeds, so re-running reproduces the file exactly.
+Writes tests/golden/hc5n_reference_posterior.json. The statistics fields
+are deterministic (fixed seeds), so re-running reproduces them exactly;
+the wall_seconds provenance field varies run to run.
 
 Usage:  PYTHONPATH=/root/repo:/root/.axon_site python tools/make_reference_posterior.py
 """
