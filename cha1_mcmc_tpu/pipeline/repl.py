@@ -196,6 +196,28 @@ class WorkbenchShell(cmd.Cmd):
                   f"catalog={'-' if wb.catalog is None else wb.catalog.catalog_file}; "
                   f"obs={'-' if wb.freq_obs is None else f'{wb.freq_obs.size} chans'}; "
                   f"stored: {', '.join(wb.stored) or '-'}")
+        # telescope-frame / grid-variant flags, shown when non-default
+        # (the reference status() prints its full globals block, :2771)
+        flags = []
+        if wb.eta != 1.0:
+            flags.append(f"eta={wb.eta}")
+        if wb.planck:
+            flags.append(f"planck (synth_beam={wb.synth_beam})")
+        if wb.interferometer:
+            flags.append(f"interferometer (synth_beam={wb.synth_beam})")
+        if wb.cavity_ftmw:
+            flags.append(f"cavity_ftmw (dV={wb.cavity_dV}, "
+                         f"split={wb.cavity_split})")
+        if wb.two_fwhm_only:
+            flags.append("two_fwhm_only")
+        if wb.match_obs:
+            flags.append("match_obs")
+        if np.isfinite(wb.rms):
+            flags.append(f"rms={wb.rms:g}")
+        if wb.vibs is not None:
+            flags.append(f"vibs={wb.vibs}")
+        if flags:
+            self._say("flags: " + "  ".join(flags))
 
     def do_print_lines(self, arg):
         """print_lines [THRESH] [mK] [shifted] — catalog table of the
