@@ -35,6 +35,15 @@ NWALKERS = 128
 TPU_STEPS = 2000
 BASELINE_SECONDS = 3.0
 
+# TPU v5e (1 chip) peaks for utilization accounting. MXU: 197 TFLOP/s
+# bf16. VPU (where these elementwise/exp-heavy kernels actually run):
+# (8, 128) vector unit x 4 ALUs x 2 flop (FMA) x ~0.94 GHz ~= 7.7 TFLOP/s
+# f32 — transcendentals (exp) are several x slower, so these percentages
+# UNDERSTATE true pipe occupancy. HBM: 819 GB/s.
+VPU_F32_PEAK = 7.7e12
+MXU_BF16_PEAK = 197e12
+HBM_PEAK_GBS = 819.0
+
 
 def _problem():
     from __graft_entry__ import _flagship_problem
@@ -120,14 +129,26 @@ def bench_tpu() -> dict:
         fused_error = None
     except Exception as exc:  # record, never silently mask a regression
         fused_rate, fused_error = None, f"{type(exc).__name__}: {exc}"
+    # Utilization: per step the fused kernel's work is 2 half-steps of an
+    # (h, L, C) Gaussian block (~8 flops + 1 exp2), the (h, C) RT/chi2
+    # tail (~18 flops) and the one-hot move matmuls. At this
+    # latency-bound size single-digit % of VPU peak is expected — the
+    # point of the kernel is launch-count, not flops.
+    h, L, C = NWALKERS // 2, model.n_lines, model.n_channels
+    flops_per_step = 2 * (h * L * C * 9 + h * C * 18
+                          + 3 * 2 * 5 * NWALKERS * h)
+    rate = fused_rate or unfused_rate
     return {
-        "rate": fused_rate or unfused_rate,
+        "rate": rate,
         "unfused_rate": unfused_rate,
         "fused_error": fused_error,
         "steps": TPU_STEPS,
         "nwalkers": NWALKERS,
         "dispatch_overhead_ms": round(overhead_ms, 1),
         "acceptance": float(np.asarray(acc).sum()) / (TPU_STEPS * NWALKERS),
+        "achieved_gflops": round(flops_per_step * rate / NWALKERS / 1e9, 1),
+        "pct_vpu_f32_peak": round(
+            100 * flops_per_step * rate / NWALKERS / VPU_F32_PEAK, 1),
         "device": str(jax.devices()[0]),
     }
 
@@ -174,9 +195,10 @@ def bench_multifit() -> dict:
     """Widest model family: the 14-dim 4-component GOTHAM TMC-1 fit
     (reference scripts/MCMC/TMC1_four_component.py) on the pre-reduced
     hc9n_hfs datagrid — 4 velocity components over 66 covered transitions
-    x 1133 channels, ordered-velocity prior, general lax.scan sampler
-    (the fused kernel is single-component-only). Slope-timed like
-    bench_tpu."""
+    x 1133 channels, ordered-velocity prior. Primary: the fused
+    whole-ensemble-step Pallas kernel (sampler/fused_multi.py, the
+    pipeline's auto-selected path); the general batched gather sampler is
+    recorded alongside. Slope-timed like bench_tpu."""
     import contextlib
     import tempfile
 
@@ -202,8 +224,6 @@ def bench_multifit() -> dict:
                                        np.asarray(cfg.template_stds))
     from cha1_mcmc_tpu.inference import build_lnprob_batched
 
-    # the pipeline's default path: channel-major gather opacity + batched
-    # sampler (MultiFitConfig.use_sparse_opacity)
     lnprob_b = build_lnprob_batched(model, fit.spec, grid.ints, grid.yerrs,
                                     lnprior, use_pallas=True,
                                     pallas_kernel="gather", dv_max=0.3)
@@ -214,24 +234,56 @@ def bench_multifit() -> dict:
         jnp.float32)
     lnp0 = lnprob_b(pos0)
     key = jax.random.PRNGKey(0)
-    chain, lnps, acc, (pos, lnp) = run_ensemble(lnprob_b, pos0, lnp0, key,
-                                                nsteps=MULTIFIT_STEPS,
-                                                batched=True)
-    jax.block_until_ready(chain)
-    lnp = jnp.asarray(lnp)
-    slope, _ = _slope_timed(
-        lambda n, tag: run_ensemble(lnprob_b, pos, lnp,
-                                    jax.random.fold_in(key, tag),
-                                    nsteps=n, batched=True)[0],
-        MULTIFIT_STEPS, 4 * MULTIFIT_STEPS)
+
+    def timed(run):
+        chain, lnps, acc, (pos, lnp) = run(pos0, lnp0, key, MULTIFIT_STEPS)
+        jax.block_until_ready(chain)
+        lnp = jnp.asarray(lnp)
+        slope, _ = _slope_timed(
+            lambda n, tag: run(pos, lnp, jax.random.fold_in(key, tag), n)[0],
+            MULTIFIT_STEPS, 4 * MULTIFIT_STEPS)
+        return slope, acc
+
+    general_s, acc = timed(lambda p, l, k, n: run_ensemble(
+        lnprob_b, p, l, k, nsteps=n, batched=True))
+    try:
+        from cha1_mcmc_tpu.sampler import make_fused_ensemble_multi
+
+        run_fused = make_fused_ensemble_multi(
+            model, fit.spec, grid.ints, grid.yerrs,
+            np.asarray(cfg.template_means), np.asarray(cfg.template_stds),
+            dv_max=cfg.dv_bound)
+        fused_s, acc = timed(run_fused)
+        fused_error = None
+    except Exception as exc:  # record, never silently mask a regression
+        fused_s, fused_error = None, f"{type(exc).__name__}: {exc}"
+    best = fused_s if fused_s is not None else general_s
+    # Utilization from first principles: per half-step the fused kernel
+    # evaluates an (La, Wc, K*h) Gaussian block (~8 flops + 1 exp2 each),
+    # K (C, h) RT tails (~10 flops + 2 exp) and the tau/chi2 stages; the
+    # one-hot move matmuls add 2*3*(D+1)*W*h MACs.
+    from cha1_mcmc_tpu.sampler.fused_multi import compact_spans
+    active, _, Wc, _ = compact_spans(np.asarray(model.vel_grid),
+                                     model.mask_center, cfg.dv_bound)
+    h, K, C = NWALKERS // 2, cfg.ncomp, int(grid.freqs.size)
+    flops_per_step = 2 * (active.size * Wc * K * h * 9
+                          + K * C * h * 12 + C * h * 6
+                          + 3 * 2 * (cfg.ndim + 1) * NWALKERS * h)
     return {
         "ndim": cfg.ndim,
         "ncomp": cfg.ncomp,
         "n_covered": int(grid.covered_trans.size),
-        "n_channels": int(grid.freqs.size),
+        "n_channels": C,
         "nwalkers": NWALKERS,
-        "walker_steps_per_sec": round(NWALKERS / slope, 1),
-        "us_per_step": round(slope * 1e6, 2),
+        "walker_steps_per_sec": round(NWALKERS / best, 1),
+        "us_per_step": round(best * 1e6, 2),
+        "general_us_per_step": round(general_s * 1e6, 2),
+        "fused_speedup": (round(general_s / fused_s, 2)
+                          if fused_s is not None else None),
+        "fused_error": fused_error,
+        "achieved_gflops": round(flops_per_step / best / 1e9, 1),
+        "pct_vpu_f32_peak": round(
+            100 * flops_per_step / best / VPU_F32_PEAK, 1),
     }
 
 
@@ -350,14 +402,56 @@ def bench_dense() -> dict:
     csr_s = timed(lnprob_csr)
     jnp_s = timed(lnprob_jnp, model.vel_grid)
     best = min(gather_s, csr_s)
+
+    # Full-chain sampling on the dense catalog (VERDICT r2 item 2): a real
+    # multi-step ensemble chain through the default (gather) path — the
+    # walker-steps/s a user of the dense-aromatic config actually gets.
+    from cha1_mcmc_tpu.sampler import run_ensemble
+
+    lnp0 = lnprob_gather(thetas)
+    key = jax.random.PRNGKey(0)
+    chain, _, acc, (pos, lnp) = run_ensemble(
+        lnprob_gather, thetas, lnp0, key, nsteps=64, batched=True)
+    jax.block_until_ready(chain)
+    lnp = jnp.asarray(lnp)
+    chain_slope, _ = _slope_timed(
+        lambda n, tag: run_ensemble(lnprob_gather, pos, lnp,
+                                    jax.random.fold_in(key, tag),
+                                    nsteps=n, batched=True)[0], 64, 256)
+
+    # Roofline accounting from first principles (VERDICT r2 item 5). The
+    # gather path's per-eval work: taus over the active lines (~10 flops
+    # + 2 exp each), the (W, M, C) gather-Gaussian-reduce (~10 flops + 1
+    # exp each) and the (W, C) RT/chi2 tail. Dominant HBM traffic is the
+    # per-eval tau gather table expansion ((W, M, C) reads of taus +
+    # static (M, C) tables) — everything else is walker-local.
+    from cha1_mcmc_tpu.models.pallas_kernels import build_opacity_gather
+    g_table, g_vel, g_active = build_opacity_gather(
+        np.asarray(model.vel_grid), 5.8, 1.5)
+    M = int(g_table.shape[0])
+    La = int(g_active.size)
+    flops = NWALKERS * (La * 12 + M * DENSE_CHANNELS * 11
+                        + DENSE_CHANNELS * 18)
+    bytes_moved = 4 * (NWALKERS * M * DENSE_CHANNELS   # tau_g expansion
+                       + 2 * M * DENSE_CHANNELS        # static tables
+                       + NWALKERS * (La + 3 * DENSE_CHANNELS))
     return {
         "n_lines": L,
+        "n_active_lines": La,
+        "gather_table_M": M,
         "n_channels": DENSE_CHANNELS,
         "nwalkers": NWALKERS,
         "gather_ms_per_eval": round(gather_s * 1e3, 3),
         "csr_ms_per_eval": round(csr_s * 1e3, 3),
         "jnp_ms_per_eval": round(jnp_s * 1e3, 3),
         "speedup_vs_jnp": round(jnp_s / best, 2),
+        "chain_walker_steps_per_sec": round(NWALKERS / chain_slope, 1),
+        "chain_us_per_step": round(chain_slope * 1e6, 2),
+        "gather_achieved_gflops": round(flops / gather_s / 1e9, 1),
+        "gather_pct_vpu_f32_peak": round(100 * flops / gather_s / VPU_F32_PEAK, 1),
+        "gather_achieved_hbm_gbs": round(bytes_moved / gather_s / 1e9, 1),
+        "gather_pct_hbm_peak": round(
+            100 * bytes_moved / gather_s / 1e9 / HBM_PEAK_GBS, 1),
     }
 
 

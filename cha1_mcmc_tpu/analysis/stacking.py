@@ -129,6 +129,8 @@ def velocity_stack(
     blank_lines: bool = False, blank_keep_range=None,
     vel_width: float = 40.0, v_res: float = 0.1,
     mf: bool = False, mf_vmult: float = 5.0, ckm: float = CKM,
+    use_sum: bool = False, freq_sum=None, int_sum=None,
+    cat_frequency=None, vlsr: float = 0.0, sum_width_extend: float = 3.0,
 ) -> StackResult:
     """SNR-weighted velocity stack (reference simulate_lte.py:4476-4860,
     compute core).
@@ -146,15 +148,52 @@ def velocity_stack(
          with per-channel sum(rms^2) normalization;
       6. 5 edge channels are dropped and the stack is normalized to SNR by
          its own clipped rms.
+
+    use_sum=True stacks over a *summed* multi-species simulation
+    (freq_sum, int_sum — e.g. Workbench.sum_stored) instead of the single
+    current one (reference simulate_lte.py:4497-4533): peak centers come
+    from the sum at dV*sum_width_extend separation, each is snapped to the
+    nearest catalog frequency (`cat_frequency`, the loaded molecule's full
+    catalog; the vlsr back-shift uses the *pre-snap* peak frequency — a
+    reference quirk kept deliberately), and the weights use the integrated
+    flux of the sum within ±dV*sum_width_extend/2 rather than the peak
+    height. Simulation windows are then cut from the sum as well.
     """
     freq_local = np.copy(np.asarray(freq_obs, dtype=np.float64))
     int_local = np.copy(np.asarray(int_obs, dtype=np.float64))
-    freq_sim = np.asarray(freq_sim, dtype=np.float64)
-    int_sim = np.asarray(int_sim, dtype=np.float64)
 
-    peak_indices = find_sim_peaks(freq_sim, int_sim, dV, res, ckm=ckm)
-    peak_freqs = freq_sim[peak_indices]
-    peak_ints = int_sim[peak_indices]
+    if use_sum:
+        if freq_sum is None or int_sum is None or cat_frequency is None:
+            raise ValueError("use_sum=True requires freq_sum, int_sum and "
+                             "cat_frequency")
+        freq_sim = np.asarray(freq_sum, dtype=np.float64)
+        int_sim = np.asarray(int_sum, dtype=np.float64)
+        cat_frequency = np.asarray(cat_frequency, dtype=np.float64)
+        peak_indices = find_sim_peaks(freq_sim, int_sim,
+                                      dV * sum_width_extend, res, ckm=ckm)
+        peak_freqs = np.copy(freq_sim[peak_indices])
+        for x in range(len(peak_freqs)):
+            # Snap each sum-peak to the nearest catalog line; the back-
+            # shift deliberately uses the pre-snap frequency (reference
+            # simulate_lte.py:4509-4513).
+            freq_idx = find_nearest(cat_frequency,
+                                    peak_freqs[x] + vlsr * peak_freqs[x] / ckm)
+            peak_freqs[x] = cat_frequency[freq_idx] - vlsr * peak_freqs[x] / ckm
+        peak_ints = []
+        for x in peak_freqs:
+            # Integrated flux of the sum within +-freq_width/2
+            # (reference simulate_lte.py:4521-4533).
+            freq_width = dV * sum_width_extend * x / ckm
+            tmp_ll = find_nearest(freq_sim, x - freq_width / 2)
+            tmp_ul = find_nearest(freq_sim, x + freq_width / 2)
+            peak_ints.append(np.nansum(int_sim[tmp_ll:tmp_ul]))
+        peak_ints = np.asarray(peak_ints)
+    else:
+        freq_sim = np.asarray(freq_sim, dtype=np.float64)
+        int_sim = np.asarray(int_sim, dtype=np.float64)
+        peak_indices = find_sim_peaks(freq_sim, int_sim, dV, res, ckm=ckm)
+        peak_freqs = freq_sim[peak_indices]
+        peak_ints = int_sim[peak_indices]
 
     chunks = []
     for x in range(len(peak_freqs)):

@@ -47,19 +47,25 @@ __all__ = ["make_mesh", "pad_model_lines", "run_ensemble_sharded",
            "make_sharded_runner", "make_sharded_sampler",
            "ShardedEnsembleSampler"]
 
+CHAIN_AXIS = "chains"
 WALKER_AXIS = "walkers"
 LINE_AXIS = "lines"
 
 
 def make_mesh(n_walker_shards: int | None = None, n_line_shards: int = 1,
-              devices=None) -> Mesh:
-    """Build a ('walkers', 'lines') mesh over the available devices."""
+              devices=None, n_chain_shards: int = 1) -> Mesh:
+    """Build a ('chains', 'walkers', 'lines') mesh over the available
+    devices. The chains axis carries K *independent* ensembles (no
+    collectives cross it — all_gather/psum ride the walkers/lines axes
+    only), composing pod-scale walker sharding with honest cross-chain
+    R-hat; size 1 recovers the plain ('walkers', 'lines') layout."""
     devices = list(devices if devices is not None else jax.devices())
     if n_walker_shards is None:
-        n_walker_shards = len(devices) // n_line_shards
-    n = n_walker_shards * n_line_shards
-    grid = np.array(devices[:n]).reshape(n_walker_shards, n_line_shards)
-    return Mesh(grid, (WALKER_AXIS, LINE_AXIS))
+        n_walker_shards = len(devices) // (n_line_shards * n_chain_shards)
+    n = n_chain_shards * n_walker_shards * n_line_shards
+    grid = np.array(devices[:n]).reshape(
+        n_chain_shards, n_walker_shards, n_line_shards)
+    return Mesh(grid, (CHAIN_AXIS, WALKER_AXIS, LINE_AXIS))
 
 
 def pad_model_lines(model: SpectralModel, multiple: int) -> SpectralModel:
@@ -176,17 +182,24 @@ def make_sharded_runner(
 
     line_specs = (P(LINE_AXIS), P(LINE_AXIS), P(LINE_AXIS), P(LINE_AXIS),
                   P(LINE_AXIS), P(LINE_AXIS, None))
+    # The global walker dim partitions over (chains, walkers): whole
+    # chains contiguous, matching MultiChainSampler's pooled (K*W, S, D)
+    # layout so gelman_rubin measures cross-chain mixing unchanged.
+    W_SPEC = (CHAIN_AXIS, WALKER_AXIS)
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(line_specs, P(WALKER_AXIS, None), P()),
-        out_specs=(P(None, WALKER_AXIS, None), P(None, WALKER_AXIS), P(),
-                   P(WALKER_AXIS, None), P(WALKER_AXIS)),
+        in_specs=(line_specs, P(W_SPEC, None), P()),
+        out_specs=(P(None, W_SPEC, None), P(None, W_SPEC), P(),
+                   P(W_SPEC, None), P(W_SPEC)),
         check_vma=False,
     )
     def sharded_run(lines_local, pos_local, key):
-        w_idx = jax.lax.axis_index(WALKER_AXIS)
+        # Distinct randomness per (chain, walker-shard); a walker shard's
+        # devices across the lines axis stay in lockstep.
+        w_idx = (jax.lax.axis_index(CHAIN_AXIS) * mesh.shape[WALKER_AXIS]
+                 + jax.lax.axis_index(WALKER_AXIS))
         if use_pallas:
             from cha1_mcmc_tpu.models.pallas_kernels import block_activity_mask_traced
 
@@ -224,7 +237,7 @@ def make_sharded_runner(
                                                  first, second, zu[0], pr[0], au[0])
             coords, lnp, a1 = _half_step_sharded(lnprob_batch, D, a, coords, lnp,
                                                  second, first, zu[1], pr[1], au[1])
-            acc = jax.lax.psum(a0 + a1, WALKER_AXIS)
+            acc = jax.lax.psum(a0 + a1, (CHAIN_AXIS, WALKER_AXIS))
             return (coords, lnp), (coords, lnp, acc)
 
         (pos, lnp), (chain, lnps, accepted) = jax.lax.scan(
@@ -235,9 +248,11 @@ def make_sharded_runner(
 
     def runner(pos0, key):
         W, D = pos0.shape
-        if W % (2 * n_w):
+        n_c = mesh.shape[CHAIN_AXIS]
+        if W % (2 * n_c * n_w):
             raise ValueError(
-                f"nwalkers={W} must be divisible by 2*{n_w} walker shards")
+                f"nwalkers={W} must be divisible by 2 * {n_c} chains * "
+                f"{n_w} walker shards")
         pos0 = jax.device_put(jnp.asarray(pos0, dtype=dtype))
         chain, lnps, accepted, pos, lnp = jitted(line_args, pos0, key)
         return chain, lnps, accepted, (pos, lnp)
@@ -329,22 +344,34 @@ def make_sharded_sampler(*, n_devices: int, n_line_shards: int, nwalkers: int,
                          grid_yerrs, lnprior_fn, use_pallas: bool = False,
                          dv_max: float | None = None,
                          interpret: bool = False,
+                         n_chains: int = 1,
                          verbose: bool = True) -> "ShardedEnsembleSampler":
     """Validate the mesh request and construct a ShardedEnsembleSampler —
     the single construction point shared by the single-component
-    (pipeline/fit.py) and multi-component (pipeline/multifit.py) drivers."""
+    (pipeline/fit.py) and multi-component (pipeline/multifit.py) drivers.
+
+    n_chains > 1 composes K independent ensembles with the device mesh
+    (a 'chains' axis no collective crosses): each chain owns
+    n_devices / (n_chains * n_line_shards) walker shards, and the pooled
+    chain keeps whole chains contiguous for honest cross-chain R-hat."""
     if n_devices > len(jax.devices()):
         raise ValueError(f"n_devices={n_devices} exceeds the "
                          f"{len(jax.devices())} available devices")
-    if n_devices % n_line_shards:
+    if n_devices % (n_line_shards * n_chains):
         raise ValueError(f"n_devices={n_devices} must be divisible by "
-                         f"n_line_shards={n_line_shards}")
-    mesh = make_mesh(n_devices // n_line_shards, n_line_shards)
+                         f"n_line_shards={n_line_shards} * "
+                         f"n_chains={n_chains}")
+    if nwalkers % n_chains:
+        raise ValueError(f"nwalkers={nwalkers} must be divisible by "
+                         f"n_chains={n_chains}")
+    mesh = make_mesh(n_devices // (n_line_shards * n_chains), n_line_shards,
+                     n_chain_shards=n_chains)
     if verbose:
         from cha1_mcmc_tpu.constants import GRAY, RESET
 
+        chains_txt = (f"chains={n_chains}, " if n_chains > 1 else "")
         print(f"{GRAY}Sampling on a {n_devices}-device mesh "
-              f"(walkers={mesh.shape[WALKER_AXIS]}, "
+              f"({chains_txt}walkers={mesh.shape[WALKER_AXIS]}, "
               f"lines={mesh.shape[LINE_AXIS]}).{RESET}")
     return ShardedEnsembleSampler(
         lnprob_fn=None, nwalkers=nwalkers, ndim=ndim, a=a, dtype=dtype,

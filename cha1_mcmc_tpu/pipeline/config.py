@@ -65,7 +65,14 @@ class FitConfig:
     n_chains: int = 1                # independent ensembles (nwalkers is the
                                      # total; enables cross-chain R-hat)
     stretch_a: float = 2.0
-    use_pallas: bool = False         # Pallas opacity kernel (dense catalogs)
+    use_pallas: bool | None = None   # sparse opacity path (gather/Pallas).
+                                     # None = auto: selected when the dense
+                                     # einsum's (W/2, L, C) intermediate
+                                     # would be too large (dense aromatic
+                                     # catalogs, SURVEY §6 stress row) —
+                                     # a default-config fit on
+                                     # 1-cyanonaphthalene must never try
+                                     # to materialize ~37 GB on chip.
     use_fused_step: bool = True      # fused whole-step Pallas kernel when
                                      # applicable (bitwise-identical chains)
     resume: bool = False             # continue an existing chain file

@@ -111,7 +111,10 @@ class SpectralFit:
         h = nwalkers // 2
         model_bytes = 4 * h * model.n_lines * model.n_channels * 4
         selector_bytes = 3 * h * nwalkers * 4
-        return model_bytes + selector_bytes <= budget_bytes
+        n_states = (0 if model.q_model.kind == "analytic"
+                    else int(np.size(model.q_model.g)))
+        q_bytes = 2 * h * n_states * 4
+        return model_bytes + selector_bytes + q_bytes <= budget_bytes
 
     def _is_within_bounds(self, theta) -> bool:
         """Host-side box check for walker init (reference inference.py:169-190)."""
@@ -144,14 +147,23 @@ class SpectralFit:
 
         lnprior = single_component_lnprior(self.spec, cfg.bounds, prior_means, prior_stds)
         lnlike = build_lnlike(model, self.spec, grid.ints, grid.yerrs)
+        use_pallas = cfg.use_pallas
+        if use_pallas is None:
+            # Auto-select the sparse opacity path for dense catalogs: the
+            # vmapped einsum materializes a (W/2, L, C) intermediate per
+            # half-step, which for aromatic catalogs (35,460-line
+            # 1-cyanonaphthalene x 2048 channels x 64 walkers = ~19 GB
+            # f32) cannot compile — the gather path is both required and
+            # ~50-100x faster there (BENCH dense section).
+            use_pallas = model.n_lines * model.n_channels > 4_000_000
+            if use_pallas:
+                print(f"{GRAY}Dense catalog ({model.n_lines} lines x "
+                      f"{model.n_channels} channels): auto-selected the "
+                      f"sparse opacity path.{RESET}")
         sharded = cfg.n_devices is not None and cfg.n_devices > 1
-        if sharded and cfg.n_chains > 1:
-            raise ValueError("n_chains > 1 and n_devices > 1 are mutually "
-                             "exclusive (shard one big ensemble, or run "
-                             "independent chains on one chip)")
         if sharded:
             lnprob = None  # the mesh program builds its own local lnprob
-        elif cfg.use_pallas:
+        elif use_pallas:
             from cha1_mcmc_tpu.inference.likelihood import build_lnprob_batched
 
             lnprob = build_lnprob_batched(
@@ -181,6 +193,8 @@ class SpectralFit:
             # lines) over an ICI mesh, with the full single-device sampler
             # contract (checkpoints, .state.npz resume, retries). Replaces
             # the reference's multiprocessing pool (inference.py:456-463).
+            # n_chains > 1 composes K independent ensembles with the mesh
+            # (a 'chains' axis) for honest cross-chain R-hat at pod scale.
             from cha1_mcmc_tpu.parallel import make_sharded_sampler
 
             self.sampler = make_sharded_sampler(
@@ -188,28 +202,28 @@ class SpectralFit:
                 nwalkers=cfg.nwalkers, ndim=self.spec.ndim, a=cfg.stretch_a,
                 dtype=self.dtype, model=model, spec=self.spec,
                 grid_ints=grid.ints, grid_yerrs=grid.yerrs,
-                lnprior_fn=lnprior, use_pallas=cfg.use_pallas,
-                dv_max=cfg.bounds["dV"][1],
-                interpret=cfg.use_pallas and jax.default_backend() == "cpu")
+                lnprior_fn=lnprior, use_pallas=use_pallas,
+                dv_max=cfg.bounds["dV"][1], n_chains=cfg.n_chains,
+                interpret=use_pallas and jax.default_backend() == "cpu")
         elif cfg.n_chains > 1:
             from cha1_mcmc_tpu.sampler import MultiChainSampler
 
             self.sampler = MultiChainSampler(
                 lnprob_fn=lnprob, nwalkers=cfg.nwalkers, ndim=self.spec.ndim,
-                a=cfg.stretch_a, dtype=self.dtype, batched=cfg.use_pallas,
+                a=cfg.stretch_a, dtype=self.dtype, batched=use_pallas,
                 n_chains=cfg.n_chains)
-        elif (cfg.use_fused_step and not cfg.use_pallas
+        elif (cfg.use_fused_step and not use_pallas
               and self.spec.ncomp == 1
-              and model.q_model.kind == "analytic"
               and self.dtype == jnp.float32
               and jax.default_backend() != "cpu"
               and self._fused_fits_vmem(model, cfg.nwalkers)):
             # Fused whole-step Pallas kernel: one program per k ensemble
             # steps; chains are bitwise-identical to the general sampler
-            # (sampler/fused.py), ~1.4x faster at the flagship size. Not
-            # auto-selected on CPU: the interpreter pays ~30 s of tracing
-            # per fit, which the general path avoids (tests that want the
-            # bitwise check call make_fused_ensemble directly).
+            # (sampler/fused.py), ~1.4x faster at the flagship size. Both
+            # analytic and state-sum Q(T) models are supported in-kernel.
+            # Not auto-selected on CPU: the interpreter pays ~30 s of
+            # tracing per fit, which the general path avoids (tests that
+            # want the bitwise check call make_fused_ensemble directly).
             from cha1_mcmc_tpu.sampler import (FusedEnsembleSampler,
                                                make_fused_ensemble)
 
@@ -222,7 +236,7 @@ class SpectralFit:
         else:
             self.sampler = EnsembleSampler(
                 lnprob_fn=lnprob, nwalkers=cfg.nwalkers, ndim=self.spec.ndim,
-                a=cfg.stretch_a, dtype=self.dtype, batched=cfg.use_pallas)
+                a=cfg.stretch_a, dtype=self.dtype, batched=use_pallas)
 
         if resuming:
             # Continue an existing chain from its last positions

@@ -466,11 +466,29 @@ class Workbench:
             self.freq_obs, self.int_obs, self.obs_res, self.obs_rms = read_obs(path, rms=rms)
         return self
 
-    def stack(self, **kwargs):
+    def stack(self, use_sum: bool = False, thick: bool = True, **kwargs):
+        """Velocity-stack the loaded observation around the current
+        simulation's lines — or, with use_sum=True, around the *summed*
+        stored simulations (reference velocity_stack use_sum branch,
+        simulate_lte.py:4497-4533): peak centers come from sum_stored()
+        snapped to the current molecule's catalog frequencies, weights
+        from the sum's integrated flux. A GOTHAM-style multi-species
+        stacked detection is store()+sum over species, then
+        stack(use_sum=True)."""
         if self.freq_obs is None:
             raise RuntimeError("load_obs() first")
+        if use_sum:
+            if self.catalog is None:
+                raise RuntimeError("load a molecule first (its catalog "
+                                   "frequencies anchor the sum's peaks)")
+            freq_sum, int_sum = self.sum_stored(thick=thick)
+            kwargs.setdefault("freq_sum", freq_sum)
+            kwargs.setdefault("int_sum", int_sum)
+            kwargs.setdefault("cat_frequency", self.catalog.frequency)
+            kwargs.setdefault("vlsr", self.vlsr)
         return velocity_stack(self.freq_obs, self.int_obs, self.freq_sim,
-                              self.int_sim, self.dV, self.res, **kwargs)
+                              self.int_sim, self.dV, self.res,
+                              use_sum=use_sum, **kwargs)
 
     def matched_filter(self, **kwargs):
         """Matched-filter the stack; returns (velocity, response) with the

@@ -31,9 +31,11 @@ this machine's fixed ~30 ms per-dispatch relay overhead — see bench.py):
 records the per-round measurement).
 
 Scope: single-component problems (4-dim fixed- or 5-dim free-source-
-size) with an analytic Q(T) polynomial — the flagship and
-MCMC_variable_source_size families. Multi-component layouts keep the
-general run_ensemble path.
+size) — the flagship and MCMC_variable_source_size families — with
+either an analytic Q(T) polynomial or the state-sum fallback (the
+(g, E) Boltzmann arrays evaluate as an in-kernel VPU block, so
+fallback-Q species like the aromatics take the fast path too).
+Multi-component layouts use sampler/fused_multi.py.
 """
 
 from __future__ import annotations
@@ -45,18 +47,19 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from cha1_mcmc_tpu.constants import FWHM_TO_SIGMA_MODEL, VELOCITY_WINDOW_DV
+from cha1_mcmc_tpu.constants import (FWHM_TO_SIGMA_MODEL, KCM,
+                                     VELOCITY_WINDOW_DV)
 from cha1_mcmc_tpu.ops.lte import planck_J, beam_dilution, tau_sticks
 
 __all__ = ["make_fused_ensemble", "FusedEnsembleSampler"]
 
 
 def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
-                 lines_ref, vel_ref, chans_ref,
+                 lines_ref, vel_ref, chans_ref, qst_ref,
                  out_chain_ref, out_lnps_ref, out_acc_ref, *,
-                 a, h, k_steps, ss, dish_size, Tbg, mask_center, q_coeffs,
-                 q_power, q_scale, bounds_lo, bounds_hi, prior_mean,
-                 prior_std):
+                 a, h, k_steps, ss, dish_size, Tbg, mask_center, q_kind,
+                 q_coeffs, q_power, q_scale, bounds_lo, bounds_hi,
+                 prior_mean, prior_std):
     W, D = coords_ref.shape
     lf, le, la, lg, lgl = (lines_ref[i:i + 1, :] for i in range(5))
     gf = chans_ref[0:1, :]
@@ -64,7 +67,17 @@ def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
     isig = chans_ref[2:3, :]
     vel = vel_ref[:]
 
-    def q_of(Tex):
+    def q_of(Tex):                                       # (h, 1) -> (h, 1)
+        if q_kind == "states":
+            # State-sum fallback Q(T) = sum_s g_s exp(-E_s / (kcm T))
+            # (reference functions.py:263-325; catalogs/partition.py): a
+            # few-KB (h, S) Boltzmann block on the VPU, so fallback-Q
+            # species (incl. the aromatics whose dispatch deliberately
+            # misses) take the fused path too.
+            g_row = qst_ref[0:1, :]                      # (1, S)
+            E_row = qst_ref[1:2, :]
+            boltz = jnp.exp(-E_row / (KCM * Tex))        # (h, S)
+            return jnp.sum(g_row * boltz, axis=1, keepdims=True)
         q = jnp.zeros_like(Tex)
         for i, c in enumerate(q_coeffs):
             q = q + c * Tex ** i
@@ -157,13 +170,23 @@ def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
             lnp_new = lnprob(proposal)
             lnpdiff = (D - 1.0) * jnp.log(zz) + lnp_new - lnp_s
             accept = jnp.log(au_ref[r:r + 1, :]).T < lnpdiff      # (h, 1)
-            delta = jnp.where(
-                accept, jnp.concatenate([proposal - s, lnp_new - lnp_s],
-                                        axis=1), 0.0)             # (h, D+1)
-            # scatter back: one-hot transpose matmul (rows are disjoint)
-            state = state + jnp.dot(sel_a.T, delta,
-                                    preferred_element_type=wdt,
-                                    precision=jax.lax.Precision.HIGHEST)
+            # Scatter back by select, not by adding a delta: s + (prop - s)
+            # can round away from prop by an ulp on large moves, while an
+            # exact one-hot matmul + where keeps stored coordinates
+            # bitwise-equal to the general sampler's .at[].set. The values
+            # MUST be masked to the accepted rows BEFORE the matmul: a
+            # rejected proposal's lnp_new is -inf, and 0 * (-inf) = NaN
+            # would poison the whole contracted column (accepted rows are
+            # always finite: accept requires lnpdiff > log u > -inf).
+            vals = jnp.where(accept,
+                             jnp.concatenate([proposal, lnp_new], axis=1),
+                             0.0)                                 # (h, D+1)
+            newvals = jnp.dot(sel_a.T, vals, preferred_element_type=wdt,
+                              precision=jax.lax.Precision.HIGHEST)
+            acc_w = jnp.dot(sel_a.T, accept.astype(wdt),
+                            preferred_element_type=wdt,
+                            precision=jax.lax.Precision.HIGHEST)  # (W, 1)
+            state = jnp.where(acc_w > 0.5, newvals, state)
             step_acc = step_acc + jnp.sum(accept.astype(jnp.float32))
         out_chain_ref[step * W:(step + 1) * W, :] = state[:, :D]
         out_lnps_ref[step * W:(step + 1) * W, :] = state[:, D:]
@@ -182,10 +205,9 @@ def make_fused_ensemble(model, spec, grid_ints, grid_yerrs, bounds,
     overridden to 0.8/0.3 * mean_dV, reference inference.py:200-201).
     """
     if spec.ncomp != 1:
-        raise ValueError("fused path supports single-component layouts only")
+        raise ValueError("fused path supports single-component layouts only"
+                         " (use sampler.fused_multi for ncomp > 1)")
     qm = model.q_model
-    if qm.kind != "analytic":
-        raise ValueError("fused path requires an analytic Q(T) model")
 
     free_ss = spec.fixed_source_size is None
     means = np.asarray(prior_means, dtype=np.float64)
@@ -203,13 +225,22 @@ def make_fused_ensemble(model, spec, grid_ints, grid_yerrs, bounds,
                        jnp.asarray(grid_ints, model.dtype),
                        1.0 / jnp.asarray(grid_yerrs, model.dtype) ** 2])
     vel = model.vel_grid
+    if qm.kind == "states":
+        qst = jnp.asarray(np.stack([np.asarray(qm.g), np.asarray(qm.E)]),
+                          model.dtype)                         # (2, S)
+        q_static = dict(q_kind="states", q_coeffs=(), q_power=None,
+                        q_scale=1.0)
+    else:
+        qst = jnp.zeros((2, 8), model.dtype)
+        q_static = dict(q_kind="analytic", q_coeffs=qm.coeffs,
+                        q_power=qm.power, q_scale=qm.scale)
 
     kernel = functools.partial(
         _step_kernel, a=a,
         ss=None if free_ss else float(spec.fixed_source_size),
         dish_size=float(model.dish_size), Tbg=float(model.Tbg),
-        mask_center=float(model.mask_center), q_coeffs=qm.coeffs,
-        q_power=qm.power, q_scale=qm.scale, bounds_lo=lo, bounds_hi=hi,
+        mask_center=float(model.mask_center), **q_static,
+        bounds_lo=lo, bounds_hi=hi,
         prior_mean=tuple(means), prior_std=tuple(stds))
 
     @functools.partial(jax.jit, static_argnames=("nsteps", "k_steps"))
@@ -222,6 +253,13 @@ def make_fused_ensemble(model, spec, grid_ints, grid_yerrs, bounds,
         if W % 2:
             raise ValueError(f"nwalkers={W} must be even")
         h = W // 2
+        # The in-kernel walker gathers are one-hot matmuls, so a -inf
+        # entry lnp (out-of-bounds initial walker) would NaN-poison the
+        # contraction (0 * -inf). Clamp to the dtype minimum: acceptance
+        # behaves identically (lnpdiff is astronomically positive either
+        # way) and the value is replaced at the walker's first accept.
+        lnp0 = jnp.where(jnp.isfinite(lnp0), lnp0,
+                         jnp.finfo(pos0.dtype).min)
         while nsteps % k_steps:       # static: largest divisor <= k_steps
             k_steps -= 1
         nblocks = nsteps // k_steps
@@ -252,7 +290,7 @@ def make_fused_ensemble(model, spec, grid_ints, grid_yerrs, bounds,
             coords, lnp = carry
             perm, zu, pr, au = xs
             chain_blk, lnps_blk, acc = call(coords, lnp, perm, zu, pr, au,
-                                            lines, vel, chans)
+                                            lines, vel, chans, qst)
             coords = chain_blk[(k_steps - 1) * W:, :]
             lnp = lnps_blk[(k_steps - 1) * W:, :]
             return (coords, lnp), (chain_blk.reshape(k_steps, W, D),

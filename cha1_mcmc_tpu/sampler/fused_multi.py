@@ -1,0 +1,446 @@
+"""Fused whole-ensemble-step Pallas kernel for multi-component fits.
+
+The GOTHAM-class 14-dim 4-component fit (reference
+scripts/MCMC/TMC1_four_component.py) runs ~50 us/step through the general
+lax.scan sampler, of which ~98% is per-op dispatch overhead in the scan
+body, not compute (the same sampler with a trivial lnprob times <1 us/step
+at the same (128, 14) geometry — BASELINE.md "Identified next
+optimization"). Like sampler/fused.py for the single-component flagship,
+this module collapses the ENTIRE ensemble step — both sequential
+half-updates, each with walker gathers, the N-component LTE forward model,
+the ordered-velocity prior, and the acceptance scatter — into ONE Pallas
+program per step.
+
+What is different from the single-component kernel:
+
+  * **Transposed state layout** ``(D+1, W)`` — parameters in sublanes,
+    walkers in lanes. The (line-window x walker*component) Gaussian blocks
+    then keep walkers in the 256-wide lane dimension, which is the natural
+    VPU shape at K*h = 4*64; every per-parameter quantity is a cheap
+    ``(1, h)`` row slice with no transposes in the hot path.
+  * **Line-major compact spans** instead of the full (L, C) velocity
+    grid: each active line's +-10*dv_max window is a contiguous channel
+    span (measured on all four shipped GOTHAM datagrids; see
+    _compact_spans), padded to a common width Wc. Per half-step the
+    kernel evaluates an (L_active, Wc, K*h) Gaussian block — the ~3%
+    window-dense formulation, ~17x less VPU work than the dense
+    (L, C) product — and scatter-adds each line's (Wc, K*h) slab into
+    the (C, K*h) opacity at its static channel offset. Out-of-window
+    channels inside a span are zeroed by the per-walker |v - center| <
+    10*dV select, so the reference's exact window semantics hold for
+    every in-bounds walker (out-of-bounds dV > dv_max walkers are -inf
+    by prior, exactly as on the general gather path whose static table
+    is truncated the same way).
+  * **Both Q(T) kinds**: analytic polynomials/power laws evaluate
+    inline; state-sum fallback catalogs (QModel.kind == "states") pass
+    their (g, E) arrays as a kernel input and evaluate the (S, h)
+    Boltzmann sum on the VPU — so fallback-Q species can take the fused
+    path too (VERDICT round-2 item 3).
+
+Semantics are emcee-v3 stretch-move, identical to run_ensemble (same
+formulas, same PRNG stream; the one-hot MXU gathers are f32-exact at
+precision=HIGHEST): walker trajectories come out bitwise-identical on the
+tested streams, with lnp agreeing to the last few f32 ulp (in-kernel
+reduction order differs from the general gather path's).
+
+Reference parity targets: scripts/MCMC/TMC1_four_component.py:148-181
+(model), :224-268 (prior), :280-350 (driver); TMC1_one_component.py for
+the K=1 ordered family.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from cha1_mcmc_tpu.constants import (FWHM_TO_SIGMA_MODEL, KCM,
+                                     VELOCITY_WINDOW_DV)
+from cha1_mcmc_tpu.ops.lte import planck_J, beam_dilution, tau_sticks
+
+__all__ = ["make_fused_ensemble_multi", "fused_multi_supported",
+           "compact_spans"]
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def compact_spans(vel_grid: np.ndarray, mask_center: float, dv_max: float):
+    """Static line-major window structure for the fused multi kernel.
+
+    For each catalog line whose widest-possible velocity window
+    (+-10*dv_max around mask_center, reference inference.py:52 /
+    TMC1_four_component.py:160) touches any channel, find the covering
+    contiguous channel span. Returns (active (La,), spans (La,) int,
+    Wc int, velc (La, Wc, 1) f32) where velc[l] = vel_grid[active[l],
+    spans[l]:spans[l]+Wc, None]. Spans are clamped to [0, C-Wc] so they
+    stay in-range; extra in-span channels beyond a line's true window are
+    masked at runtime by the per-walker window select. Raises ValueError
+    if any line's window is non-contiguous in the stored channel order
+    (does not occur on frequency-sorted datagrids; callers fall back to
+    the general sampler)."""
+    vel_grid = np.asarray(vel_grid)
+    L, C = vel_grid.shape
+    inside = np.abs(vel_grid - mask_center) < VELOCITY_WINDOW_DV * dv_max
+    active = np.flatnonzero(inside.any(axis=1))
+    if active.size == 0:
+        active = np.array([0])
+        inside[0, 0] = True
+    first = inside[active].argmax(axis=1)
+    last = C - 1 - inside[active][:, ::-1].argmax(axis=1)
+    for l, f, t in zip(active, first, last):
+        if not inside[l, f:t + 1].all():
+            raise ValueError(
+                f"line {l}: velocity window is not contiguous in the "
+                "stored channel order")
+    Wc = min(_ceil_to(int((last - first + 1).max()), 8), _ceil_to(C, 8))
+    if Wc >= C:
+        Wc, spans = C, np.zeros(active.size, dtype=int)
+    else:
+        spans = np.minimum(first, C - Wc)
+    velc = np.stack([vel_grid[l, s:s + Wc]
+                     for l, s in zip(active, spans)])[..., None]
+    return active, spans, Wc, velc
+
+
+def fused_multi_supported(model, spec, dv_max: float,
+                          vmem_budget: int = 12 * 2 ** 20,
+                          nwalkers: int = 128) -> bool:
+    """Can this (model, spec) run through the fused multi-component
+    kernel within the ~16 MB VMEM budget? (Dense aromatic catalogs and
+    non-contiguous windows fall back to the general sampler.)"""
+    if not spec.free_source_size:
+        return False
+    try:
+        active, spans, Wc, _ = compact_spans(
+            np.asarray(model.vel_grid), model.mask_center, dv_max)
+    except ValueError:
+        return False
+    Kh = spec.ncomp * (nwalkers // 2)
+    C = model.n_channels
+    qm = model.q_model
+    n_states = 0 if qm.kind == "analytic" else int(np.size(qm.g))
+    # opacity + one line-chunk Gaussian block (x4 temporaries) + RT tail
+    chunk = min(16, active.size)
+    est = 4 * (C * Kh                      # opacity accumulator
+               + 4 * chunk * Wc * Kh       # Gaussian block temporaries
+               + 4 * C * (nwalkers // 2)   # RT tail temporaries
+               + n_states * (nwalkers // 2))
+    return est <= vmem_budget
+
+
+def _multi_step_kernel(state_ref, permr_ref, permc_ref, zu_ref, pair_ref,
+                       au_ref, lines_ref, qst_ref, velc_ref, chans_ref,
+                       out_chain_ref, out_lnps_ref, out_acc_ref, opac_ref,
+                       flat_ref, *,
+                       a, h, k_steps, K, D, dish_size, Tbg, mask_center,
+                       q_kind, q_coeffs, q_power, q_scale, spans, Wc,
+                       line_chunk, ss_bounds, ncol_bounds, tex_min,
+                       dv_bound, vlsr_min_sep, vlsr_max_sep, mean_ss,
+                       std_ss, mean_tex, std_tex, mean_vlsr, std_vlsr,
+                       mean_dv, std_dv):
+    W = state_ref.shape[1]
+    Kh = K * h
+    La = lines_ref.shape[0]
+    C = chans_ref.shape[0]
+    lf, le, la_, lg, lgl = (lines_ref[:, i:i + 1] for i in range(5))
+    gf = chans_ref[:, 0:1]
+    y = chans_ref[:, 1:2]
+    isig = chans_ref[:, 2:3]
+    velc = velc_ref[:]                                    # (La, Wc, 1)
+
+    def q_of(Tex):                                        # (1, h) -> (1, h)
+        if q_kind == "states":
+            g_col = qst_ref[:, 0:1]                       # (S, 1)
+            E_col = qst_ref[:, 1:2]
+            boltz = jnp.exp(-E_col / (KCM * Tex))         # (S, h)
+            return jnp.sum(g_col * boltz, axis=0, keepdims=True)
+        q = jnp.zeros_like(Tex)
+        for i, c in enumerate(q_coeffs):
+            q = q + c * Tex ** i
+        if q_power is not None:
+            pa, pb = q_power
+            q = q + pa * Tex ** pb
+        return q_scale * q
+
+    def _log_gauss(x, mean, sd):
+        return (np.log(1.0 / (np.sqrt(2.0 * np.pi) * sd))
+                - 0.5 * ((x - mean) / sd) ** 2)
+
+    def lnprob(th):                                       # (D, h) -> (1, h)
+        # theta rows: [ss x K | Ncol x K | Tex | vlsr x K | dV]
+        # (reference TMC1_four_component.py:189, inference/params.py)
+        ss = [th[i:i + 1, :] for i in range(K)]
+        Ncol = [th[K + i:K + i + 1, :] for i in range(K)]
+        Tex = th[2 * K:2 * K + 1, :]
+        vlsr = [th[2 * K + 1 + i:2 * K + 2 + i, :] for i in range(K)]
+        dV = th[3 * K + 1:3 * K + 2, :]
+
+        # K-major (1, K*h) lane flats: component k occupies lanes
+        # [k*h, (k+1)*h). Built through a VMEM scratch ref rather than a
+        # lane-axis jnp.concatenate — Mosaic cannot concatenate row
+        # slices whose register layouts carry different (sublane, lane)
+        # offsets ("offset mismatch on non-concat dimension"); a
+        # store/load roundtrip canonicalizes the layout.
+        Q = q_of(Tex)
+        for k in range(K):
+            flat_ref[0:1, k * h:(k + 1) * h] = Ncol[k]
+            flat_ref[1:2, k * h:(k + 1) * h] = vlsr[k]
+            flat_ref[2:3, k * h:(k + 1) * h] = Tex
+            flat_ref[3:4, k * h:(k + 1) * h] = dV
+            flat_ref[4:5, k * h:(k + 1) * h] = Q
+        Ncol_f = flat_ref[0:1, :]
+        vlsr_f = flat_ref[1:2, :]
+        Tex_f = flat_ref[2:3, :]
+        dV_f = flat_ref[3:4, :]
+        Q_f = flat_ref[4:5, :]
+        taus = tau_sticks(jnp, lf, le, la_, lg, lgl,
+                          Q_f, Ncol_f, Tex_f, dV_f)       # (La, Kh)
+
+        # exp(-0.5((v - vlsr)/sigma)^2) as exp2(aa d^2) (see fused.py)
+        sigma = dV_f / FWHM_TO_SIGMA_MODEL
+        aa = ((-0.5 * np.log2(np.e)) / (sigma * sigma))[None]   # (1, 1, Kh)
+        wlim = (VELOCITY_WINDOW_DV * dV_f)[None]
+        vl3 = vlsr_f[None]
+
+        # Opacity accumulates in a VMEM scratch ref: static-slice stores
+        # are the Mosaic-supported scatter form (value-level dynamic_slice
+        # is not lowered by this Pallas version), and line spans overlap
+        # (hfs clusters) so the adds must be sequential per channel.
+        opac_ref[:] = jnp.zeros((C, Kh), th.dtype)
+        for c0 in range(0, La, line_chunk):
+            g = min(line_chunk, La - c0)
+            vblk = jax.lax.slice_in_dim(velc, c0, c0 + g)  # (g, Wc, 1)
+            window = jnp.abs(vblk - mask_center) < wlim   # (g, Wc, Kh)
+            d = vblk - vl3
+            gauss = jnp.where(window, jnp.exp2(aa * (d * d)), 0.0)
+            tau_blk = jax.lax.slice_in_dim(taus, c0, c0 + g)[:, None, :]
+            contrib = tau_blk * gauss                     # (g, Wc, Kh)
+            for j in range(g):
+                s = spans[c0 + j]
+                opac_ref[s:s + Wc, :] += contrib[j]
+
+        # Per-component radiative transfer + beam, then sum (reference
+        # TMC1_four_component.py:173-179).
+        J_T = planck_J(jnp, gf, Tex, guard=1e-10)         # (C, h)
+        J_Tbg = planck_J(jnp, gf, jnp.asarray(Tbg, th.dtype), guard=1e-10)
+        m = jnp.zeros((C, h), th.dtype)
+        for k in range(K):
+            opac_k = opac_ref[:, k * h:(k + 1) * h]
+            dil = beam_dilution(jnp, gf, ss[k], dish_size)
+            m = m + dil * (J_T - J_Tbg) * (1.0 - jnp.exp(-opac_k))
+        resid = y - m
+        ll = -0.5 * jnp.sum(resid * resid * isig - jnp.log(isig),
+                            axis=0, keepdims=True)        # (1, h)
+
+        # Ordered-velocity prior (reference TMC1_four_component.py:224-268;
+        # inference/priors.py:ordered_velocity_lnprior).
+        ok = jnp.ones_like(ll, dtype=jnp.bool_)
+        lp = jnp.zeros_like(ll)
+        for k in range(K):
+            ok = ok & (ss[k] > ss_bounds[0]) & (ss[k] < ss_bounds[1])
+            ok = ok & (Ncol[k] > ncol_bounds[0]) & (Ncol[k] < ncol_bounds[1])
+            lp = lp + _log_gauss(ss[k], mean_ss[k], std_ss[k])
+            lp = lp + _log_gauss(vlsr[k], mean_vlsr[k], std_vlsr[k])
+        for k in range(K - 1):
+            ok = ok & (vlsr[k] < vlsr[k + 1] - vlsr_min_sep)
+            ok = ok & (vlsr[k + 1] < vlsr[k] + vlsr_max_sep)
+        ok = ok & (dV < dv_bound) & (Tex > tex_min)
+        lp = lp + _log_gauss(Tex, mean_tex, std_tex)
+        lp = lp + _log_gauss(dV, mean_dv, std_dv)
+        lp = jnp.where(ok, lp, -jnp.inf)
+        val = lp + ll
+        return jnp.where(jnp.isfinite(lp) & jnp.isfinite(ll), val, -jnp.inf)
+
+    wdt = state_ref.dtype
+
+    def dot(x, s):  # exact one-hot contraction (f32 at HIGHEST precision)
+        return jnp.dot(x, s, preferred_element_type=wdt,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    state = state_ref[:]                                  # (D+1, W)
+    for step in range(k_steps):
+        step_acc = jnp.zeros((1, 1), jnp.float32)
+        for half in range(2):
+            r = 2 * step + half
+            active_row = permr_ref[r:r + 1, :]            # (1, h)
+            comp_row = permr_ref[2 * step + (1 - half):
+                                 2 * step + (2 - half), :]
+            active_col = permc_ref[r * h:(r + 1) * h, :]  # (h, 1)
+            # gather active walkers: (D+1, W) @ (W, h) one-hot
+            selT_a = (jax.lax.broadcasted_iota(jnp.int32, (W, h), 0)
+                      == active_row).astype(wdt)
+            sa = dot(state, selT_a)                       # (D+1, h)
+            s_, lnp_s = sa[:D, :], sa[D:, :]
+            selT_c = (jax.lax.broadcasted_iota(jnp.int32, (W, h), 0)
+                      == comp_row).astype(wdt)
+            comp = dot(state, selT_c)[:D, :]              # (D, h)
+            # partner pick within the complementary half
+            P = (jax.lax.broadcasted_iota(jnp.int32, (h, h), 0)
+                 == pair_ref[r:r + 1, :]).astype(wdt)
+            c = dot(comp, P)                              # (D, h)
+            zz = ((a - 1.0) * zu_ref[r:r + 1, :] + 1.0) ** 2 / a
+            proposal = c + zz * (s_ - c)                  # (D, h)
+            lnp_new = lnprob(proposal)
+            lnpdiff = (D - 1.0) * jnp.log(zz) + lnp_new - lnp_s
+            accept = jnp.log(au_ref[r:r + 1, :]) < lnpdiff
+            # Scatter back by select, not by adding a delta: s + (prop - s)
+            # can round away from prop by an ulp on large moves; the exact
+            # one-hot matmul + where keeps stored coordinates
+            # bitwise-equal to the general sampler's. Values are masked to
+            # the accepted rows BEFORE the matmul: a rejected proposal's
+            # lnp_new is -inf and 0 * (-inf) = NaN would poison the whole
+            # contracted column (accepted rows are always finite).
+            sel_a = (jax.lax.broadcasted_iota(jnp.int32, (h, W), 1)
+                     == active_col).astype(wdt)
+            vals = jnp.where(accept,
+                             jnp.concatenate([proposal, lnp_new], axis=0),
+                             0.0)                         # (D+1, h)
+            newvals = dot(vals, sel_a)                    # (D+1, W)
+            acc_w = dot(accept.astype(wdt), sel_a)        # (1, W)
+            state = jnp.where(acc_w > 0.5, newvals, state)
+            step_acc = step_acc + jnp.sum(accept.astype(jnp.float32))
+        out_chain_ref[:, step * W:(step + 1) * W] = state[:D, :]
+        out_lnps_ref[step:step + 1, :] = state[D:, :]
+        out_acc_ref[step:step + 1, :] = step_acc
+
+
+def make_fused_ensemble_multi(model, spec, grid_ints, grid_yerrs,
+                              prior_means, prior_stds, *, dv_max: float,
+                              a: float = 2.0, ss_bounds=(0.0, 200.0),
+                              ncol_bounds=(0.0, 1e16), tex_min: float = 2.7,
+                              vlsr_min_sep: float = 0.05,
+                              vlsr_max_sep: float = 0.3,
+                              line_chunk: int | None = None,
+                              interpret: bool = False):
+    """Build `run(pos0, lnp0, key, nsteps) -> (chain, lnps, accepted,
+    (pos, lnp))` with run_ensemble's exact contract and PRNG stream, each
+    ensemble step executing as one fused Pallas program.
+
+    Prior vocabulary matches ordered_velocity_lnprior (reference
+    TMC1_four_component.py:224-268): Gaussian on ss/Tex/vlsr/dV with
+    sigma_vlsr = 0.8*mean_dV and sigma_dV = 0.3*mean_dV, flat on Ncol,
+    hard bounds + velocity-ordering constraints. `dv_max` bounds BOTH the
+    prior box and the static window structure, exactly like
+    MultiFitConfig.dv_bound on the general gather path.
+    """
+    if not spec.free_source_size:
+        raise ValueError("fused multi path requires free source size "
+                         "(the ordered-velocity prior family)")
+    K = spec.ncomp
+    D = spec.ndim
+    qm = model.q_model
+
+    means = np.asarray(prior_means, dtype=np.float64)
+    stds = np.asarray(prior_stds, dtype=np.float64)
+    mean_dv = float(means[3 * K + 1])
+    prior_kw = dict(
+        ss_bounds=tuple(map(float, ss_bounds)),
+        ncol_bounds=tuple(map(float, ncol_bounds)),
+        tex_min=float(tex_min), dv_bound=float(dv_max),
+        vlsr_min_sep=float(vlsr_min_sep), vlsr_max_sep=float(vlsr_max_sep),
+        mean_ss=tuple(means[0:K]), std_ss=tuple(stds[0:K]),
+        mean_tex=float(means[2 * K]), std_tex=float(stds[2 * K]),
+        mean_vlsr=tuple(means[2 * K + 1:3 * K + 1]),
+        std_vlsr=(0.8 * mean_dv,) * K,      # reference :244-248
+        mean_dv=mean_dv, std_dv=0.3 * mean_dv)
+
+    active, spans, Wc, velc = compact_spans(
+        np.asarray(model.vel_grid), model.mask_center, dv_max)
+    La = active.size
+    if line_chunk is None:
+        # keep the (chunk, Wc, K*h) Gaussian block ~<= 1.5 MB at h=64
+        line_chunk = max(1, min(16, (3 * 2 ** 20) // max(1, 4 * Wc * K * 64)))
+
+    lines = jnp.stack(
+        [jnp.asarray(np.asarray(arr)[active], model.dtype)
+         for arr in (model.line_freq, model.line_elower, model.line_aij,
+                     model.line_gup, model.line_glow)], axis=1)   # (La, 5)
+    if qm.kind == "states":
+        qst = jnp.asarray(np.stack([np.asarray(qm.g), np.asarray(qm.E)],
+                                   axis=1), model.dtype)          # (S, 2)
+        q_static = dict(q_kind="states", q_coeffs=(), q_power=None,
+                        q_scale=1.0)
+    else:
+        qst = jnp.zeros((8, 2), model.dtype)
+        q_static = dict(q_kind="analytic", q_coeffs=qm.coeffs,
+                        q_power=qm.power, q_scale=qm.scale)
+    chans = jnp.stack([model.grid_freq,
+                       jnp.asarray(grid_ints, model.dtype),
+                       1.0 / jnp.asarray(grid_yerrs, model.dtype) ** 2],
+                      axis=1)                                     # (C, 3)
+    velc = jnp.asarray(velc, model.dtype)
+
+    kernel = functools.partial(
+        _multi_step_kernel, a=a, K=K, D=D,
+        dish_size=float(model.dish_size), Tbg=float(model.Tbg),
+        mask_center=float(model.mask_center), spans=tuple(map(int, spans)),
+        Wc=int(Wc), line_chunk=int(line_chunk), **q_static, **prior_kw)
+
+    @functools.partial(jax.jit, static_argnames=("nsteps", "k_steps"))
+    def run(pos0, lnp0, key, nsteps: int, k_steps: int = 8):
+        W, D_ = pos0.shape
+        if D_ != D:
+            raise ValueError(f"pos0 ndim {D_} != spec ndim {D}")
+        if W % 2:
+            raise ValueError(f"nwalkers={W} must be even")
+        h = W // 2
+        # Clamp non-finite entry lnp: the one-hot gathers would otherwise
+        # NaN-poison on 0 * -inf (see sampler/fused.py for the rationale).
+        lnp0 = jnp.where(jnp.isfinite(lnp0), lnp0,
+                         jnp.finfo(pos0.dtype).min)
+        while nsteps % k_steps:       # static: largest divisor <= k_steps
+            k_steps -= 1
+        nblocks = nsteps // k_steps
+        step = functools.partial(kernel, h=h, k_steps=k_steps)
+
+        # Bulk RNG, the same stream layout as run_ensemble
+        k_perm, k_z, k_pair, k_acc = jax.random.split(key, 4)
+        perms = jnp.argsort(jax.random.uniform(k_perm, (nsteps, W)), axis=1)
+        z_u = jax.random.uniform(k_z, (nsteps, 2, h), dtype=pos0.dtype)
+        pair = jax.random.randint(k_pair, (nsteps, 2, h), 0, h)
+        acc_u = jax.random.uniform(k_acc, (nsteps, 2, h), dtype=pos0.dtype)
+        # (step, half) row layout consumed as r = 2*step + half; the perm
+        # is passed in both row (for gather one-hots) and column (for the
+        # scatter one-hot) orientation — transposing host-side is free.
+        permr = perms.reshape(nblocks, 2 * k_steps, h)
+        permc = perms.reshape(nblocks, 2 * k_steps * h, 1)
+        z_b = z_u.reshape(nblocks, 2 * k_steps, h)
+        pair_b = pair.reshape(nblocks, 2 * k_steps, h)
+        acc_b = acc_u.reshape(nblocks, 2 * k_steps, h)
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        call = pl.pallas_call(
+            step,
+            out_shape=(jax.ShapeDtypeStruct((D, k_steps * W), pos0.dtype),
+                       jax.ShapeDtypeStruct((k_steps, W), pos0.dtype),
+                       jax.ShapeDtypeStruct((k_steps, 1), jnp.float32)),
+            scratch_shapes=[
+                pltpu.VMEM((chans.shape[0], K * h), pos0.dtype),
+                pltpu.VMEM((8, K * h), pos0.dtype)],
+            interpret=interpret,
+        )
+
+        def one_block(carry, xs):
+            state = carry                                   # (D+1, W)
+            pr, pc, zu, pa, au = xs
+            chain_t, lnps_blk, acc = call(state, pr, pc, zu, pa, au,
+                                          lines, qst, velc, chans)
+            state = jnp.concatenate(
+                [chain_t[:, (k_steps - 1) * W:],
+                 lnps_blk[k_steps - 1:, :]], axis=0)
+            chain_blk = chain_t.reshape(D, k_steps, W).transpose(1, 2, 0)
+            return state, (chain_blk, lnps_blk, acc[:, 0])
+
+        state0 = jnp.concatenate([pos0.T, lnp0[None, :]], axis=0)
+        state, (chain, lnps, accepted) = jax.lax.scan(
+            one_block, state0, (permr, permc, z_b, pair_b, acc_b))
+        return (chain.reshape(nsteps, W, D), lnps.reshape(nsteps, W),
+                accepted.reshape(nsteps), (state[:D, :].T, state[D, :]))
+
+    return run

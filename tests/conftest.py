@@ -58,6 +58,42 @@ def hc5n_datagrid(hc5n_catalog):
 
 
 @pytest.fixture(scope="session")
+def hc9n_problem():
+    """(model, spec, grid, means, stds, dv_bound) for the 14-dim
+    4-component GOTHAM hc9n_hfs fit (reference TMC1_four_component.py)."""
+    import contextlib
+    import io
+
+    from cha1_mcmc_tpu.catalogs import load_catalog
+    from cha1_mcmc_tpu.models.forward import SpectralModel, simulate_sticks_host
+    from cha1_mcmc_tpu.reduce.datagrid import read_spectrum_gotham
+    from cha1_mcmc_tpu.inference import ParamSpec
+    from cha1_mcmc_tpu.pipeline.multifit import MultiFitConfig
+
+    cfg = MultiFitConfig(mol_name="hc9n_hfs", template_run=True,
+                         cat_folder=CATALOG_DIR, data_path=HC9N_GOTHAM)
+    catalog = load_catalog(cfg.catfile_path, name=cfg.mol_name)
+    C, dV, T, ss = cfg.fiducial
+    freq_sim, int_sim, _ = simulate_sticks_host(
+        catalog, C=[C], dV=[dV], T=[T], ll=[cfg.lower_limit],
+        ul=[cfg.upper_limit], source_size=ss, dish_size=cfg.dish_size)
+    data = np.load(HC9N_GOTHAM, allow_pickle=True)
+    with contextlib.redirect_stdout(io.StringIO()):
+        grid = read_spectrum_gotham(data, freq_sim, int_sim,
+                                    block_interlopers=True)
+    spec = ParamSpec(ncomp=cfg.ncomp)
+    model = SpectralModel.build(
+        catalog, grid.covered_trans, grid.freqs, ll=cfg.lower_limit,
+        ul=cfg.upper_limit, dish_size=cfg.dish_size, vel_offset=0.0,
+        mask_center=cfg.source_velocity)
+    return dict(model=model, spec=spec, grid=grid,
+                means=np.asarray(cfg.template_means),
+                stds=np.asarray(cfg.template_stds),
+                perturbation=np.asarray(cfg.perturbation),
+                dv_bound=cfg.dv_bound)
+
+
+@pytest.fixture(scope="session")
 def hc5n_problem(hc5n_catalog, hc5n_datagrid):
     """(model, spec, lnprior, lnprob, grid) for the HC5N template config."""
     import jax

@@ -908,3 +908,63 @@ def test_vlsr_frame_matches_vendored(sim_lte):
         ratio_mine = wb_v.int_sim / wb_0.int_sim
     np.testing.assert_allclose(ratio_mine[keep], ratio_tool[keep], rtol=1e-7)
     np.testing.assert_array_equal(np.isfinite(ratio_mine), keep)
+
+
+@requires_reference
+@pytest.mark.parametrize("vlsr", [0.0, 0.3])
+def test_velocity_stack_use_sum_matches_oracle(sim_lte, vlsr):
+    """use_sum=True stacks over the *summed* stored simulations with
+    integrated-flux weights and catalog-snapped peak centers (reference
+    simulate_lte.py:4497-4533) — the GOTHAM-style multi-species stacked
+    detection mode. vlsr != 0 exercises the pre-snap back-shift quirk."""
+    freq_obs, int_obs, freq_sim, int_sim, line_freqs, amps = _synthetic_obs()
+    dV, res = 0.5, 0.01
+    ckm = sim_lte.ckm
+    # A "summed" simulation: the current molecule plus an extra species
+    # whose lines partially blend with it.
+    rng = np.random.default_rng(7)
+    extra = np.sort(rng.uniform(18150, 18850, 4))
+    freq_sum = freq_sim.copy()
+    int_sum = int_sim.copy()
+    for f in extra:
+        sigma = dV * f / ckm / 2.35482
+        int_sum += 3e-3 * np.exp(-0.5 * ((freq_sum - f) / sigma) ** 2)
+    cat_frequency = line_freqs * (1.0 + vlsr / ckm)  # rest-frame catalog
+
+    sim_lte.freq_obs, sim_lte.int_obs = freq_obs.copy(), int_obs.copy()
+    sim_lte.freq_sim, sim_lte.int_sim = freq_sim.copy(), int_sim.copy()
+    sim_lte.freq_sum, sim_lte.int_sum = freq_sum.copy(), int_sum.copy()
+    sim_lte.frequency = cat_frequency.copy()
+    sim_lte.dV, sim_lte.res, sim_lte.vlsr = dV, res, vlsr
+    sim_lte.velocity_stack(line_stats=False, use_sum=True)
+    mine = velocity_stack(freq_obs, int_obs, freq_sim, int_sim, dV, res,
+                          use_sum=True, freq_sum=freq_sum, int_sum=int_sum,
+                          cat_frequency=cat_frequency, vlsr=vlsr, ckm=ckm)
+    np.testing.assert_allclose(mine.velocity, sim_lte.vel_stacked)
+    np.testing.assert_allclose(mine.snr, sim_lte.int_stacked, rtol=1e-10)
+    np.testing.assert_allclose(mine.sim_snr, sim_lte.int_sim_stacked,
+                               rtol=1e-10)
+
+
+@requires_reference
+def test_workbench_stack_use_sum():
+    """Workbench.stack(use_sum=True) runs the multi-species stacked
+    detection end-to-end over stored simulations."""
+    from cha1_mcmc_tpu.pipeline.workbench import Workbench
+
+    wb = Workbench(ll=[18000], ul=[19000])
+    wb.load_mol(f"{REFERENCE_ROOT}/catalog/hc5n_hfs.cat")
+    wb.modC(3e12).store("a").modC(1e12).store("b")
+    # synthetic observation matching the simulated lines
+    rng = np.random.default_rng(0)
+    freq_obs = np.arange(18000.0, 19000.0, 0.03)
+    int_obs = rng.normal(0, 1e-4, freq_obs.size)
+    int_obs += np.interp(freq_obs, *wb.sum_stored(), left=0.0, right=0.0)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "obs.npy")
+        np.save(path, np.vstack([freq_obs, int_obs]))
+        wb.load_obs(path)
+    stack = wb.stack(use_sum=True)
+    center = np.abs(stack.velocity) < 1.0
+    assert stack.snr[center].max() > 5.0

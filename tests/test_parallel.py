@@ -178,3 +178,64 @@ def test_sharded_ensemble_with_pallas(hc5n_problem, hc5n_datagrid):
         model, spec, grid.ints, grid.yerrs, lnprior, pos0,
         jax.random.PRNGKey(1), nsteps=15, mesh=mesh)
     np.testing.assert_allclose(np.asarray(lnps), np.asarray(lnps2), rtol=1e-3, atol=1e-2)
+
+
+@requires_reference
+def test_sharded_multichain_composition(hc5n_problem, hc5n_datagrid):
+    """2 independent chains x a 4-device (2 walker-shards x 2 line-shards)
+    mesh on the 8 virtual devices (VERDICT r2 item 8): the 'chains' mesh
+    axis carries K independent ensembles, the pooled chain keeps whole
+    chains contiguous, and cross-chain R-hat diagnostics run on it."""
+    from cha1_mcmc_tpu.parallel import make_sharded_sampler
+    from cha1_mcmc_tpu.sampler import gelman_rubin
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    lnprior = hc5n_problem["lnprior"]
+    grid = hc5n_datagrid
+    W, steps = 32, 60
+    sampler = make_sharded_sampler(
+        n_devices=8, n_line_shards=2, n_chains=2, nwalkers=W, ndim=4,
+        a=2.0, dtype=jnp.float32, model=model, spec=spec,
+        grid_ints=grid.ints, grid_yerrs=grid.yerrs, lnprior_fn=lnprior,
+        verbose=False)
+    rng = np.random.default_rng(0)
+    pos0 = np.array([3.24e12, 7.5, 4.11, 0.78]) * (
+        1 + 0.01 * rng.standard_normal((W, 4)))
+    sampler.run_mcmc(pos0, steps, jax.random.PRNGKey(0),
+                     checkpoint_every=steps)
+    chain = sampler.chain
+    assert chain.shape == (W, steps, 4)
+    # both chains actually move, independently
+    per_chain = chain.reshape(2, W // 2, steps, 4)
+    for c in range(2):
+        assert np.std(per_chain[c, :, -1, 1]) > 0
+    assert not np.array_equal(per_chain[0], per_chain[1])
+    # pooled-chain diagnostics (each walker row is a valid chain); at 60
+    # steps the fit is far from converged, so gate only that R-hat is
+    # finite and sane — the 1% statistical-parity test covers convergence
+    rhat = gelman_rubin(chain[:, steps // 3:, :])
+    assert np.all(np.isfinite(rhat)) and np.all(rhat < 10.0)
+    # acceptance bookkeeping spans the whole pooled ensemble
+    assert 0.1 < sampler.acceptance_fraction < 0.95
+
+
+@requires_reference
+def test_sharded_mesh_chain_axis_degenerate(hc5n_problem, hc5n_datagrid):
+    """n_chains=1 keeps the historical ('walkers', 'lines') behavior:
+    same chain as a mesh without the chains axis."""
+    from cha1_mcmc_tpu.parallel import run_ensemble_sharded
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    lnprior = hc5n_problem["lnprior"]
+    grid = hc5n_datagrid
+    rng = np.random.default_rng(1)
+    pos0 = np.array([3.24e12, 7.5, 4.11, 0.78]) * (
+        1 + 0.01 * rng.standard_normal((16, 4)))
+    key = jax.random.PRNGKey(2)
+    mesh_a = make_mesh(4, 2)
+    mesh_b = make_mesh(4, 2, n_chain_shards=1)
+    ca, *_ = run_ensemble_sharded(model, spec, grid.ints, grid.yerrs,
+                                  lnprior, pos0, key, 12, mesh_a)
+    cb, *_ = run_ensemble_sharded(model, spec, grid.ints, grid.yerrs,
+                                  lnprior, pos0, key, 12, mesh_b)
+    np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
