@@ -594,3 +594,54 @@ def test_fused_kernels_survive_out_of_bounds_proposals(hc5n_problem,
                                   np.asarray(au).astype(np.float32))
     # rejections actually happened (the point of the scenario)
     assert np.asarray(af).sum() < 16 * 16
+
+
+@requires_reference
+def test_fused_multi_checkpoint_resume_exact(hc9n_problem, tmp_path):
+    """Checkpoint blocks + .state.npz exact resume through the
+    FusedEnsembleSampler running the multi-component kernel: an
+    interrupted run continues the random stream bit for bit."""
+    from cha1_mcmc_tpu.inference import (build_lnprob_batched,
+                                         ordered_velocity_lnprior)
+    from cha1_mcmc_tpu.sampler import FusedEnsembleSampler
+    from cha1_mcmc_tpu.sampler.fused_multi import make_fused_ensemble_multi
+
+    model, spec, grid = (hc9n_problem["model"], hc9n_problem["spec"],
+                         hc9n_problem["grid"])
+    means, stds = hc9n_problem["means"], hc9n_problem["stds"]
+    dv_bound = hc9n_problem["dv_bound"]
+    lnprior = ordered_velocity_lnprior(spec, means, stds, dv_max=dv_bound)
+    lnprob_b = build_lnprob_batched(model, spec, grid.ints, grid.yerrs,
+                                    lnprior, use_pallas=True,
+                                    pallas_kernel="gather", dv_max=dv_bound)
+
+    def sampler():
+        run_fn = make_fused_ensemble_multi(
+            model, spec, grid.ints, grid.yerrs, means, stds,
+            dv_max=dv_bound, interpret=True)
+        return FusedEnsembleSampler(
+            lnprob_fn=lnprob_b, nwalkers=16, ndim=spec.ndim, batched=True,
+            dtype=jnp.float32, run_fn=run_fn)
+
+    rng = np.random.default_rng(0)
+    pos0 = (means + hc9n_problem["perturbation"]
+            * rng.standard_normal((16, spec.ndim)))
+    key = jax.random.PRNGKey(11)
+
+    full = sampler()
+    full.run_mcmc(pos0, 16, key, checkpoint_every=8,
+                  chain_file=str(tmp_path / "full.npy"))
+
+    part = sampler()
+    part.run_mcmc(pos0, 8, key, checkpoint_every=8,
+                  chain_file=str(tmp_path / "split.npy"))
+    resumed = sampler()
+    prev = np.load(tmp_path / "split.npy")
+    pos = resumed.preload(prev)
+    state = resumed.load_state(str(tmp_path / "split.npy"))
+    assert state is not None
+    pos, lnp0, key2 = state
+    resumed.run_mcmc(pos, 8, key2, lnp0=lnp0, checkpoint_every=8,
+                     chain_file=str(tmp_path / "split.npy"))
+    np.testing.assert_array_equal(resumed.chain, full.chain)
+    assert resumed.accepted == full.accepted
