@@ -425,20 +425,37 @@ def bench_dense() -> dict:
     # exp each) and the (W, C) RT/chi2 tail. Dominant HBM traffic is the
     # per-eval tau gather table expansion ((W, M, C) reads of taus +
     # static (M, C) tables) — everything else is walker-local.
-    from cha1_mcmc_tpu.models.pallas_kernels import build_opacity_gather
+    from cha1_mcmc_tpu.models.pallas_kernels import (
+        build_opacity_gather, build_opacity_gather_split)
     g_table, g_vel, g_active = build_opacity_gather(
         np.asarray(model.vel_grid), 5.8, 1.5)
     M = int(g_table.shape[0])
     La = int(g_active.size)
-    flops = NWALKERS * (La * 12 + M * DENSE_CHANNELS * 11
-                        + DENSE_CHANNELS * 18)
-    bytes_moved = 4 * (NWALKERS * M * DENSE_CHANNELS   # tau_g expansion
-                       + 2 * M * DENSE_CHANNELS        # static tables
+    split = build_opacity_gather_split(np.asarray(model.vel_grid), 5.8, 1.5)
+    if split is not None:
+        # Two-class split tables (what build_lnprob_batched actually
+        # compiled): element work M1*C + C2*M2 plus the exact one-hot
+        # scatter matmul of the heavy-channel overflow.
+        t1, _, t2, _, heavy, _ = split
+        M1, M2, C2 = int(t1.shape[0]), int(t2.shape[0]), int(heavy.size)
+        gauss_elems = M1 * DENSE_CHANNELS + C2 * M2
+        scatter_flops = 2 * NWALKERS * C2 * DENSE_CHANNELS
+    else:
+        M1 = M2 = C2 = 0
+        gauss_elems = M * DENSE_CHANNELS
+        scatter_flops = 0
+    flops = NWALKERS * (La * 12 + gauss_elems * 11
+                        + DENSE_CHANNELS * 18) + scatter_flops
+    bytes_moved = 4 * (NWALKERS * gauss_elems          # tau_g expansion
+                       + 2 * gauss_elems               # static tables
+                       + C2 * DENSE_CHANNELS           # scatter one-hot
                        + NWALKERS * (La + 3 * DENSE_CHANNELS))
     return {
         "n_lines": L,
         "n_active_lines": La,
         "gather_table_M": M,
+        "gather_split": (None if split is None
+                         else {"M1": M1, "M2": M2, "heavy_channels": C2}),
         "n_channels": DENSE_CHANNELS,
         "nwalkers": NWALKERS,
         "gather_ms_per_eval": round(gather_s * 1e3, 3),

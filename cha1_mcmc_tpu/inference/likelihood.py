@@ -25,7 +25,7 @@ from cha1_mcmc_tpu.inference.params import ParamSpec
 
 __all__ = ["build_lnlike", "build_lnprob", "build_lnprob_batched",
            "batched_model_pallas", "batched_model_pallas_csr",
-           "batched_model_gather"]
+           "batched_model_gather", "batched_model_gather_split"]
 
 
 def _rt_tail(opac, ss, Tex, grid_freq, dish_size, Tbg, dtype):
@@ -133,6 +133,36 @@ def batched_model_gather(line_freq, line_elower, line_aij, line_gup,
     return _rt_tail(opac, ss, Tex, grid_freq, dish_size, Tbg, dtype)
 
 
+def batched_model_gather_split(line_freq, line_elower, line_aij, line_gup,
+                               line_glow, q_model, grid_freq, mask_center,
+                               dish_size, Tbg, dtype, spec, thetas,
+                               split_tables):
+    """(N, C) walker-batched forward model via the two-class split gather
+    (models/pallas_kernels.py:opacity_gather_split) — same semantics as
+    batched_model_gather, but the per-channel line table is split into a
+    short every-channel table plus a heavy-channel overflow table, cutting
+    the rectangular padding waste (~95% of the (M, C) element work on
+    1-cyanonaphthalene). The line arrays are the active subset from
+    build_opacity_gather_split."""
+    from cha1_mcmc_tpu.models.pallas_kernels import opacity_gather_split
+
+    thetas = jnp.asarray(thetas, dtype=dtype)
+    N = thetas.shape[0]
+    K = spec.ncomp
+    ss, Ncol, Tex, vlsr, dV = spec.unpack(thetas)
+    Q = q_model(Tex)
+    taus = tau_sticks(jnp, line_freq, line_elower, line_aij, line_gup,
+                      line_glow, Q[:, None, None], Ncol[..., None],
+                      Tex[:, None, None], dV[:, None, None])      # (N, K, La)
+    table1, vel1, table2, vel2, heavy_onehot = split_tables
+    opac = opacity_gather_split(
+        taus.reshape(N * K, -1), vlsr.reshape(N * K),
+        jnp.broadcast_to(dV[:, None], (N, K)).reshape(N * K),
+        table1, vel1, table2, vel2, heavy_onehot,
+        mask_center=mask_center).reshape(N, K, -1)
+    return _rt_tail(opac, ss, Tex, grid_freq, dish_size, Tbg, dtype)
+
+
 def build_lnlike(model: SpectralModel, spec: ParamSpec, grid_ints, grid_yerrs):
     """Scalar lnlike(theta) (reference inference.py:127-166).
 
@@ -216,12 +246,27 @@ def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
                         dv_min, max(abs(vlsr_bounds[0] - model.mask_center),
                                     abs(vlsr_bounds[1] - model.mask_center))))
         if pallas_kernel == "gather":
-            from cha1_mcmc_tpu.models.pallas_kernels import build_opacity_gather
+            from cha1_mcmc_tpu.models.pallas_kernels import (
+                build_opacity_gather, build_opacity_gather_split)
 
-            g_table, g_vel, g_active = build_opacity_gather(
+            # Prefer the two-class split table when its modeled element
+            # work beats the rectangular (M, C) table by >= 1.3x (skewed
+            # per-channel line counts on dense catalogs); identical window
+            # semantics, heavy channels differ only by f32 reassociation.
+            split = build_opacity_gather_split(
                 np.asarray(model.vel_grid), model.mask_center, dv_max)
-            g_table = jnp.asarray(g_table)
-            g_vel = jnp.asarray(g_vel, dtype)
+            if split is not None:
+                t1, v1, t2, v2, heavy, g_active = split
+                onehot = np.zeros((heavy.size, C), dtype=np.float32)
+                onehot[np.arange(heavy.size), heavy] = 1.0
+                g_split = (jnp.asarray(t1), jnp.asarray(v1, dtype),
+                           jnp.asarray(t2), jnp.asarray(v2, dtype),
+                           jnp.asarray(onehot, dtype))
+            else:
+                g_table, g_vel, g_active = build_opacity_gather(
+                    np.asarray(model.vel_grid), model.mask_center, dv_max)
+                g_table = jnp.asarray(g_table)
+                g_vel = jnp.asarray(g_vel, dtype)
             g_lines = tuple(jnp.asarray(np.asarray(arr)[g_active])
                             for arr in (model.line_freq, model.line_elower,
                                         model.line_aij, model.line_gup,
@@ -240,7 +285,11 @@ def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
 
     def lnprob_batch(thetas):
         thetas = jnp.asarray(thetas, dtype=dtype)
-        if use_pallas and pallas_kernel == "gather":
+        if use_pallas and pallas_kernel == "gather" and split is not None:
+            m = batched_model_gather_split(
+                *g_lines, model.q_model, model.grid_freq, model.mask_center,
+                model.dish_size, model.Tbg, dtype, spec, thetas, g_split)
+        elif use_pallas and pallas_kernel == "gather":
             m = batched_model_gather(
                 *g_lines, model.q_model, model.grid_freq, model.mask_center,
                 model.dish_size, model.Tbg, dtype, spec, thetas, g_table,

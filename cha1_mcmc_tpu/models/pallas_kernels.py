@@ -33,7 +33,8 @@ from cha1_mcmc_tpu.constants import FWHM_TO_SIGMA_MODEL, VELOCITY_WINDOW_DV
 __all__ = ["opacity_pallas", "opacity_pallas_mxu", "opacity_pallas_fused",
            "opacity_pallas_csr", "build_opacity_csr", "window_is_exact",
            "block_activity_mask", "block_activity_mask_traced",
-           "build_opacity_gather", "opacity_gather"]
+           "build_opacity_gather", "opacity_gather",
+           "build_opacity_gather_split", "opacity_gather_split"]
 
 # Tile sizes: walker tile x channel tile x line tile. Chosen so the largest
 # in-kernel intermediate (TL x TC f32) is 256 KB and the velocity block DMA
@@ -501,3 +502,92 @@ def opacity_gather(taus, vlsr, dV, line_table, vel_t, *, mask_center: float):
     gauss = jnp.where(window, jnp.exp(-0.5 * z * z), 0.0)   # (W, M, C)
     tau_g = jnp.take(taus, line_table, axis=-1)             # (W, M, C)
     return jnp.sum(tau_g * gauss, axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Two-class split of the channel-major gather. The rectangular (M, C) table
+# is padded to the *maximum* per-channel line count, but the distribution is
+# extremely skewed on dense catalogs (1-cyanonaphthalene @ 2048 channels:
+# mean 2.4 lines/channel, max 46 — ~95% of the (M, C) work is padding). The
+# split keeps a short (M1, C) table covering every channel's first M1 lines
+# and moves the overflow of the few "heavy" channels (hfs clusters /
+# line-dense regions) into a second (M2, C2) table over just those C2
+# channels, scattered back into the full channel axis with an exact one-hot
+# MXU contraction (f32 at HIGHEST precision — the same exactness argument as
+# sampler/fused.py's gathers: one-hot times value reconstructs the value).
+# ---------------------------------------------------------------------------
+
+
+def build_opacity_gather_split(vel_grid: np.ndarray, mask_center: float,
+                               dv_max: float, m1: int | None = None,
+                               min_saving: float = 1.3):
+    """Two-class channel-major gather tables, or None when not worthwhile.
+
+    Returns (table1 (M1, C), vel1 (M1, C), table2 (M2, C2), vel2 (M2, C2),
+    heavy (C2,) int64 channel indices, active (La,) int64) with the same
+    index/velocity conventions as build_opacity_gather: tables index the
+    `active` line subset, padding entries carry vel 1e30 (Gaussian exactly
+    0 in f32) and line index 0. M1 is chosen to minimise the modeled
+    element work C*M1 + C2*M2; returns None unless that beats the
+    rectangular table's M*C by at least `min_saving` x (then callers use
+    the plain gather)."""
+    vel_grid = np.asarray(vel_grid)
+    L, C = vel_grid.shape
+    inside = np.abs(vel_grid - mask_center) < VELOCITY_WINDOW_DV * dv_max
+    counts = inside.sum(axis=0)
+    M = max(int(counts.max()), 1)
+    best = None
+    for cand in range(1, M):
+        c2 = int((counts > cand).sum())
+        m2 = int(max(counts.max() - cand, 0)) if c2 else 0
+        work = C * cand + c2 * m2
+        if best is None or work < best[1]:
+            best = (cand, work)
+    if best is None or M * C < min_saving * best[1]:
+        return None
+    if m1 is None:
+        m1 = best[0]
+    active = np.flatnonzero(inside.any(axis=1))
+    if active.size == 0:
+        active = np.array([0], dtype=np.int64)
+    remap = np.zeros(L, dtype=np.int32)
+    remap[active] = np.arange(active.size, dtype=np.int32)
+    heavy = np.flatnonzero(counts > m1)
+    M2 = max(int((counts[heavy] - m1).max()), 1) if heavy.size else 1
+    table1 = np.zeros((m1, C), dtype=np.int32)
+    vel1 = np.full((m1, C), 1e30, dtype=vel_grid.dtype)
+    table2 = np.zeros((M2, max(heavy.size, 1)), dtype=np.int32)
+    vel2 = np.full((M2, max(heavy.size, 1)), 1e30, dtype=vel_grid.dtype)
+    for c in np.flatnonzero(counts):
+        idx = np.flatnonzero(inside[:, c])
+        k = min(idx.size, m1)
+        table1[:k, c] = remap[idx[:k]]
+        vel1[:k, c] = vel_grid[idx[:k], c]
+    for j, c in enumerate(heavy):
+        idx = np.flatnonzero(inside[:, c])[m1:]
+        table2[:idx.size, j] = remap[idx]
+        vel2[:idx.size, j] = vel_grid[idx, c]
+    if heavy.size == 0:
+        heavy = np.array([0], dtype=np.int64)
+    return table1, vel1, table2, vel2, heavy, active
+
+
+@functools.partial(jax.jit, static_argnames=("mask_center",))
+def opacity_gather_split(taus, vlsr, dV, table1, vel1, table2, vel2,
+                         heavy_onehot, *, mask_center: float):
+    """Accumulated Gaussian opacity via the split gather, (W, C).
+
+    Same semantics as opacity_gather. heavy_onehot is the (C2, C) f32
+    one-hot scatter matrix for the heavy-channel overflow table (row j has
+    a single 1 at column heavy[j]); the contraction runs at HIGHEST
+    precision so the scattered overflow partial is f32-exact. Light
+    channels (count <= M1) are bitwise-identical to the plain gather
+    (their overflow partial is exactly 0.0); heavy channels differ only
+    by the f32 reassociation of splitting the line sum in two."""
+    part1 = opacity_gather(taus, vlsr, dV, table1, vel1,
+                           mask_center=mask_center)         # (W, C)
+    part2 = opacity_gather(taus, vlsr, dV, table2, vel2,
+                           mask_center=mask_center)         # (W, C2)
+    return part1 + jnp.dot(part2, heavy_onehot,
+                           preferred_element_type=part1.dtype,
+                           precision=jax.lax.Precision.HIGHEST)

@@ -645,3 +645,100 @@ def test_fused_multi_checkpoint_resume_exact(hc9n_problem, tmp_path):
                      chain_file=str(tmp_path / "split.npy"))
     np.testing.assert_array_equal(resumed.chain, full.chain)
     assert resumed.accepted == full.accepted
+
+
+@pytest.mark.parametrize("W,L,C", [(12, 700, 300), (8, 512, 128)])
+def test_opacity_gather_split_matches_dense(W, L, C):
+    """Two-class split gather vs the dense reference and vs the plain
+    gather (light channels bitwise, heavy channels f32-reassociated)."""
+    from cha1_mcmc_tpu.models.pallas_kernels import (
+        build_opacity_gather, build_opacity_gather_split, opacity_gather,
+        opacity_gather_split)
+
+    center = 4.10
+    vel, taus, vlsr, dV = _random_problem(W, L, C)
+    expected = _dense_reference(vel, taus, vlsr, dV, center)
+    split = build_opacity_gather_split(vel, center, dv_max=1.5,
+                                       min_saving=0.0)
+    assert split is not None
+    t1, v1, t2, v2, heavy, active = split
+    onehot = np.zeros((heavy.size, C), np.float32)
+    onehot[np.arange(heavy.size), heavy] = 1.0
+    out = opacity_gather_split(
+        jnp.asarray(taus[:, active]), jnp.asarray(vlsr), jnp.asarray(dV),
+        jnp.asarray(t1), jnp.asarray(v1), jnp.asarray(t2), jnp.asarray(v2),
+        jnp.asarray(onehot), mask_center=center)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4,
+                               atol=1e-6 * max(1.0, expected.max()))
+
+    # same active subset and near-bitwise agreement with the plain gather
+    line_table, vel_t, active_p = build_opacity_gather(vel, center,
+                                                       dv_max=1.5)
+    np.testing.assert_array_equal(active, active_p)
+    plain = opacity_gather(jnp.asarray(taus[:, active]), jnp.asarray(vlsr),
+                           jnp.asarray(dV), jnp.asarray(line_table),
+                           jnp.asarray(vel_t), mask_center=center)
+    counts = (np.abs(vel - center) < 15.0).sum(axis=0)
+    light = counts <= t1.shape[0]
+    np.testing.assert_array_equal(np.asarray(out)[:, light],
+                                  np.asarray(plain)[:, light])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(plain),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_opacity_gather_split_declines_flat_counts():
+    """Uniform per-channel line counts -> no saving -> builder returns
+    None and build_lnprob_batched stays on the rectangular table."""
+    from cha1_mcmc_tpu.models.pallas_kernels import \
+        build_opacity_gather_split
+
+    # every channel covered by exactly the same number of lines
+    vel = np.full((4, 64), 4.10, np.float32)
+    assert build_opacity_gather_split(vel, 4.10, dv_max=1.5) is None
+
+
+@requires_reference
+def test_batched_lnprob_gather_split_matches_plain(hc5n_problem,
+                                                   hc5n_datagrid):
+    """build_lnprob_batched auto-upgrades the gather path to the split
+    tables when worthwhile; on HC5N (skewed hfs cluster counts) the two
+    formulations must agree to f32 reassociation tolerance."""
+    from cha1_mcmc_tpu.inference.likelihood import (batched_model_gather,
+                                                    batched_model_gather_split)
+    from cha1_mcmc_tpu.models.pallas_kernels import (
+        build_opacity_gather, build_opacity_gather_split)
+
+    model, spec, lnprior = (hc5n_problem["model"], hc5n_problem["spec"],
+                            hc5n_problem["lnprior"])
+    grid = hc5n_datagrid
+    split = build_opacity_gather_split(np.asarray(model.vel_grid),
+                                       model.mask_center, dv_max=1.5,
+                                       min_saving=0.0)
+    if split is None:
+        pytest.skip("HC5N window structure has no split advantage")
+    t1, v1, t2, v2, heavy, active = split
+    onehot = np.zeros((heavy.size, model.n_channels), np.float32)
+    onehot[np.arange(heavy.size), heavy] = 1.0
+    lines = tuple(jnp.asarray(np.asarray(arr)[active])
+                  for arr in (model.line_freq, model.line_elower,
+                              model.line_aij, model.line_gup,
+                              model.line_glow))
+    g_split = (jnp.asarray(t1), jnp.asarray(v1, model.dtype),
+               jnp.asarray(t2), jnp.asarray(v2, model.dtype),
+               jnp.asarray(onehot, model.dtype))
+    lt, vt, active_p = build_opacity_gather(np.asarray(model.vel_grid),
+                                            model.mask_center, dv_max=1.5)
+    np.testing.assert_array_equal(active, active_p)
+
+    rng = np.random.default_rng(1)
+    thetas = jnp.asarray(np.array([3.24e12, 7.5, 4.11, 0.78]) * (
+        1 + 0.02 * rng.standard_normal((8, 4))), jnp.float32)
+    a = batched_model_gather_split(
+        *lines, model.q_model, model.grid_freq, model.mask_center,
+        model.dish_size, model.Tbg, model.dtype, spec, thetas, g_split)
+    b = batched_model_gather(
+        *lines, model.q_model, model.grid_freq, model.mask_center,
+        model.dish_size, model.Tbg, model.dtype, spec, thetas,
+        jnp.asarray(lt), jnp.asarray(vt, model.dtype))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-8)
