@@ -21,16 +21,17 @@ What is different from the single-component kernel:
   * **Line-major compact spans** instead of the full (L, C) velocity
     grid: each active line's +-10*dv_max window is a contiguous channel
     span (measured on all four shipped GOTHAM datagrids; see
-    _compact_spans), padded to a common width Wc. Per half-step the
-    kernel evaluates an (L_active, Wc, K*h) Gaussian block — the ~3%
-    window-dense formulation, ~17x less VPU work than the dense
-    (L, C) product — and scatter-adds each line's (Wc, K*h) slab into
-    the (C, K*h) opacity at its static channel offset. Out-of-window
-    channels inside a span are zeroed by the per-walker |v - center| <
-    10*dV select, so the reference's exact window semantics hold for
-    every in-bounds walker (out-of-bounds dV > dv_max walkers are -inf
-    by prior, exactly as on the general gather path whose static table
-    is truncated the same way).
+    window_extents/_chunk_plan). Per half-step the kernel evaluates a
+    per-chunk (g, wc, K*h) Gaussian block at the chunk's own window
+    width — the ~3% window-dense formulation, ~17-24x less VPU work
+    than the dense (L, C) product — sums same-window hfs groups
+    in-register, and scatter-adds one (wc, K*h) slab per GROUP (not per
+    line) into the (C, K*h) opacity at its static channel offset.
+    Out-of-window channels inside a span are zeroed by the per-walker
+    |v - center| < 10*dV select, so the reference's exact window
+    semantics hold for every in-bounds walker (out-of-bounds dV >
+    dv_max walkers are -inf by prior, exactly as on the general gather
+    path whose static table is truncated the same way).
   * **Both Q(T) kinds**: analytic polynomials/power laws evaluate
     inline; state-sum fallback catalogs (QModel.kind == "states") pass
     their (g, E) arrays as a kernel input and evaluate the (S, h)
@@ -69,20 +70,17 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def compact_spans(vel_grid: np.ndarray, mask_center: float, dv_max: float):
-    """Static line-major window structure for the fused multi kernel.
+def window_extents(vel_grid: np.ndarray, mask_center: float, dv_max: float):
+    """Per-line true window extents for the fused multi kernel.
 
     For each catalog line whose widest-possible velocity window
     (+-10*dv_max around mask_center, reference inference.py:52 /
     TMC1_four_component.py:160) touches any channel, find the covering
-    contiguous channel span. Returns (active (La,), spans (La,) int,
-    Wc int, velc (La, Wc, 1) f32) where velc[l] = vel_grid[active[l],
-    spans[l]:spans[l]+Wc, None]. Spans are clamped to [0, C-Wc] so they
-    stay in-range; extra in-span channels beyond a line's true window are
-    masked at runtime by the per-walker window select. Raises ValueError
-    if any line's window is non-contiguous in the stored channel order
-    (does not occur on frequency-sorted datagrids; callers fall back to
-    the general sampler)."""
+    contiguous channel extent. Returns (active (La,), first (La,) int,
+    last (La,) int, C). Raises ValueError if any line's window is
+    non-contiguous in the stored channel order (does not occur on
+    frequency-sorted datagrids; callers fall back to the general
+    sampler)."""
     vel_grid = np.asarray(vel_grid)
     L, C = vel_grid.shape
     inside = np.abs(vel_grid - mask_center) < VELOCITY_WINDOW_DV * dv_max
@@ -97,6 +95,21 @@ def compact_spans(vel_grid: np.ndarray, mask_center: float, dv_max: float):
             raise ValueError(
                 f"line {l}: velocity window is not contiguous in the "
                 "stored channel order")
+    return active, first, last, C
+
+
+def compact_spans(vel_grid: np.ndarray, mask_center: float, dv_max: float):
+    """Static line-major window structure (common-width form).
+
+    Returns (active (La,), spans (La,) int, Wc int, velc (La, Wc, 1))
+    where velc[l] = vel_grid[active[l], spans[l]:spans[l]+Wc, None].
+    Spans are clamped to [0, C-Wc] so they stay in-range; extra in-span
+    channels beyond a line's true window are masked at runtime by the
+    per-walker window select. The kernel itself uses the tighter
+    per-chunk widths from _chunk_plan; this common-width view is kept
+    for support checks and roofline accounting."""
+    active, first, last, C = window_extents(vel_grid, mask_center, dv_max)
+    vel_grid = np.asarray(vel_grid)
     Wc = min(_ceil_to(int((last - first + 1).max()), 8), _ceil_to(C, 8))
     if Wc >= C:
         Wc, spans = C, np.zeros(active.size, dtype=int)
@@ -105,6 +118,74 @@ def compact_spans(vel_grid: np.ndarray, mask_center: float, dv_max: float):
     velc = np.stack([vel_grid[l, s:s + Wc]
                      for l, s in zip(active, spans)])[..., None]
     return active, spans, Wc, velc
+
+
+def _chunk_plan(first, last, C: int, line_chunk: int):
+    """Static (chunk, scatter-group) execution plan for the opacity stage.
+
+    Two static sparsity exploits beyond the common-width compact spans:
+
+      * **Group scatter.** Hyperfine catalogs emit lines in tight
+        clusters sharing one covering span (hc9n_hfs: 66 lines = 22
+        triplets), and the sequential read-modify-write scatter into the
+        opacity accumulator is the serialized part of the kernel — so
+        consecutive lines with a common window start are summed
+        in-register first and scattered ONCE per group (3x fewer RMW
+        passes on the shipped GOTHAM grids). The in-group sum is an
+        explicit left-to-right chain, so wherever a channel's nonzero
+        contributions all come from one group (true when each line's
+        nonzero window stays inside its own datagrid chunk — groups are
+        separated by hundreds of MHz) the accumulated opacity is
+        bitwise-identical to the per-line scatter it replaces.
+      * **Per-chunk widths.** The velocity-window extent in channels
+        scales with the line's rest frequency (constant channel spacing
+        in frequency -> dv per channel ~ 1/f), so a common padded width
+        wastes up to ~40% of the Gaussian block on the low-frequency
+        lines (hc9n: true extents 26..72 channels). Each chunk evaluates
+        at its own width wc = max extent over its groups, rounded to the
+        8-sublane grid.
+
+    Returns (plan, max_chunk, line_spans): plan is a tuple of
+    (c0, g, wc, groups) with groups a tuple of (j0 relative to c0,
+    group size, channel span); chunks hold whole groups and at most
+    max(line_chunk, largest group) lines each; line_spans (La,) gives
+    each line's span start for building its velc row (width-padded
+    rows may run past C — callers pad with a far-away sentinel).
+    """
+    first = np.asarray(first)
+    last = np.asarray(last)
+    La = int(first.size)
+    groups = []                          # (j0, gsize, first_g, last_g)
+    j = 0
+    while j < La:
+        j2 = j
+        while j2 < La and first[j2] == first[j]:
+            j2 += 1
+        groups.append((j, j2 - j, int(first[j]), int(last[j:j2].max())))
+        j = j2
+    plan, line_spans = [], np.zeros(La, dtype=int)
+
+    def flush(cur):
+        c0 = cur[0][0]
+        g = cur[-1][0] + cur[-1][1] - c0
+        wc = min(_ceil_to(max(t - f + 1 for _, _, f, t in cur), 8),
+                 _ceil_to(C, 8))
+        wc = min(wc, C)
+        ents = []
+        for j0, gsize, f, t in cur:
+            s = min(f, C - wc)
+            line_spans[j0:j0 + gsize] = s
+            ents.append((j0 - c0, gsize, s))
+        plan.append((c0, g, wc, tuple(ents)))
+
+    cur = []
+    for grp in groups:
+        if cur and (grp[0] + grp[1] - cur[0][0]) > line_chunk:
+            flush(cur)
+            cur = []
+        cur.append(grp)
+    flush(cur)
+    return tuple(plan), max(p[1] for p in plan), line_spans
 
 
 def fused_multi_supported(model, spec, dv_max: float,
@@ -116,7 +197,7 @@ def fused_multi_supported(model, spec, dv_max: float,
     if not spec.free_source_size:
         return False
     try:
-        active, spans, Wc, _ = compact_spans(
+        active, first, last, C_ = window_extents(
             np.asarray(model.vel_grid), model.mask_center, dv_max)
     except ValueError:
         return False
@@ -125,9 +206,10 @@ def fused_multi_supported(model, spec, dv_max: float,
     qm = model.q_model
     n_states = 0 if qm.kind == "analytic" else int(np.size(qm.g))
     # opacity + one line-chunk Gaussian block (x4 temporaries) + RT tail
-    chunk = min(16, active.size)
+    plan, _, _ = _chunk_plan(first, last, C_, min(16, active.size))
+    blk = max(p[1] * p[2] for p in plan)   # largest g * wc block
     est = 4 * (C * Kh                      # opacity accumulator
-               + 4 * chunk * Wc * Kh       # Gaussian block temporaries
+               + 4 * blk * Kh              # Gaussian block temporaries
                + 4 * C * (nwalkers // 2)   # RT tail temporaries
                + n_states * (nwalkers // 2))
     return est <= vmem_budget
@@ -138,14 +220,13 @@ def _multi_step_kernel(state_ref, permr_ref, permc_ref, zu_ref, pair_ref,
                        out_chain_ref, out_lnps_ref, out_acc_ref, opac_ref,
                        flat_ref, *,
                        a, h, k_steps, K, D, dish_size, Tbg, mask_center,
-                       q_kind, q_coeffs, q_power, q_scale, spans, Wc,
-                       line_chunk, ss_bounds, ncol_bounds, tex_min,
+                       q_kind, q_coeffs, q_power, q_scale, chunk_plan,
+                       ss_bounds, ncol_bounds, tex_min,
                        dv_bound, vlsr_min_sep, vlsr_max_sep, mean_ss,
                        std_ss, mean_tex, std_tex, mean_vlsr, std_vlsr,
                        mean_dv, std_dv):
     W = state_ref.shape[1]
     Kh = K * h
-    La = lines_ref.shape[0]
     C = chans_ref.shape[0]
     lf, le, la_, lg, lgl = (lines_ref[:, i:i + 1] for i in range(5))
     gf = chans_ref[:, 0:1]
@@ -211,18 +292,23 @@ def _multi_step_kernel(state_ref, permr_ref, permc_ref, zu_ref, pair_ref,
         # are the Mosaic-supported scatter form (value-level dynamic_slice
         # is not lowered by this Pallas version), and line spans overlap
         # (hfs clusters) so the adds must be sequential per channel.
+        # Same-span line groups (hfs triplets) are summed in-register
+        # first — one RMW scatter per group, not per line — and each
+        # chunk runs at its own window width wc (_chunk_plan).
         opac_ref[:] = jnp.zeros((C, Kh), th.dtype)
-        for c0 in range(0, La, line_chunk):
-            g = min(line_chunk, La - c0)
-            vblk = jax.lax.slice_in_dim(velc, c0, c0 + g)  # (g, Wc, 1)
-            window = jnp.abs(vblk - mask_center) < wlim   # (g, Wc, Kh)
+        for c0, g, wc, grps in chunk_plan:
+            vblk = jax.lax.slice(velc, (c0, 0, 0),
+                                 (c0 + g, wc, 1))         # (g, wc, 1)
+            window = jnp.abs(vblk - mask_center) < wlim   # (g, wc, Kh)
             d = vblk - vl3
             gauss = jnp.where(window, jnp.exp2(aa * (d * d)), 0.0)
             tau_blk = jax.lax.slice_in_dim(taus, c0, c0 + g)[:, None, :]
-            contrib = tau_blk * gauss                     # (g, Wc, Kh)
-            for j in range(g):
-                s = spans[c0 + j]
-                opac_ref[s:s + Wc, :] += contrib[j]
+            contrib = tau_blk * gauss                     # (g, wc, Kh)
+            for j0, gsize, s in grps:
+                acc = contrib[j0]
+                for j in range(j0 + 1, j0 + gsize):
+                    acc = acc + contrib[j]
+                opac_ref[s:s + wc, :] += acc
 
         # Per-component radiative transfer + beam, then sum (reference
         # TMC1_four_component.py:173-179).
@@ -349,12 +435,23 @@ def make_fused_ensemble_multi(model, spec, grid_ints, grid_yerrs,
         std_vlsr=(0.8 * mean_dv,) * K,      # reference :244-248
         mean_dv=mean_dv, std_dv=0.3 * mean_dv)
 
-    active, spans, Wc, velc = compact_spans(
-        np.asarray(model.vel_grid), model.mask_center, dv_max)
-    La = active.size
+    vg = np.asarray(model.vel_grid)
+    active, first, last, C_ = window_extents(vg, model.mask_center, dv_max)
+    Wc_est = min(_ceil_to(int((last - first + 1).max()), 8),
+                 _ceil_to(C_, 8), C_)
     if line_chunk is None:
         # keep the (chunk, Wc, K*h) Gaussian block ~<= 1.5 MB at h=64
-        line_chunk = max(1, min(16, (3 * 2 ** 20) // max(1, 4 * Wc * K * 64)))
+        line_chunk = max(1, min(16,
+                                (3 * 2 ** 20) // max(1, 4 * Wc_est * K * 64)))
+    plan, _, line_spans = _chunk_plan(first, last, C_, int(line_chunk))
+    Wc = max(p[2] for p in plan)
+    # Width-padded velc rows can run past C for narrow chunks near the
+    # grid end; pad with a far-away velocity so the window select (and
+    # the exp2 underflow) zero them for every walker.
+    vgp = np.concatenate(
+        [vg, np.full((vg.shape[0], Wc), 1e18, vg.dtype)], axis=1)
+    velc = np.stack([vgp[l, s:s + Wc]
+                     for l, s in zip(active, line_spans)])[..., None]
 
     lines = jnp.stack(
         [jnp.asarray(np.asarray(arr)[active], model.dtype)
@@ -378,11 +475,11 @@ def make_fused_ensemble_multi(model, spec, grid_ints, grid_yerrs,
     kernel = functools.partial(
         _multi_step_kernel, a=a, K=K, D=D,
         dish_size=float(model.dish_size), Tbg=float(model.Tbg),
-        mask_center=float(model.mask_center), spans=tuple(map(int, spans)),
-        Wc=int(Wc), line_chunk=int(line_chunk), **q_static, **prior_kw)
+        mask_center=float(model.mask_center), chunk_plan=plan,
+        **q_static, **prior_kw)
 
     @functools.partial(jax.jit, static_argnames=("nsteps", "k_steps"))
-    def run(pos0, lnp0, key, nsteps: int, k_steps: int = 8):
+    def run(pos0, lnp0, key, nsteps: int, k_steps: int = 16):
         W, D_ = pos0.shape
         if D_ != D:
             raise ValueError(f"pos0 ndim {D_} != spec ndim {D}")

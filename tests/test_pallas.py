@@ -555,6 +555,45 @@ def test_compact_spans_cover_windows():
         compact_spans(vel_bad, center, dv_max)
 
 
+def test_chunk_plan_invariants():
+    """_chunk_plan's static execution plan partitions the active lines
+    exactly once, keeps every group's true window inside its chunk-width
+    span, and groups consecutive same-start lines (the hfs-triplet
+    single-scatter exploit)."""
+    from cha1_mcmc_tpu.constants import VELOCITY_WINDOW_DV
+    from cha1_mcmc_tpu.sampler.fused_multi import (_chunk_plan,
+                                                   window_extents)
+
+    center, dv_max = 4.10, 1.5
+    vel, _, _, _ = _random_problem(W=4, L=60, C=900)
+    inside = np.abs(vel - center) < VELOCITY_WINDOW_DV * dv_max
+    keep = [l for l in range(vel.shape[0])
+            if (idx := np.flatnonzero(inside[l])).size
+            and np.all(np.diff(idx) == 1)]
+    vel = vel[keep]
+    active, first, last, C = window_extents(vel, center, dv_max)
+    for line_chunk in (1, 4, 16, 64):
+        plan, max_chunk, line_spans = _chunk_plan(first, last, C,
+                                                  line_chunk)
+        seen = []
+        for c0, g, wc, grps in plan:
+            assert wc % 8 == 0 or wc == C
+            assert g <= max_chunk
+            assert sum(gs for _, gs, _ in grps) == g
+            for j0, gsize, s in grps:
+                lines = range(c0 + j0, c0 + j0 + gsize)
+                seen.extend(lines)
+                assert 0 <= s and s + wc <= C + wc  # velc rows are padded
+                for j in lines:
+                    # the [s, s+wc) slab covers line j's true window
+                    assert s <= first[j] and last[j] < s + wc
+                    assert line_spans[j] == s
+                # grouped lines share a window start (single scatter is
+                # bitwise-safe only when the group is one hfs cluster)
+                assert len({first[j] for j in lines}) == 1
+        assert seen == list(range(active.size))
+
+
 @requires_reference
 def test_fused_kernels_survive_out_of_bounds_proposals(hc5n_problem,
                                                        hc5n_datagrid):
