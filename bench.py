@@ -51,15 +51,19 @@ def _problem():
     return _flagship_problem()
 
 
-def _slope_timed(run, n1: int, n2: int, reps: int = 3):
+def _slope_timed(run, n1: int, n2: int, reps: int = 6):
     """Steady-state per-unit time via two run lengths.
 
     This machine's TPU sits behind a relay with a FIXED ~25-30 ms cost
     per dispatched execution, independent of the work inside — a naive
     t/N at N~2000 under-reports the device by up to 4x. Timing at two
     lengths and taking (t(n2) - t(n1)) / (n2 - n1) cancels the fixed
-    term exactly. Best-of-`reps` per length: the TPU is a shared pool,
-    so single measurements occasionally catch a contended patch.
+    term exactly. The relay is also a shared pool whose *throughput*
+    varies over minutes, so the two lengths are measured as interleaved
+    (n1, n2) pairs and the best of `reps` is kept per length: contention
+    only ever adds time, so the per-length minimum over several
+    closely-spaced samples approaches the uncontended floor (single
+    best-of-3 runs were observed to vary ~2x between passes).
 
     `run(n, tag)` must execute one measurement of length n (with inputs
     varied by `tag` to defeat the runtime's identical-call caching) and
@@ -70,15 +74,15 @@ def _slope_timed(run, n1: int, n2: int, reps: int = 3):
     jax.block_until_ready(run(n1, 0))   # compile + warm, both lengths
     jax.block_until_ready(run(n2, 0))
 
-    def best_of(n, tag):
-        best = float("inf")
-        for rep in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(run(n, reps * tag + rep))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    t1 = t2 = float("inf")
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(n1, 2 * rep + 1))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(n2, 2 * rep + 2))
+        t2 = min(t2, time.perf_counter() - t0)
 
-    t1, t2 = best_of(n1, 1), best_of(n2, 2)
     slope = (t2 - t1) / (n2 - n1)
     return slope, (t1 - n1 * slope) * 1e3
 
@@ -262,11 +266,14 @@ def bench_multifit() -> dict:
     # evaluates an (La, Wc, K*h) Gaussian block (~8 flops + 1 exp2 each),
     # K (C, h) RT tails (~10 flops + 2 exp) and the tau/chi2 stages; the
     # one-hot move matmuls add 2*3*(D+1)*W*h MACs.
-    from cha1_mcmc_tpu.sampler.fused_multi import compact_spans
-    active, _, Wc, _ = compact_spans(np.asarray(model.vel_grid),
-                                     model.mask_center, cfg.dv_bound)
+    from cha1_mcmc_tpu.sampler.fused_multi import (_chunk_plan,
+                                                   window_extents)
+    active, first, last, C_ = window_extents(np.asarray(model.vel_grid),
+                                             model.mask_center, cfg.dv_bound)
+    plan, _, _ = _chunk_plan(first, last, C_, 16)
+    gauss_elems = sum(g * wc for _, g, wc, _ in plan)  # per-chunk widths
     h, K, C = NWALKERS // 2, cfg.ncomp, int(grid.freqs.size)
-    flops_per_step = 2 * (active.size * Wc * K * h * 9
+    flops_per_step = 2 * (gauss_elems * K * h * 9
                           + K * C * h * 12 + C * h * 6
                           + 3 * 2 * (cfg.ndim + 1) * NWALKERS * h)
     return {
