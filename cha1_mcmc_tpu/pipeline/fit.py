@@ -282,6 +282,9 @@ class SpectralFit:
 
     # -- full run ----------------------------------------------------------
     def run(self) -> np.ndarray:
+        from cha1_mcmc_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()  # reruns skip the XLA compile queue
         cfg = self.config
         grid = self.init_setup()
         chain = self.fit(grid)

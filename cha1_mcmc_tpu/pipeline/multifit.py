@@ -270,6 +270,9 @@ class MultiComponentFit:
         return self.sampler.chain
 
     def run(self) -> np.ndarray:
+        from cha1_mcmc_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()  # reruns skip the XLA compile queue
         grid = self.init_setup()
         chain = self.fit(grid)
         plot_results(self.config.chain_path, self.spec.labels, self.spec.labels_latex)

@@ -388,3 +388,42 @@ def test_multifit_other_gotham_datasets(tmp_path, mol):
     chain = fit.fit(grid)
     assert chain.shape == (16, 2, 14)
     assert np.isfinite(np.asarray(fit.sampler.lnprobability)).all()
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """The persistent-compile-cache helper (utils/compile_cache.py): sets
+    the default dir, never overrides an explicit user choice, and honors
+    the CHA1_COMPILE_CACHE=off switch. (On the deployed relay an uncached
+    XLA compile can cost minutes; every fit entry point calls this.)"""
+    import jax
+
+    from cha1_mcmc_tpu.utils import enable_compilation_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        # explicit user setting wins and is untouched
+        user_dir = str(tmp_path / "user")
+        jax.config.update("jax_compilation_cache_dir", user_dir)
+        assert enable_compilation_cache(str(tmp_path / "x")) == user_dir
+        assert jax.config.jax_compilation_cache_dir == user_dir
+
+        # default: explicit path argument is created and set
+        jax.config.update("jax_compilation_cache_dir", None)
+        target = str(tmp_path / "cache")
+        assert enable_compilation_cache(target) == target
+        assert jax.config.jax_compilation_cache_dir == target
+        assert os.path.isdir(target)
+
+        # environment off-switch disables without touching config
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.setenv("CHA1_COMPILE_CACHE", "off")
+        assert enable_compilation_cache() is None
+        assert jax.config.jax_compilation_cache_dir is None
+
+        # environment path is used when no argument is given
+        env_dir = str(tmp_path / "envcache")
+        monkeypatch.setenv("CHA1_COMPILE_CACHE", env_dir)
+        assert enable_compilation_cache() == env_dir
+        assert jax.config.jax_compilation_cache_dir == env_dir
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
