@@ -47,6 +47,9 @@ class SpectralFit:
     """End-to-end single-molecule fit on TPU."""
 
     def __init__(self, config: FitConfig):
+        from cha1_mcmc_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()  # reruns skip the XLA compile queue
         self.config = config
         self.spec = ParamSpec(ncomp=1, fixed_source_size=config.fixed_source_size)
         self.dtype = jnp.dtype(config.dtype)
@@ -282,9 +285,6 @@ class SpectralFit:
 
     # -- full run ----------------------------------------------------------
     def run(self) -> np.ndarray:
-        from cha1_mcmc_tpu.utils import enable_compilation_cache
-
-        enable_compilation_cache()  # reruns skip the XLA compile queue
         cfg = self.config
         grid = self.init_setup()
         chain = self.fit(grid)

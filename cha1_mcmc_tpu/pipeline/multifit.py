@@ -115,6 +115,9 @@ class MultiComponentFit:
     """End-to-end N-component GOTHAM fit."""
 
     def __init__(self, config: MultiFitConfig):
+        from cha1_mcmc_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()  # reruns skip the XLA compile queue
         self.config = config
         self.spec = ParamSpec(ncomp=config.ncomp)
         self.dtype = jnp.dtype(config.dtype)
@@ -270,9 +273,6 @@ class MultiComponentFit:
         return self.sampler.chain
 
     def run(self) -> np.ndarray:
-        from cha1_mcmc_tpu.utils import enable_compilation_cache
-
-        enable_compilation_cache()  # reruns skip the XLA compile queue
         grid = self.init_setup()
         chain = self.fit(grid)
         plot_results(self.config.chain_path, self.spec.labels, self.spec.labels_latex)

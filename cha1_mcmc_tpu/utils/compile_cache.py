@@ -1,15 +1,26 @@
 """Persistent XLA compilation cache for fit entry points.
 
-On this class of deployment the TPU sits behind a compile relay whose
-queue can take minutes per uncached XLA program when busy, while the
-sampling itself runs in seconds — a cold 10,000-step flagship fit was
-measured at ~250 s wall of which ~0.5 s was sampling. JAX's persistent
-compilation cache (the same mechanism the test/bench harnesses already
-use) makes every rerun of a given (catalog, datagrid, config) geometry
-skip the queue entirely.
+What this does and does not buy, measured on the deployed v5e relay
+(2026-08-17, fresh processes, `JAX_DEBUG_LOG_MODULES=jax._src.compilation_cache`):
 
-The reference has no analogue (NumPy needs no compilation); this is the
-TPU-native replacement for "the second run is as slow as the first".
+  * Local XLA compiles here are CHEAP (0.4-0.5 s for the fit's programs;
+    jax even skips persisting them under its 1 s threshold). The minutes
+    of wall observed on a first run go to the TPU relay's *per-process
+    first-dispatch admission* (measured 31-62 s for an already-cached
+    program, load-dependent) and to terminal-side compilation of heavy
+    Mosaic programs — the relay caches those across processes keyed on
+    the program, so identical fits re-pay only the admission.
+  * This cache therefore does NOT shorten first dispatch on the relay
+    deployment. It removes recompilation cost where local compilation IS
+    the cost: CPU runs (the test suite's 8-virtual-device backend) and
+    standard TPU hosts with a local libtpu.
+  * The lever that DOES amortize relay admission is process reuse: fit
+    many molecules in one process (`pipeline/batch.py:fit_molecules`,
+    the REPL, or one driver script) rather than one process per fit.
+
+The reference has no analogue (NumPy needs no compilation); enabling the
+cache at the entry points is standard JAX hygiene, with the real
+deployment economics documented above.
 """
 
 from __future__ import annotations
