@@ -150,9 +150,13 @@ def bench_tpu() -> dict:
         "nwalkers": NWALKERS,
         "dispatch_overhead_ms": round(overhead_ms, 1),
         "acceptance": float(np.asarray(acc).sum()) / (TPU_STEPS * NWALKERS),
-        "achieved_gflops": round(flops_per_step * rate / NWALKERS / 1e9, 1),
-        "pct_vpu_f32_peak": round(
-            100 * flops_per_step * rate / NWALKERS / VPU_F32_PEAK, 1),
+        # flop model = the fused kernel's work; omit utilization when the
+        # fused path errored (rate would be the general sampler's)
+        "achieved_gflops": (round(flops_per_step * rate / NWALKERS / 1e9, 1)
+                            if fused_rate is not None else None),
+        "pct_vpu_f32_peak": (round(
+            100 * flops_per_step * rate / NWALKERS / VPU_F32_PEAK, 1)
+            if fused_rate is not None else None),
         "device": str(jax.devices()[0]),
     }
 
@@ -288,9 +292,15 @@ def bench_multifit() -> dict:
         "fused_speedup": (round(general_s / fused_s, 2)
                           if fused_s is not None else None),
         "fused_error": fused_error,
-        "achieved_gflops": round(flops_per_step / best / 1e9, 1),
-        "pct_vpu_f32_peak": round(
-            100 * flops_per_step / best / VPU_F32_PEAK, 1),
+        # The flop model describes the fused kernel's compact-span work;
+        # when the fused path errored and `best` is the general sampler,
+        # utilization computed from it would describe a kernel that never
+        # ran — omit it rather than mislead.
+        "achieved_gflops": (round(flops_per_step / best / 1e9, 1)
+                            if fused_s is not None else None),
+        "pct_vpu_f32_peak": (round(
+            100 * flops_per_step / best / VPU_F32_PEAK, 1)
+            if fused_s is not None else None),
     }
 
 
@@ -333,9 +343,9 @@ def bench_dense() -> dict:
     spec = ParamSpec(ncomp=1, fixed_source_size=52.0)
     bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
               "vlsr": (4.0, 7.5), "dV": (0.4, 1.5)}
-    lnprior = single_component_lnprior(
-        spec, bounds, np.array([3.4e10, 8.0, center, 0.7575]),
-        np.array([0.34e10, 3.0, 0.06, 0.22]))
+    prior_means = np.array([3.4e10, 8.0, center, 0.7575])
+    prior_stds = np.array([0.34e10, 3.0, 0.06, 0.22])
+    lnprior = single_component_lnprior(spec, bounds, prior_means, prior_stds)
     rng = np.random.default_rng(2)
     ints = rng.standard_normal(DENSE_CHANNELS).astype(np.float32) * 1e-3
     yerrs = np.full(DENSE_CHANNELS, 1e-3, np.float32)
@@ -426,6 +436,27 @@ def bench_dense() -> dict:
                                     jax.random.fold_in(key, tag),
                                     nsteps=n, batched=True)[0], 64, 256)
 
+    # Fused whole-step dense kernel (sampler/fused_gather.py) — the
+    # pipeline's auto-selected dense-chain path on TPU.
+    try:
+        from cha1_mcmc_tpu.sampler.fused_gather import (
+            make_fused_ensemble_gather)
+
+        run_fused = make_fused_ensemble_gather(
+            model, spec, ints, yerrs, bounds, prior_means, prior_stds,
+            dv_max=1.5, nwalkers=NWALKERS)
+        fchain, _, _, (fpos, flnp) = run_fused(thetas, lnp0, key, 64)
+        jax.block_until_ready(fchain)
+        flnp = jnp.asarray(flnp)
+        fused_slope, _ = _slope_timed(
+            lambda n, tag: run_fused(fpos, flnp,
+                                     jax.random.fold_in(key, tag), n)[0],
+            64, 256)
+        fused_chain_error = None
+    except Exception as exc:  # record, never silently mask a regression
+        fused_slope, fused_chain_error = None, f"{type(exc).__name__}: {exc}"
+    best_chain = fused_slope if fused_slope is not None else chain_slope
+
     # Roofline accounting from first principles (VERDICT r2 item 5). The
     # gather path's per-eval work: taus over the active lines (~10 flops
     # + 2 exp each), the (W, M, C) gather-Gaussian-reduce (~10 flops + 1
@@ -469,8 +500,12 @@ def bench_dense() -> dict:
         "csr_ms_per_eval": round(csr_s * 1e3, 3),
         "jnp_ms_per_eval": round(jnp_s * 1e3, 3),
         "speedup_vs_jnp": round(jnp_s / best, 2),
-        "chain_walker_steps_per_sec": round(NWALKERS / chain_slope, 1),
-        "chain_us_per_step": round(chain_slope * 1e6, 2),
+        "chain_walker_steps_per_sec": round(NWALKERS / best_chain, 1),
+        "chain_us_per_step": round(best_chain * 1e6, 2),
+        "general_chain_us_per_step": round(chain_slope * 1e6, 2),
+        "fused_chain_speedup": (round(chain_slope / fused_slope, 2)
+                                if fused_slope is not None else None),
+        "fused_chain_error": fused_chain_error,
         "gather_achieved_gflops": round(flops / gather_s / 1e9, 1),
         "gather_pct_vpu_f32_peak": round(100 * flops / gather_s / VPU_F32_PEAK, 1),
         "gather_achieved_hbm_gbs": round(bytes_moved / gather_s / 1e9, 1),

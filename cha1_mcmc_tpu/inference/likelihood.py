@@ -37,6 +37,33 @@ def _rt_tail(opac, ss, Tex, grid_freq, dish_size, Tbg, dtype):
     return jnp.sum(dil * (J_T - J_Tbg) * (1.0 - jnp.exp(-opac)), axis=1)
 
 
+def _batched_opacity_model(opacity_fn, line_freq, line_elower, line_aij,
+                           line_gup, line_glow, q_model, grid_freq,
+                           dish_size, Tbg, dtype, spec, thetas,
+                           axis_name: str | None = None):
+    """Shared walker-batched body for every opacity formulation: unpack
+    theta, per-line stick opacities, the formulation-specific opacity
+    (`opacity_fn` over the (N*K)-flattened taus/vlsr/dV), an optional
+    cross-shard psum, then the radiative-transfer tail. The line arrays
+    may be a device-local shard or the active subset a gather-table
+    builder selected — whatever `opacity_fn` was built against."""
+    thetas = jnp.asarray(thetas, dtype=dtype)
+    N = thetas.shape[0]
+    K = spec.ncomp
+    ss, Ncol, Tex, vlsr, dV = spec.unpack(thetas)
+    Q = q_model(Tex)
+    taus = tau_sticks(jnp, line_freq, line_elower, line_aij, line_gup,
+                      line_glow, Q[:, None, None], Ncol[..., None],
+                      Tex[:, None, None], dV[:, None, None])      # (N, K, L)
+    opac = opacity_fn(
+        taus.reshape(N * K, -1), vlsr.reshape(N * K),
+        jnp.broadcast_to(dV[:, None], (N, K)).reshape(N * K)
+    ).reshape(N, K, -1)
+    if axis_name is not None:
+        opac = jax.lax.psum(opac, axis_name)
+    return _rt_tail(opac, ss, Tex, grid_freq, dish_size, Tbg, dtype)
+
+
 def batched_model_pallas(line_freq, line_elower, line_aij, line_gup, line_glow,
                          vel_grid, q_model, grid_freq, mask_center, dish_size,
                          Tbg, dtype, spec, thetas, block_mask, *,
@@ -61,22 +88,11 @@ def batched_model_pallas(line_freq, line_elower, line_aij, line_gup, line_glow,
         kernel = opacity_pallas
     else:
         kernel = functools.partial(opacity_pallas_mxu, unmasked=unmasked)
-    thetas = jnp.asarray(thetas, dtype=dtype)
-    N = thetas.shape[0]
-    K = spec.ncomp
-    ss, Ncol, Tex, vlsr, dV = spec.unpack(thetas)
-    Q = q_model(Tex)
-    taus = tau_sticks(jnp, line_freq, line_elower, line_aij, line_gup,
-                      line_glow, Q[:, None, None], Ncol[..., None],
-                      Tex[:, None, None], dV[:, None, None])      # (N, K, L)
-    opac = kernel(
-        taus.reshape(N * K, -1), vlsr.reshape(N * K),
-        jnp.broadcast_to(dV[:, None], (N, K)).reshape(N * K),
-        vel_grid, block_mask, mask_center=mask_center,
-        interpret=interpret).reshape(N, K, -1)
-    if axis_name is not None:
-        opac = jax.lax.psum(opac, axis_name)
-    return _rt_tail(opac, ss, Tex, grid_freq, dish_size, Tbg, dtype)
+    return _batched_opacity_model(
+        lambda t, v, d: kernel(t, v, d, vel_grid, block_mask,
+                               mask_center=mask_center, interpret=interpret),
+        line_freq, line_elower, line_aij, line_gup, line_glow, q_model,
+        grid_freq, dish_size, Tbg, dtype, spec, thetas, axis_name=axis_name)
 
 
 def batched_model_pallas_csr(line_freq, line_elower, line_aij, line_gup,
@@ -85,26 +101,18 @@ def batched_model_pallas_csr(line_freq, line_elower, line_aij, line_gup,
                              vel_compact, tile_counts, n_channels: int, *,
                              interpret: bool = False, unmasked: bool = False):
     """(N, C) walker-batched forward model with the compacted (CSR) Pallas
-    opacity kernel — the fastest dense-catalog path (~5x the block-sparse
-    kernel on 1-cyanonaphthalene, see models/pallas_kernels.py). unmasked
-    as in batched_model_pallas."""
+    opacity kernel — the fastest dense-catalog Pallas path (~5x the
+    block-sparse kernel on 1-cyanonaphthalene, see models/pallas_kernels.py).
+    unmasked as in batched_model_pallas."""
     from cha1_mcmc_tpu.models.pallas_kernels import opacity_pallas_csr
 
-    thetas = jnp.asarray(thetas, dtype=dtype)
-    N = thetas.shape[0]
-    K = spec.ncomp
-    ss, Ncol, Tex, vlsr, dV = spec.unpack(thetas)
-    Q = q_model(Tex)
-    taus = tau_sticks(jnp, line_freq, line_elower, line_aij, line_gup,
-                      line_glow, Q[:, None, None], Ncol[..., None],
-                      Tex[:, None, None], dV[:, None, None])      # (N, K, L)
-    opac = opacity_pallas_csr(
-        taus.reshape(N * K, -1), vlsr.reshape(N * K),
-        jnp.broadcast_to(dV[:, None], (N, K)).reshape(N * K),
-        line_table, vel_compact, tile_counts, mask_center=mask_center,
-        n_channels=n_channels, interpret=interpret,
-        unmasked=unmasked).reshape(N, K, -1)
-    return _rt_tail(opac, ss, Tex, grid_freq, dish_size, Tbg, dtype)
+    return _batched_opacity_model(
+        lambda t, v, d: opacity_pallas_csr(
+            t, v, d, line_table, vel_compact, tile_counts,
+            mask_center=mask_center, n_channels=n_channels,
+            interpret=interpret, unmasked=unmasked),
+        line_freq, line_elower, line_aij, line_gup, line_glow, q_model,
+        grid_freq, dish_size, Tbg, dtype, spec, thetas)
 
 
 def batched_model_gather(line_freq, line_elower, line_aij, line_gup,
@@ -118,19 +126,11 @@ def batched_model_gather(line_freq, line_elower, line_aij, line_gup,
     build_opacity_gather; taus are computed only for those."""
     from cha1_mcmc_tpu.models.pallas_kernels import opacity_gather
 
-    thetas = jnp.asarray(thetas, dtype=dtype)
-    N = thetas.shape[0]
-    K = spec.ncomp
-    ss, Ncol, Tex, vlsr, dV = spec.unpack(thetas)
-    Q = q_model(Tex)
-    taus = tau_sticks(jnp, line_freq, line_elower, line_aij, line_gup,
-                      line_glow, Q[:, None, None], Ncol[..., None],
-                      Tex[:, None, None], dV[:, None, None])      # (N, K, La)
-    opac = opacity_gather(
-        taus.reshape(N * K, -1), vlsr.reshape(N * K),
-        jnp.broadcast_to(dV[:, None], (N, K)).reshape(N * K),
-        line_table, vel_t, mask_center=mask_center).reshape(N, K, -1)
-    return _rt_tail(opac, ss, Tex, grid_freq, dish_size, Tbg, dtype)
+    return _batched_opacity_model(
+        lambda t, v, d: opacity_gather(t, v, d, line_table, vel_t,
+                                       mask_center=mask_center),
+        line_freq, line_elower, line_aij, line_gup, line_glow, q_model,
+        grid_freq, dish_size, Tbg, dtype, spec, thetas)
 
 
 def batched_model_gather_split(line_freq, line_elower, line_aij, line_gup,
@@ -146,21 +146,13 @@ def batched_model_gather_split(line_freq, line_elower, line_aij, line_gup,
     build_opacity_gather_split."""
     from cha1_mcmc_tpu.models.pallas_kernels import opacity_gather_split
 
-    thetas = jnp.asarray(thetas, dtype=dtype)
-    N = thetas.shape[0]
-    K = spec.ncomp
-    ss, Ncol, Tex, vlsr, dV = spec.unpack(thetas)
-    Q = q_model(Tex)
-    taus = tau_sticks(jnp, line_freq, line_elower, line_aij, line_gup,
-                      line_glow, Q[:, None, None], Ncol[..., None],
-                      Tex[:, None, None], dV[:, None, None])      # (N, K, La)
     table1, vel1, table2, vel2, heavy_onehot = split_tables
-    opac = opacity_gather_split(
-        taus.reshape(N * K, -1), vlsr.reshape(N * K),
-        jnp.broadcast_to(dV[:, None], (N, K)).reshape(N * K),
-        table1, vel1, table2, vel2, heavy_onehot,
-        mask_center=mask_center).reshape(N, K, -1)
-    return _rt_tail(opac, ss, Tex, grid_freq, dish_size, Tbg, dtype)
+    return _batched_opacity_model(
+        lambda t, v, d: opacity_gather_split(
+            t, v, d, table1, vel1, table2, vel2, heavy_onehot,
+            mask_center=mask_center),
+        line_freq, line_elower, line_aij, line_gup, line_glow, q_model,
+        grid_freq, dish_size, Tbg, dtype, spec, thetas)
 
 
 def build_lnlike(model: SpectralModel, spec: ParamSpec, grid_ints, grid_yerrs):
@@ -247,7 +239,8 @@ def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
                                     abs(vlsr_bounds[1] - model.mask_center))))
         if pallas_kernel == "gather":
             from cha1_mcmc_tpu.models.pallas_kernels import (
-                build_opacity_gather, build_opacity_gather_split)
+                build_opacity_gather, build_opacity_gather_split,
+                heavy_scatter_onehot)
 
             # Prefer the two-class split table when its modeled element
             # work beats the rectangular (M, C) table by >= 1.3x (skewed
@@ -257,11 +250,9 @@ def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
                 np.asarray(model.vel_grid), model.mask_center, dv_max)
             if split is not None:
                 t1, v1, t2, v2, heavy, g_active = split
-                onehot = np.zeros((heavy.size, C), dtype=np.float32)
-                onehot[np.arange(heavy.size), heavy] = 1.0
                 g_split = (jnp.asarray(t1), jnp.asarray(v1, dtype),
                            jnp.asarray(t2), jnp.asarray(v2, dtype),
-                           jnp.asarray(onehot, dtype))
+                           jnp.asarray(heavy_scatter_onehot(heavy, C), dtype))
             else:
                 g_table, g_vel, g_active = build_opacity_gather(
                     np.asarray(model.vel_grid), model.mask_center, dv_max)

@@ -518,6 +518,16 @@ def opacity_gather(taus, vlsr, dV, line_table, vel_t, *, mask_center: float):
 # ---------------------------------------------------------------------------
 
 
+def heavy_scatter_onehot(heavy: np.ndarray, n_channels: int) -> np.ndarray:
+    """(C2, C) f32 one-hot scatter matrix mapping the heavy-channel
+    overflow columns of build_opacity_gather_split back to their channel
+    positions — contracted exactly on the MXU by opacity_gather_split
+    (value x {0, 1})."""
+    onehot = np.zeros((len(heavy), n_channels), dtype=np.float32)
+    onehot[np.arange(len(heavy)), heavy] = 1.0
+    return onehot
+
+
 def build_opacity_gather_split(vel_grid: np.ndarray, mask_center: float,
                                dv_max: float, m1: int | None = None,
                                min_saving: float = 1.3):

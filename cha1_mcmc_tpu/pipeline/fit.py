@@ -119,6 +119,12 @@ class SpectralFit:
         q_bytes = 2 * h * n_states * 4
         return model_bytes + selector_bytes + q_bytes <= budget_bytes
 
+    def _fused_gather_ok(self, model, cfg) -> bool:
+        from cha1_mcmc_tpu.sampler.fused_gather import fused_gather_supported
+
+        return fused_gather_supported(model, self.spec, cfg.bounds["dV"][1],
+                                      nwalkers=cfg.nwalkers)
+
     def _is_within_bounds(self, theta) -> bool:
         """Host-side box check for walker init (reference inference.py:169-190)."""
         b = self.config.bounds
@@ -215,6 +221,32 @@ class SpectralFit:
                 lnprob_fn=lnprob, nwalkers=cfg.nwalkers, ndim=self.spec.ndim,
                 a=cfg.stretch_a, dtype=self.dtype, batched=use_pallas,
                 n_chains=cfg.n_chains)
+        elif (cfg.use_fused_step and use_pallas
+              and self.spec.ncomp == 1
+              and self.dtype == jnp.float32
+              and jax.default_backend() != "cpu"
+              and self._fused_gather_ok(model, cfg)):
+            # Dense-catalog fused whole-step kernel: the channel-major
+            # gather tables re-expressed as per-entry line constants so
+            # the entire ensemble step (tau recompute + windowed Gaussian
+            # + overflow scatter + stretch move) runs as one Pallas
+            # program per k steps (sampler/fused_gather.py) — removes the
+            # ~40% per-step dispatch overhead the general scan pays on
+            # the 35k-line aromatics (BASELINE.md dense chain).
+            from cha1_mcmc_tpu.sampler import FusedEnsembleSampler
+            from cha1_mcmc_tpu.sampler.fused_gather import (
+                make_fused_ensemble_gather)
+
+            print(f"{GRAY}Dense catalog: fused channel-major step kernel "
+                  f"selected.{RESET}")
+            run_fn = make_fused_ensemble_gather(
+                model, self.spec, grid.ints, grid.yerrs, cfg.bounds,
+                prior_means, prior_stds, a=cfg.stretch_a,
+                dv_max=cfg.bounds["dV"][1], nwalkers=cfg.nwalkers)
+            self.sampler = FusedEnsembleSampler(
+                lnprob_fn=lnprob, nwalkers=cfg.nwalkers,
+                ndim=self.spec.ndim, a=cfg.stretch_a, dtype=self.dtype,
+                run_fn=run_fn, batched=True)
         elif (cfg.use_fused_step and not use_pallas
               and self.spec.ncomp == 1
               and self.dtype == jnp.float32

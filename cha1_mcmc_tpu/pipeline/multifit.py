@@ -221,9 +221,12 @@ class MultiComponentFit:
                 lnprior_fn=lnprior)
         elif self._fused_eligible(model):
             # Fused whole-ensemble-step Pallas kernel: one program per k
-            # steps (sampler/fused_multi.py), bitwise-equal trajectories
-            # to the general sampler on the same stream. lnprob_fn stays
-            # the batched gather path (used only to initialize lnp).
+            # steps (sampler/fused_multi.py). Trajectories match the
+            # general sampler bitwise on the tested streams; the two lnp
+            # paths differ by f32 ulps, so a marginal acceptance can in
+            # principle flip on an unlucky stream (statistically
+            # identical either way). lnprob_fn stays the batched gather
+            # path (used only to initialize lnp).
             from cha1_mcmc_tpu.inference import build_lnprob_batched
             from cha1_mcmc_tpu.sampler import FusedEnsembleSampler
             from cha1_mcmc_tpu.sampler.fused_multi import (

@@ -54,29 +54,19 @@ from cha1_mcmc_tpu.ops.lte import planck_J, beam_dilution, tau_sticks
 __all__ = ["make_fused_ensemble", "FusedEnsembleSampler"]
 
 
-def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
-                 lines_ref, vel_ref, chans_ref, qst_ref,
-                 out_chain_ref, out_lnps_ref, out_acc_ref, *,
-                 a, h, k_steps, ss, dish_size, Tbg, mask_center, q_kind,
-                 q_coeffs, q_power, q_scale, bounds_lo, bounds_hi,
-                 prior_mean, prior_std):
-    W, D = coords_ref.shape
-    lf, le, la, lg, lgl = (lines_ref[i:i + 1, :] for i in range(5))
-    gf = chans_ref[0:1, :]
-    y = chans_ref[1:2, :]
-    isig = chans_ref[2:3, :]
-    vel = vel_ref[:]
-
-    def q_of(Tex):                                       # (h, 1) -> (h, 1)
+def _make_q_of(q_kind, q_coeffs, q_power, q_scale, qst_ref):
+    """In-kernel Q(T) evaluator, (n, 1) Tex -> (n, 1) Q — shared by every
+    fused-kernel variant (this module and sampler/fused_gather.py)."""
+    def q_of(Tex):
         if q_kind == "states":
             # State-sum fallback Q(T) = sum_s g_s exp(-E_s / (kcm T))
             # (reference functions.py:263-325; catalogs/partition.py): a
-            # few-KB (h, S) Boltzmann block on the VPU, so fallback-Q
+            # few-KB (n, S) Boltzmann block on the VPU, so fallback-Q
             # species (incl. the aromatics whose dispatch deliberately
             # misses) take the fused path too.
             g_row = qst_ref[0:1, :]                      # (1, S)
             E_row = qst_ref[1:2, :]
-            boltz = jnp.exp(-E_row / (KCM * Tex))        # (h, S)
+            boltz = jnp.exp(-E_row / (KCM * Tex))        # (n, S)
             return jnp.sum(g_row * boltz, axis=1, keepdims=True)
         q = jnp.zeros_like(Tex)
         for i, c in enumerate(q_coeffs):
@@ -86,18 +76,74 @@ def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
             q = q + pa * Tex ** pb
         return q_scale * q
 
+    return q_of
+
+
+def _unpack_single(th, ss):
+    """Single-component theta unpack, (n, D) -> (n, 1) columns.
+
+    ss None means the free-source-size 5-dim layout (ss, Ncol, Tex, vlsr,
+    dV); a float means the 4-dim fixed-ss layout (reference
+    inference.py:87-96)."""
+    dt = th.dtype  # keep scalar constants in the walkers' dtype so the
+    # f64 verification mode cross-checks the kernel bitwise against the
+    # general sampler (f32-rounding Tbg/ss would perturb lnp at ~1e-8)
+    if ss is None:
+        ss_w = th[:, 0:1]
+        Ncol, Tex = th[:, 1:2], th[:, 2:3]
+        vlsr, dV = th[:, 3:4], th[:, 4:5]
+    else:
+        ss_w = jnp.asarray(ss, dt)
+        Ncol, Tex = th[:, 0:1], th[:, 1:2]
+        vlsr, dV = th[:, 2:3], th[:, 3:4]
+    return ss_w, Ncol, Tex, vlsr, dV
+
+
+def _lnprob_tail(th, ss_w, Tex, opac, gf, y, isig, *, ss, dish_size, Tbg,
+                 bounds_lo, bounds_hi, prior_mean, prior_std):
+    """Radiative transfer + chi^2 + box/Gaussian priors from an opacity
+    block, (n, C) opac -> (n, 1) lnprob. Exactly the op sequence the
+    original in-kernel lnprob used (reference inference.py:44-61 RT,
+    :127-166 chi^2, :193-246 priors), shared by the fused-kernel
+    variants."""
+    dt = th.dtype
+    J_T = planck_J(jnp, gf, Tex, guard=1e-10)
+    J_Tbg = planck_J(jnp, gf, jnp.asarray(Tbg, dt), guard=1e-10)
+    dil = beam_dilution(jnp, gf, ss_w, dish_size)
+    m = dil * (J_T - J_Tbg) * (1.0 - jnp.exp(-opac))
+    resid = y - m
+    ll = -0.5 * jnp.sum(resid * resid * isig - jnp.log(isig),
+                        axis=-1, keepdims=True)           # (n, 1)
+    ok = jnp.ones_like(Tex, dtype=jnp.bool_)
+    for i, (lo_b, hi_b) in enumerate(zip(bounds_lo, bounds_hi)):
+        ok = ok & (th[:, i:i + 1] > lo_b) & (th[:, i:i + 1] < hi_b)
+    lp = jnp.zeros_like(ll)
+    ncol_idx = 0 if ss is not None else 1
+    for i in range(len(bounds_lo)):  # Gaussian priors; Ncol flat
+        if i == ncol_idx:
+            continue
+        mu, sd = prior_mean[i], prior_std[i]
+        lp = lp + (np.log(1.0 / (np.sqrt(2.0 * np.pi) * sd))
+                   - 0.5 * ((th[:, i:i + 1] - mu) / sd) ** 2)
+    val = lp + ll
+    return jnp.where(ok & jnp.isfinite(val), val, -jnp.inf)
+
+
+def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
+                 lines_ref, vel_ref, chans_ref, qst_ref,
+                 out_chain_ref, out_lnps_ref, out_acc_ref, *,
+                 a, h, k_steps, ss, dish_size, Tbg, mask_center, q_kind,
+                 q_coeffs, q_power, q_scale, bounds_lo, bounds_hi,
+                 prior_mean, prior_std):
+    lf, le, la, lg, lgl = (lines_ref[i:i + 1, :] for i in range(5))
+    gf = chans_ref[0:1, :]
+    y = chans_ref[1:2, :]
+    isig = chans_ref[2:3, :]
+    vel = vel_ref[:]
+    q_of = _make_q_of(q_kind, q_coeffs, q_power, q_scale, qst_ref)
+
     def lnprob(th):  # (h, D) -> (h, 1)
-        dt = th.dtype  # keep scalar constants in the walkers' dtype so the
-        # f64 verification mode cross-checks the kernel bitwise against the
-        # general sampler (f32-rounding Tbg/ss would perturb lnp at ~1e-8)
-        if ss is None:  # free source size: 5-dim (ss, Ncol, Tex, vlsr, dV)
-            ss_w = th[:, 0:1]
-            Ncol, Tex = th[:, 1:2], th[:, 2:3]
-            vlsr, dV = th[:, 3:4], th[:, 4:5]
-        else:
-            ss_w = jnp.asarray(ss, dt)
-            Ncol, Tex = th[:, 0:1], th[:, 1:2]
-            vlsr, dV = th[:, 2:3], th[:, 3:4]
+        ss_w, Ncol, Tex, vlsr, dV = _unpack_single(th, ss)
         taus = tau_sticks(jnp, lf, le, la, lg, lgl,
                           q_of(Tex), Ncol, Tex, dV)           # (h, L)
         # exp(-0.5 ((v - vlsr)/sigma)^2) as exp2(aa * d^2): one per-walker
@@ -110,27 +156,25 @@ def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
         d = vel[None] - vlsr[:, :, None]                      # (h, L, C)
         gauss = jnp.where(window, jnp.exp2(aa * (d * d)), 0.0)
         opac = jnp.sum(taus[:, :, None] * gauss, axis=1)      # (h, C)
-        J_T = planck_J(jnp, gf, Tex, guard=1e-10)
-        J_Tbg = planck_J(jnp, gf, jnp.asarray(Tbg, dt), guard=1e-10)
-        dil = beam_dilution(jnp, gf, ss_w, dish_size)
-        m = dil * (J_T - J_Tbg) * (1.0 - jnp.exp(-opac))
-        resid = y - m
-        ll = -0.5 * jnp.sum(resid * resid * isig - jnp.log(isig),
-                            axis=-1, keepdims=True)           # (h, 1)
-        ok = jnp.ones_like(Ncol, dtype=jnp.bool_)
-        for i, (lo_b, hi_b) in enumerate(zip(bounds_lo, bounds_hi)):
-            ok = ok & (th[:, i:i + 1] > lo_b) & (th[:, i:i + 1] < hi_b)
-        lp = jnp.zeros_like(ll)
-        ncol_idx = 0 if ss is not None else 1
-        for i in range(len(bounds_lo)):  # Gaussian priors; Ncol flat
-            if i == ncol_idx:
-                continue
-            mu, sd = prior_mean[i], prior_std[i]
-            lp = lp + (np.log(1.0 / (np.sqrt(2.0 * np.pi) * sd))
-                       - 0.5 * ((th[:, i:i + 1] - mu) / sd) ** 2)
-        val = lp + ll
-        return jnp.where(ok & jnp.isfinite(val), val, -jnp.inf)
+        return _lnprob_tail(th, ss_w, Tex, opac, gf, y, isig, ss=ss,
+                            dish_size=dish_size, Tbg=Tbg,
+                            bounds_lo=bounds_lo, bounds_hi=bounds_hi,
+                            prior_mean=prior_mean, prior_std=prior_std)
 
+    _run_step_loop(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
+                   out_chain_ref, out_lnps_ref, out_acc_ref, lnprob,
+                   a=a, h=h, k_steps=k_steps)
+
+
+def _run_step_loop(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
+                   out_chain_ref, out_lnps_ref, out_acc_ref, lnprob, *,
+                   a, h, k_steps):
+    """The fused ensemble-step machinery: k_steps unrolled stretch-move
+    steps (two sequential half-updates each, emcee-v3 semantics — module
+    docstring) around an arbitrary in-kernel `lnprob((h, D)) -> (h, 1)`.
+    Shared by the dense-grid kernel above and the channel-major gather
+    kernel in sampler/fused_gather.py."""
+    W, D = coords_ref.shape
     wdt = coords_ref.dtype  # selector/accumulation dtype follows the
     # walkers (f64 verification mode keeps the one-hot matmuls f64-exact)
 
@@ -243,6 +287,18 @@ def make_fused_ensemble(model, spec, grid_ints, grid_yerrs, bounds,
         bounds_lo=lo, bounds_hi=hi,
         prior_mean=tuple(means), prior_std=tuple(stds))
 
+    return _make_fused_run(kernel, (lines, vel, chans, qst),
+                           interpret=interpret)
+
+
+def _make_fused_run(kernel, tables, *, interpret: bool = False):
+    """Wrap a fused step kernel (statics bound except h/k_steps) into the
+    run(pos0, lnp0, key, nsteps) contract shared by every fused sampler
+    variant: run_ensemble's exact PRNG stream layout, lax.scan over
+    k_steps-sized kernel launches, and the -inf <-> finfo.min boundary
+    clamp. `tables` are the static device arrays appended to each
+    pallas_call after the per-block randomness."""
+
     @functools.partial(jax.jit, static_argnames=("nsteps", "k_steps"))
     def run(pos0, lnp0, key, nsteps: int, k_steps: int = 16):
         # k_steps default from a v5e sweep at the flagship size (128
@@ -290,7 +346,7 @@ def make_fused_ensemble(model, spec, grid_ints, grid_yerrs, bounds,
             coords, lnp = carry
             perm, zu, pr, au = xs
             chain_blk, lnps_blk, acc = call(coords, lnp, perm, zu, pr, au,
-                                            lines, vel, chans, qst)
+                                            *tables)
             coords = chain_blk[(k_steps - 1) * W:, :]
             lnp = lnps_blk[(k_steps - 1) * W:, :]
             return (coords, lnp), (chain_blk.reshape(k_steps, W, D),
@@ -298,6 +354,12 @@ def make_fused_ensemble(model, spec, grid_ints, grid_yerrs, bounds,
 
         (pos, lnp), (chain, lnps, accepted) = jax.lax.scan(
             one_block, (pos0, lnp0[:, None]), (perms_b, z_b, pair_b, acc_b))
+        # Restore the entry clamp to -inf at the output boundary so the
+        # recorded lnps match the general sampler's contract for walkers
+        # that never accepted (finfo.min is unreachable as a genuine lnp).
+        fmin = jnp.finfo(pos0.dtype).min
+        lnps = jnp.where(lnps == fmin, -jnp.inf, lnps)
+        lnp = jnp.where(lnp == fmin, -jnp.inf, lnp)
         return (chain.reshape(nsteps, W, D), lnps.reshape(nsteps, W),
                 accepted.reshape(nsteps), (pos, lnp[:, 0]))
 

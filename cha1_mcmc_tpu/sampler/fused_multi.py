@@ -63,7 +63,7 @@ from cha1_mcmc_tpu.constants import (FWHM_TO_SIGMA_MODEL, KCM,
 from cha1_mcmc_tpu.ops.lte import planck_J, beam_dilution, tau_sticks
 
 __all__ = ["make_fused_ensemble_multi", "fused_multi_supported",
-           "compact_spans"]
+           "window_extents"]
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -98,26 +98,21 @@ def window_extents(vel_grid: np.ndarray, mask_center: float, dv_max: float):
     return active, first, last, C
 
 
-def compact_spans(vel_grid: np.ndarray, mask_center: float, dv_max: float):
-    """Static line-major window structure (common-width form).
+def _build_velc(vel_grid: np.ndarray, active, line_spans, Wc: int):
+    """Per-line velocity rows for the kernel: velc[j] =
+    vel_grid[active[j], line_spans[j]:line_spans[j]+Wc, None].
 
-    Returns (active (La,), spans (La,) int, Wc int, velc (La, Wc, 1))
-    where velc[l] = vel_grid[active[l], spans[l]:spans[l]+Wc, None].
-    Spans are clamped to [0, C-Wc] so they stay in-range; extra in-span
-    channels beyond a line's true window are masked at runtime by the
-    per-walker window select. The kernel itself uses the tighter
-    per-chunk widths from _chunk_plan; this common-width view is kept
-    for support checks and roofline accounting."""
-    active, first, last, C = window_extents(vel_grid, mask_center, dv_max)
+    Width-padded rows can run past C for chunks narrower than the global
+    maximum width near the grid end; those columns are filled with a
+    far-away sentinel, which the kernel never reads (each chunk slices
+    only its own wc <= Wc columns) — the padding exists purely to keep
+    the host array rectangular."""
     vel_grid = np.asarray(vel_grid)
-    Wc = min(_ceil_to(int((last - first + 1).max()), 8), _ceil_to(C, 8))
-    if Wc >= C:
-        Wc, spans = C, np.zeros(active.size, dtype=int)
-    else:
-        spans = np.minimum(first, C - Wc)
-    velc = np.stack([vel_grid[l, s:s + Wc]
-                     for l, s in zip(active, spans)])[..., None]
-    return active, spans, Wc, velc
+    vgp = np.concatenate(
+        [vel_grid, np.full((vel_grid.shape[0], Wc), 1e18, vel_grid.dtype)],
+        axis=1)
+    return np.stack([vgp[l, s:s + Wc]
+                     for l, s in zip(active, line_spans)])[..., None]
 
 
 def _chunk_plan(first, last, C: int, line_chunk: int):
@@ -445,13 +440,7 @@ def make_fused_ensemble_multi(model, spec, grid_ints, grid_yerrs,
                                 (3 * 2 ** 20) // max(1, 4 * Wc_est * K * 64)))
     plan, _, line_spans = _chunk_plan(first, last, C_, int(line_chunk))
     Wc = max(p[2] for p in plan)
-    # Width-padded velc rows can run past C for narrow chunks near the
-    # grid end; pad with a far-away velocity so the window select (and
-    # the exp2 underflow) zero them for every walker.
-    vgp = np.concatenate(
-        [vg, np.full((vg.shape[0], Wc), 1e18, vg.dtype)], axis=1)
-    velc = np.stack([vgp[l, s:s + Wc]
-                     for l, s in zip(active, line_spans)])[..., None]
+    velc = _build_velc(vg, active, line_spans, Wc)
 
     lines = jnp.stack(
         [jnp.asarray(np.asarray(arr)[active], model.dtype)
@@ -537,7 +526,13 @@ def make_fused_ensemble_multi(model, spec, grid_ints, grid_yerrs,
         state0 = jnp.concatenate([pos0.T, lnp0[None, :]], axis=0)
         state, (chain, lnps, accepted) = jax.lax.scan(
             one_block, state0, (permr, permc, z_b, pair_b, acc_b))
+        # Restore the entry clamp to -inf at the output boundary so the
+        # recorded lnps match the general sampler's contract for walkers
+        # that never accepted (finfo.min is unreachable as a genuine lnp).
+        fmin = jnp.finfo(pos0.dtype).min
+        lnps = jnp.where(lnps == fmin, -jnp.inf, lnps)
+        lnp_out = jnp.where(state[D, :] == fmin, -jnp.inf, state[D, :])
         return (chain.reshape(nsteps, W, D), lnps.reshape(nsteps, W),
-                accepted.reshape(nsteps), (state[:D, :].T, state[D, :]))
+                accepted.reshape(nsteps), (state[:D, :].T, lnp_out))
 
     return run

@@ -523,11 +523,15 @@ def test_fused_step_kernel_state_sum_q():
                                   np.asarray(au).astype(np.float32))
 
 
-def test_compact_spans_cover_windows():
-    """compact_spans' static structure covers every in-window channel and
-    rejects non-contiguous windows."""
+def test_window_extents_and_velc_cover_windows():
+    """The kernel's static window structure (window_extents + _chunk_plan
+    + _build_velc) covers every in-window channel: each line's velc row
+    holds exactly vel_grid over its span, every true-window channel lies
+    inside the line's chunk-width slab, and non-contiguous windows are
+    rejected."""
     from cha1_mcmc_tpu.constants import VELOCITY_WINDOW_DV
-    from cha1_mcmc_tpu.sampler.fused_multi import compact_spans
+    from cha1_mcmc_tpu.sampler.fused_multi import (_build_velc, _chunk_plan,
+                                                   window_extents)
 
     center, dv_max = 4.10, 1.5
     vel, _, _, _ = _random_problem(W=4, L=60, C=900)
@@ -539,20 +543,30 @@ def test_compact_spans_cover_windows():
         if idx.size and np.all(np.diff(idx) == 1):
             keep.append(l)
     vel = vel[keep]
-    active, spans, Wc, velc = compact_spans(vel, center, dv_max)
+    active, first, last, C = window_extents(vel, center, dv_max)
     inside = np.abs(vel - center) < VELOCITY_WINDOW_DV * dv_max
     np.testing.assert_array_equal(active, np.flatnonzero(inside.any(axis=1)))
+    plan, _, line_spans = _chunk_plan(first, last, C, 16)
+    Wc = max(p[2] for p in plan)
+    velc = _build_velc(vel, active, line_spans, Wc)
+    wc_of = {}
+    for c0, g, wc, grps in plan:
+        for j in range(c0, c0 + g):
+            wc_of[j] = wc
     for j, l in enumerate(active):
         idx = np.flatnonzero(inside[l])
-        s = spans[j]
-        assert s <= idx.min() and idx.max() < s + Wc
-        np.testing.assert_array_equal(velc[j, :, 0], vel[l, s:s + Wc])
+        s = line_spans[j]
+        # the chunk-width slab [s, s+wc) covers the true window
+        assert s <= idx.min() and idx.max() < s + wc_of[j]
+        # the velc row is vel_grid over the span (in-grid columns)
+        w_in = min(Wc, vel.shape[1] - s)
+        np.testing.assert_array_equal(velc[j, :w_in, 0], vel[l, s:s + w_in])
     # a deliberately split window is rejected
     vel_bad = np.full((1, 200), 1e6, np.float32)
     vel_bad[0, 10] = center
     vel_bad[0, 100] = center
     with pytest.raises(ValueError):
-        compact_spans(vel_bad, center, dv_max)
+        window_extents(vel_bad, center, dv_max)
 
 
 def test_chunk_plan_invariants():
@@ -636,6 +650,54 @@ def test_fused_kernels_survive_out_of_bounds_proposals(hc5n_problem,
 
 
 @requires_reference
+def test_fused_never_accepting_walker_reports_minus_inf(hc5n_problem,
+                                                        hc5n_datagrid):
+    """Contract regression: a walker that STARTS outside the prior
+    (lnp0 = -inf) and never accepts must be recorded as -inf in lnps,
+    exactly as the general sampler records it — not as the finfo.min
+    the kernels clamp to internally to avoid 0 * (-inf) = NaN in the
+    one-hot contractions."""
+    from cha1_mcmc_tpu.inference import single_component_lnprior, build_lnprob
+    from cha1_mcmc_tpu.sampler import run_ensemble
+    from cha1_mcmc_tpu.sampler.fused import make_fused_ensemble
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    grid = hc5n_datagrid
+    bounds = {"Ncol": (1e8, 1e14), "Tex": (7.0, 8.0),
+              "vlsr": (4.05, 4.17), "dV": (0.75, 0.81)}
+    means = np.array([3.4e10, 7.5, 4.11, 0.78])
+    stds = np.array([0.34e10, 3.0, 0.06, 0.22])
+    lnprior = single_component_lnprior(spec, bounds, means, stds)
+    lnprob = build_lnprob(model, spec, grid.ints, grid.yerrs, lnprior)
+    run_fused = make_fused_ensemble(model, spec, grid.ints, grid.yerrs,
+                                    bounds, means, stds, interpret=True)
+    rng = np.random.default_rng(4)
+    pos0 = np.array([3.24e12, 7.5, 4.11, 0.78]) * (
+        1 + 0.003 * rng.standard_normal((16, 4)))
+    pos0[3, 2] = 9.0       # vlsr far outside the box: lnp0 = -inf and
+    pos0[3, 3] = 0.05      # every proposal *from* it stays rejected
+    pos0 = jnp.asarray(pos0, jnp.float32)
+    lnp0 = jax.vmap(lnprob)(pos0)
+    assert not np.isfinite(np.asarray(lnp0)[3])
+    key = jax.random.PRNGKey(1)
+    cf, lf, af, (pf, lpf) = run_fused(pos0, lnp0, key, 8, 4)
+    cu, lu, au, (pu, lpu) = run_ensemble(lnprob, pos0, lnp0, key, nsteps=8)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cu))
+    # the stuck walker reads -inf (not finfo.min) everywhere it appears
+    lf, lu = np.asarray(lf), np.asarray(lu)
+    stuck = ~np.isfinite(lu)
+    assert stuck.any()
+    np.testing.assert_array_equal(lf[stuck], lu[stuck])
+    # final state: -inf entries exact; finite entries agree to the f32
+    # ulps the in-kernel reduction order is documented to differ by
+    lpf, lpu = np.asarray(lpf), np.asarray(lpu)
+    np.testing.assert_array_equal(np.isfinite(lpf), np.isfinite(lpu))
+    np.testing.assert_allclose(lpf[np.isfinite(lpu)], lpu[np.isfinite(lpu)],
+                               rtol=1e-5)
+    assert not np.isfinite(lpf[3])
+
+
+@requires_reference
 def test_fused_multi_checkpoint_resume_exact(hc9n_problem, tmp_path):
     """Checkpoint blocks + .state.npz exact resume through the
     FusedEnsembleSampler running the multi-component kernel: an
@@ -691,8 +753,8 @@ def test_opacity_gather_split_matches_dense(W, L, C):
     """Two-class split gather vs the dense reference and vs the plain
     gather (light channels bitwise, heavy channels f32-reassociated)."""
     from cha1_mcmc_tpu.models.pallas_kernels import (
-        build_opacity_gather, build_opacity_gather_split, opacity_gather,
-        opacity_gather_split)
+        build_opacity_gather, build_opacity_gather_split,
+        heavy_scatter_onehot, opacity_gather, opacity_gather_split)
 
     center = 4.10
     vel, taus, vlsr, dV = _random_problem(W, L, C)
@@ -701,8 +763,7 @@ def test_opacity_gather_split_matches_dense(W, L, C):
                                        min_saving=0.0)
     assert split is not None
     t1, v1, t2, v2, heavy, active = split
-    onehot = np.zeros((heavy.size, C), np.float32)
-    onehot[np.arange(heavy.size), heavy] = 1.0
+    onehot = heavy_scatter_onehot(heavy, C)
     out = opacity_gather_split(
         jnp.asarray(taus[:, active]), jnp.asarray(vlsr), jnp.asarray(dV),
         jnp.asarray(t1), jnp.asarray(v1), jnp.asarray(t2), jnp.asarray(v2),
@@ -756,8 +817,8 @@ def test_batched_lnprob_gather_split_matches_plain(hc5n_problem,
     if split is None:
         pytest.skip("HC5N window structure has no split advantage")
     t1, v1, t2, v2, heavy, active = split
-    onehot = np.zeros((heavy.size, model.n_channels), np.float32)
-    onehot[np.arange(heavy.size), heavy] = 1.0
+    from cha1_mcmc_tpu.models.pallas_kernels import heavy_scatter_onehot
+    onehot = heavy_scatter_onehot(heavy, model.n_channels)
     lines = tuple(jnp.asarray(np.asarray(arr)[active])
                   for arr in (model.line_freq, model.line_elower,
                               model.line_aij, model.line_gup,
@@ -781,3 +842,81 @@ def test_batched_lnprob_gather_split_matches_plain(hc5n_problem,
         jnp.asarray(lt), jnp.asarray(vt, model.dtype))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-8)
+
+
+@requires_reference
+@pytest.mark.parametrize("min_saving", [1e9, 0.0],
+                         ids=["rect_table", "split_overflow"])
+def test_fused_gather_kernel_matches_run_ensemble(hc5n_problem,
+                                                  hc5n_datagrid, min_saving):
+    """The dense-catalog fused whole-step kernel (sampler/fused_gather.py)
+    reproduces run_ensemble over the user-facing batched gather lnprob on
+    the same PRNG stream: trajectories bitwise-identical on the tested
+    stream, lnp to f32 ulps (exp2 vs exp Gaussian formulation), the -inf
+    contract for never-accepting walkers, in both table modes
+    (rectangular table via min_saving=inf; two-class split with the
+    one-hot overflow scatter via min_saving=0)."""
+    from cha1_mcmc_tpu.inference import single_component_lnprior
+    from cha1_mcmc_tpu.sampler import run_ensemble
+    from cha1_mcmc_tpu.sampler.fused_gather import (
+        build_dense_tables, fused_gather_supported,
+        make_fused_ensemble_gather)
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    grid = hc5n_datagrid
+    bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
+              "vlsr": (3.0, 5.5), "dV": (0.4, 1.5)}
+    means = np.array([3.4e10, 8.0, 4.3, 0.7575])
+    stds = np.array([0.34e10, 3.0, 0.06, 0.22])
+    lnprior = single_component_lnprior(spec, bounds, means, stds)
+    lnprob_b = build_lnprob_batched(
+        model, spec, grid.ints, grid.yerrs, lnprior, use_pallas=True,
+        dv_max=1.5, pallas_kernel="gather", interpret=True)
+    assert fused_gather_supported(model, spec, dv_max=1.5, nwalkers=16)
+    tables = build_dense_tables(model, 1.5, min_saving=min_saving)
+    assert tables["has_overflow"] == (min_saving == 0.0)
+    run_fused = make_fused_ensemble_gather(
+        model, spec, grid.ints, grid.yerrs, bounds, means, stds,
+        dv_max=1.5, nwalkers=16, min_saving=min_saving, interpret=True)
+
+    rng = np.random.default_rng(0)
+    pos0 = np.array([3.24e12, 7.5, 4.11, 0.78]) * (
+        1 + 0.01 * rng.standard_normal((16, 4)))
+    pos0[3, 2] = 9.0   # vlsr outside the box: lnp0 = -inf, never accepts
+    pos0[3, 3] = 0.05
+    pos0 = jnp.asarray(pos0, jnp.float32)
+    lnp0 = lnprob_b(pos0)
+    assert not np.isfinite(np.asarray(lnp0)[3])
+    key = jax.random.PRNGKey(0)
+    cf, lf, af, (pf, lpf) = run_fused(pos0, lnp0, key, 24, 4)
+    cu, lu, au, (pu, lpu) = run_ensemble(lnprob_b, pos0, lnp0, key,
+                                         nsteps=24, batched=True)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cu))
+    lf, lu = np.asarray(lf), np.asarray(lu)
+    np.testing.assert_array_equal(np.isfinite(lf), np.isfinite(lu))
+    np.testing.assert_allclose(lf[np.isfinite(lu)], lu[np.isfinite(lu)],
+                               rtol=1e-5)
+    assert not np.isfinite(lf[:, 3]).any()   # stuck walker stays -inf
+    np.testing.assert_array_equal(np.asarray(pf), np.asarray(pu))
+    np.testing.assert_array_equal(np.asarray(af),
+                                  np.asarray(au).astype(np.float32))
+
+
+def test_fused_gather_support_bounds():
+    """fused_gather_supported refuses multi-component layouts and
+    oversized tables; _pick_wchunk shrinks chunks before giving up."""
+    from cha1_mcmc_tpu.inference import ParamSpec
+    from cha1_mcmc_tpu.sampler.fused_gather import _pick_wchunk
+
+    # plenty of budget: whole half-ensemble in one chunk
+    assert _pick_wchunk(1000, 512, 1, 0, 128, 48 << 20) == 64
+    # tight budget: falls to a smaller chunk rather than refusing
+    w = _pick_wchunk(100_000, 2048, 256, 20_000, 128, 48 << 20)
+    assert w is not None and w < 64
+    # impossible budget: refuses
+    assert _pick_wchunk(10_000_000, 2048, 1024, 0, 128, 16 << 20) is None
+
+    class _Spec:
+        ncomp = 2
+    from cha1_mcmc_tpu.sampler.fused_gather import fused_gather_supported
+    assert not fused_gather_supported(None, _Spec(), 1.5)
