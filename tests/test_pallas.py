@@ -920,3 +920,47 @@ def test_fused_gather_support_bounds():
         ncomp = 2
     from cha1_mcmc_tpu.sampler.fused_gather import fused_gather_supported
     assert not fused_gather_supported(None, _Spec(), 1.5)
+
+
+@requires_reference
+def test_fused_gather_kernel_f64_exact(hc5n_datagrid, hc5n_catalog):
+    """Float64 verification mode for the dense fused kernel: trajectories
+    bitwise vs the general sampler over the batched gather lnprob, lnp to
+    f64 round-off (the same gate test_fused_step_kernel_f64_exact applies
+    to the dense-grid kernel)."""
+    from cha1_mcmc_tpu.inference import ParamSpec, single_component_lnprior
+    from cha1_mcmc_tpu.models.forward import SpectralModel
+    from cha1_mcmc_tpu.sampler import run_ensemble
+    from cha1_mcmc_tpu.sampler.fused_gather import make_fused_ensemble_gather
+
+    with jax.enable_x64():
+        spec = ParamSpec(ncomp=1, fixed_source_size=52.0)
+        grid = hc5n_datagrid
+        model = SpectralModel.build(
+            hc5n_catalog, grid.covered_trans, grid.freqs,
+            ll=18000, ul=25000, dish_size=70, vel_offset=4.10,
+            mask_center=4.10, dtype=jnp.float64)
+        bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
+                  "vlsr": (3.0, 5.5), "dV": (0.4, 1.5)}
+        means = np.array([3.4e10, 8.0, 4.3, 0.7575])
+        stds = np.array([0.34e10, 3.0, 0.06, 0.22])
+        lnprior = single_component_lnprior(spec, bounds, means, stds)
+        lnprob_b = build_lnprob_batched(
+            model, spec, grid.ints, grid.yerrs, lnprior, use_pallas=True,
+            dv_max=1.5, pallas_kernel="gather", interpret=True)
+        run_fused = make_fused_ensemble_gather(
+            model, spec, grid.ints, grid.yerrs, bounds, means, stds,
+            dv_max=1.5, nwalkers=16, interpret=True)
+        rng = np.random.default_rng(2)
+        pos0 = jnp.asarray(np.array([3.24e12, 7.5, 4.11, 0.78]) *
+                           (1 + 0.01 * rng.standard_normal((16, 4))),
+                           jnp.float64)
+        lnp0 = lnprob_b(pos0)
+        key = jax.random.PRNGKey(9)
+        cf, lf, af, (pf, lpf) = run_fused(pos0, lnp0, key, 12, 4)
+        cu, lu, au, (pu, lpu) = run_ensemble(lnprob_b, pos0, lnp0, key,
+                                             nsteps=12, batched=True)
+        assert np.asarray(cf).dtype == np.float64
+        np.testing.assert_array_equal(np.asarray(cf), np.asarray(cu))
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lu),
+                                   rtol=1e-11)
