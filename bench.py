@@ -119,11 +119,11 @@ def bench_tpu() -> dict:
 
     unfused_rate, acc, overhead_ms = timed(
         lambda p, l, k, n: run_ensemble(lnprob, p, l, k, nsteps=n))
+    bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
+              "vlsr": (3.0, 5.5), "dV": (0.4, 1.5)}
     try:
         from cha1_mcmc_tpu.sampler import make_fused_ensemble
 
-        bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
-                  "vlsr": (3.0, 5.5), "dV": (0.4, 1.5)}
         run_fused = make_fused_ensemble(
             model, spec, ints, yerrs, bounds,
             np.array([3.4e10, 8.0, 4.3, 0.7575]),
@@ -133,6 +133,25 @@ def bench_tpu() -> dict:
         fused_error = None
     except Exception as exc:  # record, never silently mask a regression
         fused_rate, fused_error = None, f"{type(exc).__name__}: {exc}"
+    try:
+        # The channel-major gather formulation of the same fused step
+        # (sampler/fused_gather.py, built for dense catalogs) also runs
+        # small models with ~5x fewer table elements than the (h, L, C)
+        # dense grid; recorded alongside to track whether it should
+        # become the flagship default.
+        from cha1_mcmc_tpu.sampler.fused_gather import (
+            make_fused_ensemble_gather)
+
+        run_gather = make_fused_ensemble_gather(
+            model, spec, ints, yerrs, bounds,
+            np.array([3.4e10, 8.0, 4.3, 0.7575]),
+            np.array([0.34e10, 3.0, 0.06, 0.22]),
+            dv_max=1.5, nwalkers=NWALKERS)
+        gather_rate, _, _ = timed(
+            lambda p, l, k, n: run_gather(p, l, k, n, 16))
+        gather_error = None
+    except Exception as exc:
+        gather_rate, gather_error = None, f"{type(exc).__name__}: {exc}"
     # Utilization: per step the fused kernel's work is 2 half-steps of an
     # (h, L, C) Gaussian block (~8 flops + 1 exp2), the (h, C) RT/chi2
     # tail (~18 flops) and the one-hot move matmuls. At this
@@ -146,6 +165,8 @@ def bench_tpu() -> dict:
         "rate": rate,
         "unfused_rate": unfused_rate,
         "fused_error": fused_error,
+        "gather_kernel_rate": gather_rate,
+        "gather_kernel_error": gather_error,
         "steps": TPU_STEPS,
         "nwalkers": NWALKERS,
         "dispatch_overhead_ms": round(overhead_ms, 1),
