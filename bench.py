@@ -509,6 +509,18 @@ def bench_dense() -> dict:
                        + 2 * gauss_elems               # static tables
                        + C2 * DENSE_CHANNELS           # scatter one-hot
                        + NWALKERS * (La + 3 * DENSE_CHANNELS))
+    # Fused-chain flop model: per step, 2 half-evals of h walkers, each
+    # recomputing tau at every table entry (~14 flops incl 2 exp), the
+    # state-sum Q ((h, S) Boltzmann), the RT/chi2 tail, the one-hot
+    # overflow scatter on the MXU and the move matmuls.
+    from cha1_mcmc_tpu.catalogs.partition import q_model_for_catalog
+    n_states = (0 if q_model_for_catalog(catalog).kind == "analytic"
+                else int(np.size(q_model_for_catalog(catalog).g)))
+    h = NWALKERS // 2
+    fused_flops_step = 2 * (h * (gauss_elems * 14 + n_states * 4
+                                 + DENSE_CHANNELS * 18)
+                            + h * C2 * DENSE_CHANNELS * 2
+                            + 3 * 2 * 5 * NWALKERS * h)
     return {
         "n_lines": L,
         "n_active_lines": La,
@@ -527,6 +539,12 @@ def bench_dense() -> dict:
         "fused_chain_speedup": (round(chain_slope / fused_slope, 2)
                                 if fused_slope is not None else None),
         "fused_chain_error": fused_chain_error,
+        "fused_chain_achieved_gflops": (
+            round(fused_flops_step / fused_slope / 1e9, 1)
+            if fused_slope is not None else None),
+        "fused_chain_pct_vpu_f32_peak": (
+            round(100 * fused_flops_step / fused_slope / VPU_F32_PEAK, 1)
+            if fused_slope is not None else None),
         "gather_achieved_gflops": round(flops / gather_s / 1e9, 1),
         "gather_pct_vpu_f32_peak": round(100 * flops / gather_s / VPU_F32_PEAK, 1),
         "gather_achieved_hbm_gbs": round(bytes_moved / gather_s / 1e9, 1),
