@@ -427,3 +427,49 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir == env_dir
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+@requires_reference
+def test_fused_gather_branch_wiring(tmp_path, monkeypatch):
+    """The dense-catalog fused branch in SpectralFit._fit wires the
+    channel-major kernel with the right arguments and a batched
+    FusedEnsembleSampler. The kernel itself is gated by the interpret-mode
+    bitwise tests (test_pallas.py); here it is stubbed with the general
+    batched sampler so the TPU-only selection logic runs on CPU
+    (monkeypatched backend)."""
+    import jax
+
+    from cha1_mcmc_tpu.inference import single_component_lnprior
+    from cha1_mcmc_tpu.inference.likelihood import build_lnprob_batched
+    from cha1_mcmc_tpu.sampler import run_ensemble
+    from cha1_mcmc_tpu.sampler.fused import FusedEnsembleSampler
+    import cha1_mcmc_tpu.sampler.fused_gather as fg
+
+    calls = []
+
+    def stub(model, spec, ints, yerrs, bounds, means, stds, **kw):
+        calls.append(kw)
+        lnprior = single_component_lnprior(spec, bounds, means, stds)
+        lnprob_b = build_lnprob_batched(
+            model, spec, ints, yerrs, lnprior, use_pallas=True,
+            dv_max=bounds["dV"][1], interpret=True)
+
+        def run(pos, lnp, key, nsteps, k_steps=16):
+            return run_ensemble(lnprob_b, pos, lnp, key, nsteps=nsteps,
+                                batched=True)
+
+        return run
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(fg, "make_fused_ensemble_gather", stub)
+    cfg = _config(tmp_path, use_pallas=True, nruns=8, checkpoint_every=8)
+    fit = SpectralFit(cfg)
+    with contextlib.redirect_stdout(io.StringIO()):
+        chain = fit.run()
+    assert isinstance(fit.sampler, FusedEnsembleSampler)
+    assert fit.sampler.batched
+    assert chain.shape == (32, 8, 4)
+    assert np.isfinite(chain).all()
+    (kw,) = calls
+    assert kw["dv_max"] == cfg.bounds["dV"][1]
+    assert kw["nwalkers"] == cfg.nwalkers
