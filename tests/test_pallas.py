@@ -964,3 +964,58 @@ def test_fused_gather_kernel_f64_exact(hc5n_datagrid, hc5n_catalog):
         np.testing.assert_array_equal(np.asarray(cf), np.asarray(cu))
         np.testing.assert_allclose(np.asarray(lf), np.asarray(lu),
                                    rtol=1e-11)
+
+
+@requires_reference
+def test_fused_gather_checkpoint_resume_exact(hc5n_problem, hc5n_datagrid,
+                                              tmp_path):
+    """Checkpoint blocks + .state.npz exact resume through the
+    FusedEnsembleSampler running the dense gather kernel: an interrupted
+    run continues the random stream bit for bit (the same contract
+    test_fused_multi_checkpoint_resume_exact gates for the
+    multi-component kernel)."""
+    from cha1_mcmc_tpu.inference import single_component_lnprior
+    from cha1_mcmc_tpu.sampler import FusedEnsembleSampler
+    from cha1_mcmc_tpu.sampler.fused_gather import make_fused_ensemble_gather
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    grid = hc5n_datagrid
+    bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
+              "vlsr": (3.0, 5.5), "dV": (0.4, 1.5)}
+    means = np.array([3.4e10, 8.0, 4.3, 0.7575])
+    stds = np.array([0.34e10, 3.0, 0.06, 0.22])
+    lnprior = single_component_lnprior(spec, bounds, means, stds)
+    lnprob_b = build_lnprob_batched(
+        model, spec, grid.ints, grid.yerrs, lnprior, use_pallas=True,
+        dv_max=1.5, pallas_kernel="gather", interpret=True)
+
+    def sampler():
+        run_fn = make_fused_ensemble_gather(
+            model, spec, grid.ints, grid.yerrs, bounds, means, stds,
+            dv_max=1.5, nwalkers=16, interpret=True)
+        return FusedEnsembleSampler(
+            lnprob_fn=lnprob_b, nwalkers=16, ndim=spec.ndim, batched=True,
+            dtype=jnp.float32, run_fn=run_fn)
+
+    rng = np.random.default_rng(0)
+    pos0 = np.array([3.24e12, 7.5, 4.11, 0.78]) * (
+        1 + 0.01 * rng.standard_normal((16, 4)))
+    key = jax.random.PRNGKey(11)
+
+    full = sampler()
+    full.run_mcmc(pos0, 16, key, checkpoint_every=8,
+                  chain_file=str(tmp_path / "full.npy"))
+
+    part = sampler()
+    part.run_mcmc(pos0, 8, key, checkpoint_every=8,
+                  chain_file=str(tmp_path / "split.npy"))
+    resumed = sampler()
+    prev = np.load(tmp_path / "split.npy")
+    pos = resumed.preload(prev)
+    state = resumed.load_state(str(tmp_path / "split.npy"))
+    assert state is not None
+    pos, lnp0, key2 = state
+    resumed.run_mcmc(pos, 8, key2, lnp0=lnp0, checkpoint_every=8,
+                     chain_file=str(tmp_path / "split.npy"))
+    np.testing.assert_array_equal(resumed.chain, full.chain)
+    assert resumed.accepted == full.accepted
