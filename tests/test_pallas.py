@@ -1019,3 +1019,39 @@ def test_fused_gather_checkpoint_resume_exact(hc5n_problem, hc5n_datagrid,
                      chain_file=str(tmp_path / "split.npy"))
     np.testing.assert_array_equal(resumed.chain, full.chain)
     assert resumed.accepted == full.accepted
+
+
+@requires_reference
+def test_fused_gather_kernel_free_source_size(hc5n_problem, hc5n_datagrid):
+    """5-dim free-ss layout through the dense gather kernel (the
+    MCMC_variable_source_size family): bitwise trajectories vs the
+    general sampler over the batched gather lnprob."""
+    from cha1_mcmc_tpu.inference import ParamSpec, single_component_lnprior
+    from cha1_mcmc_tpu.sampler import run_ensemble
+    from cha1_mcmc_tpu.sampler.fused_gather import make_fused_ensemble_gather
+
+    model = hc5n_problem["model"]
+    grid = hc5n_datagrid
+    spec5 = ParamSpec(ncomp=1, fixed_source_size=None)
+    bounds5 = {"source_size": (30.0, 90.0), "Ncol": (1e8, 1e14),
+               "Tex": (3.5, 12.0), "vlsr": (3.0, 5.5), "dV": (0.4, 1.5)}
+    means5 = np.array([46.91, 3.4e10, 8.0, 4.3, 0.7575])
+    stds5 = np.array([6.5, 0.34e10, 3.0, 0.06, 0.22])
+    lnprior5 = single_component_lnprior(spec5, bounds5, means5, stds5)
+    lnprob5 = build_lnprob_batched(
+        model, spec5, grid.ints, grid.yerrs, lnprior5, use_pallas=True,
+        dv_max=1.5, pallas_kernel="gather", interpret=True)
+    run_fused = make_fused_ensemble_gather(
+        model, spec5, grid.ints, grid.yerrs, bounds5, means5, stds5,
+        dv_max=1.5, nwalkers=16, interpret=True)
+    rng = np.random.default_rng(3)
+    pos5 = jnp.asarray(np.array([52.0, 3.24e12, 7.5, 4.11, 0.78]) *
+                       (1 + 0.01 * rng.standard_normal((16, 5))),
+                       jnp.float32)
+    lnp5 = lnprob5(pos5)
+    key = jax.random.PRNGKey(1)
+    cf, lf, *_ = run_fused(pos5, lnp5, key, 12, 4)
+    cu, lu, *_ = run_ensemble(lnprob5, pos5, lnp5, key, nsteps=12,
+                              batched=True)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cu))
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lu), rtol=1e-5)
