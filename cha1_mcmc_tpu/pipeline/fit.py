@@ -120,10 +120,15 @@ class SpectralFit:
         return model_bytes + selector_bytes + q_bytes <= budget_bytes
 
     def _fused_gather_ok(self, model, cfg) -> bool:
-        from cha1_mcmc_tpu.sampler.fused_gather import fused_gather_supported
+        """Plan the dense fused kernel (channel-major tables + walker
+        chunk); the plan is stashed so the selection check and the kernel
+        build share ONE table construction (seconds of host time on a
+        35k-line catalog)."""
+        from cha1_mcmc_tpu.sampler.fused_gather import plan_fused_gather
 
-        return fused_gather_supported(model, self.spec, cfg.bounds["dV"][1],
-                                      nwalkers=cfg.nwalkers)
+        self._gather_plan = plan_fused_gather(
+            model, self.spec, cfg.bounds["dV"][1], nwalkers=cfg.nwalkers)
+        return self._gather_plan is not None
 
     def _is_within_bounds(self, theta) -> bool:
         """Host-side box check for walker init (reference inference.py:169-190)."""
@@ -242,7 +247,8 @@ class SpectralFit:
             run_fn = make_fused_ensemble_gather(
                 model, self.spec, grid.ints, grid.yerrs, cfg.bounds,
                 prior_means, prior_stds, a=cfg.stretch_a,
-                dv_max=cfg.bounds["dV"][1], nwalkers=cfg.nwalkers)
+                dv_max=cfg.bounds["dV"][1], nwalkers=cfg.nwalkers,
+                plan=self._gather_plan)
             self.sampler = FusedEnsembleSampler(
                 lnprob_fn=lnprob, nwalkers=cfg.nwalkers,
                 ndim=self.spec.ndim, a=cfg.stretch_a, dtype=self.dtype,

@@ -56,7 +56,7 @@ from cha1_mcmc_tpu.sampler.fused import (_lnprob_tail, _make_fused_run,
                                          _unpack_single)
 
 __all__ = ["build_dense_tables", "fused_gather_supported",
-           "make_fused_ensemble_gather"]
+           "make_fused_ensemble_gather", "plan_fused_gather"]
 
 #: velocity value marking padding entries — Gaussian exactly 0 in f32
 #: (matches models/pallas_kernels.py's gather-table padding convention)
@@ -138,19 +138,33 @@ def _pick_wchunk(n_elems: int, C: int, C2: int, n_states: int,
     return None
 
 
+def plan_fused_gather(model, spec, dv_max: float, nwalkers: int = 128,
+                      budget: int = 48 << 20, min_saving: float = 1.3):
+    """Build the channel-major tables and pick the walker chunk, or return
+    None when (model, spec) cannot take the fused kernel (multi-component
+    layout, or tables over the VMEM budget). Returns (tables, wchunk).
+
+    Table construction on a 35k-line catalog costs seconds of host time
+    (the (L, C) window scan), so callers that first check support and then
+    build the kernel should do both through this one plan (pipeline/fit.py
+    passes the plan into make_fused_ensemble_gather via `plan=`)."""
+    if spec.ncomp != 1:
+        return None
+    tables = build_dense_tables(model, dv_max, min_saving=min_saving)
+    qm = model.q_model
+    n_states = 0 if qm.kind == "analytic" else int(np.size(qm.g))
+    wchunk = _pick_wchunk(tables["n_elems"], int(model.n_channels),
+                          tables["scat"].shape[0], n_states, nwalkers,
+                          budget)
+    return None if wchunk is None else (tables, wchunk)
+
+
 def fused_gather_supported(model, spec, dv_max: float, nwalkers: int = 128,
                            budget: int = 48 << 20) -> bool:
     """Can (model, spec) run through the fused channel-major kernel within
     the VMEM budget? Single-component layouts only (the multi-component
     family has its own fused kernel, sampler/fused_multi.py)."""
-    if spec.ncomp != 1:
-        return False
-    tables = build_dense_tables(model, dv_max)
-    qm = model.q_model
-    n_states = 0 if qm.kind == "analytic" else int(np.size(qm.g))
-    return _pick_wchunk(tables["n_elems"], int(model.n_channels),
-                        tables["scat"].shape[0], n_states, nwalkers,
-                        budget) is not None
+    return plan_fused_gather(model, spec, dv_max, nwalkers, budget) is not None
 
 
 def _step_kernel_gather(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref,
@@ -220,7 +234,7 @@ def make_fused_ensemble_gather(model, spec, grid_ints, grid_yerrs, bounds,
                                a: float = 2.0, nwalkers: int = 128,
                                budget: int = 48 << 20,
                                min_saving: float = 1.3,
-                               interpret: bool = False):
+                               plan=None, interpret: bool = False):
     """Build `run(pos0, lnp0, key, nsteps) -> (chain, lnps, accepted,
     (pos, lnp))` for a dense single-component fit, with run_ensemble's
     exact contract and PRNG stream, each k steps one fused Pallas program.
@@ -237,15 +251,14 @@ def make_fused_ensemble_gather(model, spec, grid_ints, grid_yerrs, bounds,
                          "layouts only (use sampler.fused_multi for "
                          "ncomp > 1)")
     qm = model.q_model
-    tables = build_dense_tables(model, dv_max, min_saving=min_saving)
-    n_states = 0 if qm.kind == "analytic" else int(np.size(qm.g))
-    wchunk = _pick_wchunk(tables["n_elems"], int(model.n_channels),
-                          tables["scat"].shape[0], n_states, nwalkers,
-                          budget)
-    if wchunk is None:
+    if plan is None:
+        plan = plan_fused_gather(model, spec, dv_max, nwalkers, budget,
+                                 min_saving=min_saving)
+    if plan is None:
         raise ValueError(
-            f"fused gather tables ({tables['n_elems']} elements) exceed "
-            f"the {budget >> 20} MiB VMEM budget at nwalkers={nwalkers}")
+            f"fused gather tables exceed the {budget >> 20} MiB VMEM "
+            f"budget at nwalkers={nwalkers}")
+    tables, wchunk = plan
 
     free_ss = spec.fixed_source_size is None
     means = np.asarray(prior_means, dtype=np.float64)
