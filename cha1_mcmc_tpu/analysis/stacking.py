@@ -281,8 +281,14 @@ def velocity_stack(
     contributes = ~np.isnan(interped_ints)
     rms_array = (contributes * interped_rms[:, None] ** 2).sum(axis=0)
 
-    int_avg = np.nansum(interped_ints, axis=0) / rms_array
-    int_sim_avg = np.nansum(interped_sim, axis=0) / rms_array
+    # Reference quirk kept (simulate_lte.py:4834-4836): a velocity channel
+    # with no contributing windows divides 0/0 and stacks as NaN. The
+    # errstate scope only silences the RuntimeWarning; the NaN propagates
+    # exactly as in the reference (whose edge-channel drop below usually,
+    # but not always, removes them).
+    with np.errstate(divide="ignore", invalid="ignore"):
+        int_avg = np.nansum(interped_ints, axis=0) / rms_array
+        int_sim_avg = np.nansum(interped_sim, axis=0) / rms_array
 
     int_avg = int_avg[5:-5]
     int_sim_avg = int_sim_avg[5:-5]

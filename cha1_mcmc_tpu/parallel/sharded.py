@@ -333,10 +333,14 @@ class ShardedEnsembleSampler(EnsembleSampler):
         return jnp.zeros(pos.shape[0], dtype=self.dtype)
 
     def _run_block(self, pos, lnp, key, nsteps: int, thin: int):
-        if thin != 1:
-            raise NotImplementedError("thin > 1 is not supported on the "
-                                      "sharded path")
-        return self._runner(nsteps)(pos, key)
+        # Thinning is exact subsampling of the raw trajectory: advance
+        # nsteps * thin raw moves in one mesh program and record every
+        # thin-th state (identical trajectory to thin=1 on the same key).
+        chain, lnps, acc, final = self._runner(nsteps * thin)(pos, key)
+        if thin == 1:
+            return chain, lnps, acc, final
+        return (chain[thin - 1::thin], lnps[thin - 1::thin],
+                acc.reshape(nsteps, thin).sum(axis=1), final)
 
 
 def make_sharded_sampler(*, n_devices: int, n_line_shards: int, nwalkers: int,

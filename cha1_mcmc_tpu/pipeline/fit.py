@@ -308,6 +308,7 @@ class SpectralFit:
                 checkpoint_every=cfg.checkpoint_every,
                 chain_file=cfg.chain_path, progress=True)
         throughput.add(cfg.nruns, cfg.nwalkers)
+        throughput.save(os.path.join(cfg.mol_folder, "throughput.json"))
         print(f"{GRAY}Acceptance fraction: "
               f"{self.sampler.acceptance_fraction:.3f}  |  "
               f"{throughput.walker_steps_per_sec:,.0f} walker-steps/s "

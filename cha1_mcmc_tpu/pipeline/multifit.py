@@ -269,10 +269,20 @@ class MultiComponentFit:
                     lnprob_fn=lnprob, nwalkers=cfg.nwalkers, ndim=cfg.ndim,
                     a=cfg.stretch_a, dtype=self.dtype)
         key = jax.random.PRNGKey(cfg.seed)
-        self.sampler.run_mcmc(
-            pos, cfg.nruns, key, checkpoint_every=cfg.checkpoint_every,
-            chain_file=cfg.chain_path, progress=True)
-        print(f"{GRAY}Acceptance fraction: {self.sampler.acceptance_fraction:.3f}{RESET}")
+
+        from cha1_mcmc_tpu.utils import Throughput
+
+        throughput = Throughput()
+        with throughput:
+            self.sampler.run_mcmc(
+                pos, cfg.nruns, key, checkpoint_every=cfg.checkpoint_every,
+                chain_file=cfg.chain_path, progress=True)
+        throughput.add(cfg.nruns, cfg.nwalkers)
+        throughput.save(os.path.join(cfg.mol_folder, "throughput.json"))
+        print(f"{GRAY}Acceptance fraction: "
+              f"{self.sampler.acceptance_fraction:.3f}  |  "
+              f"{throughput.walker_steps_per_sec:,.0f} walker-steps/s "
+              f"(wall, incl. compile + checkpoints){RESET}")
         return self.sampler.chain
 
     def run(self) -> np.ndarray:

@@ -391,7 +391,12 @@ class FusedEnsembleSampler(EnsembleSampler):
                              "make_fused_ensemble")
 
     def _run_block(self, pos, lnp, key, nsteps: int, thin: int):
-        if thin != 1:
-            raise NotImplementedError("thin > 1 is not supported on the "
-                                      "fused path")
-        return self.run_fn(pos, lnp, key, nsteps)
+        # The fused run reproduces run_ensemble's bulk PRNG stream layout
+        # for n_raw = nsteps * thin raw moves, so thinning is exact: run
+        # the raw chain and keep every thin-th recorded state — bitwise
+        # what run_ensemble(nsteps, thin=thin) records.
+        chain, lnps, acc, final = self.run_fn(pos, lnp, key, nsteps * thin)
+        if thin == 1:
+            return chain, lnps, acc, final
+        return (chain[thin - 1::thin], lnps[thin - 1::thin],
+                acc.reshape(nsteps, thin).sum(axis=1), final)

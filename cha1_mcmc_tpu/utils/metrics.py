@@ -37,6 +37,18 @@ class Throughput:
     def walker_steps_per_sec(self) -> float:
         return self.walker_steps / self.elapsed if self.elapsed else 0.0
 
+    def summary(self) -> dict:
+        return {"walker_steps": self.walker_steps,
+                "elapsed_s": round(self.elapsed, 3),
+                "walker_steps_per_sec": round(self.walker_steps_per_sec, 1)}
+
+    def save(self, path: str):
+        """Persist the measurement alongside the fit artifacts."""
+        import json
+
+        with open(path, "w") as f:
+            json.dump(self.summary(), f, indent=1)
+
 
 @contextlib.contextmanager
 def trace_profile(log_dir: str | None):

@@ -239,3 +239,32 @@ def test_sharded_mesh_chain_axis_degenerate(hc5n_problem, hc5n_datagrid):
     cb, *_ = run_ensemble_sharded(model, spec, grid.ints, grid.yerrs,
                                   lnprior, pos0, key, 12, mesh_b)
     np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+
+
+@requires_reference
+def test_sharded_sampler_thin_subsamples_raw(hc5n_problem, hc5n_datagrid):
+    """thin > 1 on the sharded path (VERDICT r3 weak #6): advances
+    nsteps * thin raw moves in one mesh program and records every thin-th
+    state — bitwise the thin=1 trajectory subsampled."""
+    from cha1_mcmc_tpu.parallel import make_sharded_sampler
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    lnprior = hc5n_problem["lnprior"]
+    grid = hc5n_datagrid
+    W = 16
+    kwargs = dict(n_devices=2, n_line_shards=1, nwalkers=W, ndim=4,
+                  a=2.0, dtype=jnp.float32, model=model, spec=spec,
+                  grid_ints=grid.ints, grid_yerrs=grid.yerrs,
+                  lnprior_fn=lnprior, verbose=False)
+    rng = np.random.default_rng(0)
+    pos0 = np.array([3.24e12, 7.5, 4.11, 0.78]) * (
+        1 + 0.01 * rng.standard_normal((W, 4)))
+    key = jax.random.PRNGKey(5)
+
+    s_thin = make_sharded_sampler(**kwargs)
+    s_thin.run_mcmc(pos0, 8, key, checkpoint_every=64, thin=2)
+    s_raw = make_sharded_sampler(**kwargs)
+    s_raw.run_mcmc(pos0, 16, key, checkpoint_every=64)
+    np.testing.assert_array_equal(s_thin.chain, s_raw.chain[:, 1::2, :])
+    assert s_thin.total_proposals == s_raw.total_proposals
+    assert s_thin.accepted == s_raw.accepted

@@ -199,3 +199,38 @@ def test_state_sidecar_path_without_npy_suffix(tmp_path):
     import os
     assert os.path.exists(str(tmp_path / "chain.state.npz"))
     assert s.load_state(chain_file) is not None
+
+
+def test_thin_records_every_thin_th_raw_state():
+    """thin=t records exactly the raw trajectory's every t-th state: the
+    bulk PRNG layout draws n_raw = nsteps * thin identically in both
+    parameterizations, so the thinned chain is a bitwise subsample."""
+    lnprob = _gauss_target(np.zeros(2), np.eye(2))
+    key = jax.random.PRNGKey(7)
+    pos0 = jax.random.normal(key, (16, 2), dtype=jnp.float32)
+    lnp0 = jax.vmap(lnprob)(pos0)
+    ct, lt, at, (pt, lpt) = run_ensemble(lnprob, pos0, lnp0, key,
+                                         nsteps=10, thin=3)
+    cr, lr, ar, (pr, lpr) = run_ensemble(lnprob, pos0, lnp0, key, nsteps=30)
+    np.testing.assert_array_equal(np.asarray(ct), np.asarray(cr)[2::3])
+    np.testing.assert_array_equal(np.asarray(lt), np.asarray(lr)[2::3])
+    np.testing.assert_array_equal(np.asarray(at),
+                                  np.asarray(ar).reshape(10, 3).sum(1))
+    np.testing.assert_array_equal(np.asarray(pt), np.asarray(pr))
+    np.testing.assert_array_equal(np.asarray(lpt), np.asarray(lpr))
+
+
+def test_ensemble_sampler_thin_chain_contract(tmp_path):
+    """run_mcmc(thin=t) yields the same recorded chain as thin=1 with
+    t x the steps, subsampled — and books t x the proposals."""
+    lnprob = _gauss_target(np.zeros(2), np.eye(2))
+    key = jax.random.PRNGKey(3)
+    pos0 = jax.random.normal(key, (16, 2), dtype=jnp.float32)
+
+    s_thin = EnsembleSampler(lnprob_fn=lnprob, nwalkers=16, ndim=2)
+    s_thin.run_mcmc(pos0, 8, key, checkpoint_every=64, thin=2)
+    s_raw = EnsembleSampler(lnprob_fn=lnprob, nwalkers=16, ndim=2)
+    s_raw.run_mcmc(pos0, 16, key, checkpoint_every=64)
+    np.testing.assert_array_equal(s_thin.chain, s_raw.chain[:, 1::2, :])
+    assert s_thin.total_proposals == s_raw.total_proposals
+    assert s_thin.accepted == s_raw.accepted
