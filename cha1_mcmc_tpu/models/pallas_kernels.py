@@ -546,17 +546,22 @@ def build_opacity_gather_split(vel_grid: np.ndarray, mask_center: float,
     inside = np.abs(vel_grid - mask_center) < VELOCITY_WINDOW_DV * dv_max
     counts = inside.sum(axis=0)
     M = max(int(counts.max()), 1)
-    best = None
-    for cand in range(1, M):
+
+    def split_work(cand):
         c2 = int((counts > cand).sum())
         m2 = int(max(counts.max() - cand, 0)) if c2 else 0
-        work = C * cand + c2 * m2
-        if best is None or work < best[1]:
-            best = (cand, work)
-    if best is None or M * C < min_saving * best[1]:
+        return C * cand + c2 * m2
+
+    if m1 is not None:
+        # A caller-chosen m1 is screened against ITS OWN work model, not
+        # the work-optimal one the search would pick.
+        chosen = (m1, split_work(m1))
+    else:
+        chosen = min(((cand, split_work(cand)) for cand in range(1, M)),
+                     key=lambda t: t[1], default=None)
+    if chosen is None or M * C < min_saving * chosen[1]:
         return None
-    if m1 is None:
-        m1 = best[0]
+    m1 = chosen[0]
     active = np.flatnonzero(inside.any(axis=1))
     if active.size == 0:
         active = np.array([0], dtype=np.int64)

@@ -22,7 +22,12 @@ from cha1_mcmc_tpu.parallel.sharded import (
     pad_model_lines,
     run_ensemble_sharded,
 )
+from cha1_mcmc_tpu.parallel.sharded_fused import (
+    fused_sharded_supported,
+    make_fused_sharded_runner,
+)
 
 __all__ = ["ShardedEnsembleSampler", "make_mesh", "make_sharded_runner",
-           "make_sharded_sampler",
+           "make_sharded_sampler", "make_fused_sharded_runner",
+           "fused_sharded_supported",
            "pad_model_lines", "run_ensemble_sharded"]

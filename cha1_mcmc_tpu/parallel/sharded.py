@@ -310,20 +310,41 @@ class ShardedEnsembleSampler(EnsembleSampler):
     use_pallas: bool = False
     dv_max: float | None = None
     interpret: bool = False
+    # Fused whole-step composition (parallel/sharded_fused.py): one Pallas
+    # half-step program per device between the two per-step all_gathers.
+    # Requires bounds/prior_means/prior_stds (the in-kernel prior) and
+    # n_line_shards == 1.
+    use_fused: bool = False
+    bounds: dict | None = None
+    prior_means: object = None
+    prior_stds: object = None
 
     def __post_init__(self):
         super().__post_init__()
         if self.mesh is None or self.model is None:
             raise ValueError("ShardedEnsembleSampler requires mesh and model")
+        if self.use_fused and self.bounds is None:
+            raise ValueError("use_fused requires bounds/prior_means/"
+                             "prior_stds for the in-kernel prior")
         self._runners: dict[int, object] = {}
 
     def _runner(self, nsteps: int):
         if nsteps not in self._runners:
-            self._runners[nsteps] = make_sharded_runner(
-                self.model, self.spec, self.grid_ints, self.grid_yerrs,
-                self.lnprior_fn, self.mesh, nsteps, a=self.a,
-                use_pallas=self.use_pallas, dv_max=self.dv_max,
-                interpret=self.interpret)
+            if self.use_fused:
+                from cha1_mcmc_tpu.parallel.sharded_fused import (
+                    make_fused_sharded_runner)
+
+                self._runners[nsteps] = make_fused_sharded_runner(
+                    self.model, self.spec, self.grid_ints, self.grid_yerrs,
+                    self.lnprior_fn, self.bounds, self.prior_means,
+                    self.prior_stds, self.mesh, nsteps, a=self.a,
+                    interpret=self.interpret)
+            else:
+                self._runners[nsteps] = make_sharded_runner(
+                    self.model, self.spec, self.grid_ints, self.grid_yerrs,
+                    self.lnprior_fn, self.mesh, nsteps, a=self.a,
+                    use_pallas=self.use_pallas, dv_max=self.dv_max,
+                    interpret=self.interpret)
         return self._runners[nsteps]
 
     def _init_lnp(self, pos):
@@ -349,6 +370,9 @@ def make_sharded_sampler(*, n_devices: int, n_line_shards: int, nwalkers: int,
                          dv_max: float | None = None,
                          interpret: bool = False,
                          n_chains: int = 1,
+                         use_fused: bool = False,
+                         bounds: dict | None = None,
+                         prior_means=None, prior_stds=None,
                          verbose: bool = True) -> "ShardedEnsembleSampler":
     """Validate the mesh request and construct a ShardedEnsembleSampler —
     the single construction point shared by the single-component
@@ -370,15 +394,28 @@ def make_sharded_sampler(*, n_devices: int, n_line_shards: int, nwalkers: int,
                          f"n_chains={n_chains}")
     mesh = make_mesh(n_devices // (n_line_shards * n_chains), n_line_shards,
                      n_chain_shards=n_chains)
+    if use_fused:
+        # Keep the fused whole-step kernel on the mesh when eligible
+        # (single-component f32, no line shards, per-device working set in
+        # VMEM); otherwise fall back to the general mesh program.
+        from cha1_mcmc_tpu.parallel.sharded_fused import (
+            fused_sharded_supported)
+
+        use_fused = (bounds is not None
+                     and spec.ncomp == 1
+                     and jnp.dtype(dtype) in (jnp.float32, jnp.float64)
+                     and fused_sharded_supported(model, mesh, nwalkers))
     if verbose:
         from cha1_mcmc_tpu.constants import GRAY, RESET
 
         chains_txt = (f"chains={n_chains}, " if n_chains > 1 else "")
+        fused_txt = ", fused step kernel" if use_fused else ""
         print(f"{GRAY}Sampling on a {n_devices}-device mesh "
               f"({chains_txt}walkers={mesh.shape[WALKER_AXIS]}, "
-              f"lines={mesh.shape[LINE_AXIS]}).{RESET}")
+              f"lines={mesh.shape[LINE_AXIS]}{fused_txt}).{RESET}")
     return ShardedEnsembleSampler(
         lnprob_fn=None, nwalkers=nwalkers, ndim=ndim, a=a, dtype=dtype,
         mesh=mesh, model=model, spec=spec, grid_ints=grid_ints,
         grid_yerrs=grid_yerrs, lnprior_fn=lnprior_fn, use_pallas=use_pallas,
-        dv_max=dv_max, interpret=interpret)
+        dv_max=dv_max, interpret=interpret, use_fused=use_fused,
+        bounds=bounds, prior_means=prior_means, prior_stds=prior_stds)

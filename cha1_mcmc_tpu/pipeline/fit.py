@@ -218,7 +218,18 @@ class SpectralFit:
                 grid_ints=grid.ints, grid_yerrs=grid.yerrs,
                 lnprior_fn=lnprior, use_pallas=use_pallas,
                 dv_max=cfg.bounds["dV"][1], n_chains=cfg.n_chains,
-                interpret=use_pallas and jax.default_backend() == "cpu")
+                # Fused whole-step composition (one Pallas half-step
+                # program per device between the two per-step
+                # all_gathers) when eligible — keeps the us-regime step
+                # on the mesh instead of reverting to the general scan.
+                # Not on CPU (same interpreter-tracing-cost rationale as
+                # the single-device fused selection below; direct
+                # make_fused_sharded_runner calls cover CPU tests).
+                use_fused=(cfg.use_fused_step and not use_pallas
+                           and jax.default_backend() != "cpu"),
+                bounds=cfg.bounds, prior_means=prior_means,
+                prior_stds=prior_stds,
+                interpret=jax.default_backend() == "cpu")
         elif cfg.n_chains > 1:
             from cha1_mcmc_tpu.sampler import MultiChainSampler
 

@@ -237,7 +237,8 @@ class MultiComponentFit:
                 use_pallas=True, pallas_kernel="gather", dv_max=cfg.dv_bound)
             run_fn = make_fused_ensemble_multi(
                 model, self.spec, grid.ints, grid.yerrs, prior_means,
-                prior_stds, dv_max=cfg.dv_bound, a=cfg.stretch_a)
+                prior_stds, dv_max=cfg.dv_bound, a=cfg.stretch_a,
+                nwalkers=cfg.nwalkers)
             self.sampler = FusedEnsembleSampler(
                 lnprob_fn=lnprob_b, nwalkers=cfg.nwalkers, ndim=cfg.ndim,
                 a=cfg.stretch_a, dtype=self.dtype, batched=True,

@@ -129,12 +129,13 @@ def _lnprob_tail(th, ss_w, Tex, opac, gf, y, isig, *, ss, dish_size, Tbg,
     return jnp.where(ok & jnp.isfinite(val), val, -jnp.inf)
 
 
-def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
-                 lines_ref, vel_ref, chans_ref, qst_ref,
-                 out_chain_ref, out_lnps_ref, out_acc_ref, *,
-                 a, h, k_steps, ss, dish_size, Tbg, mask_center, q_kind,
-                 q_coeffs, q_power, q_scale, bounds_lo, bounds_hi,
-                 prior_mean, prior_std):
+def _make_dense_lnprob(lines_ref, vel_ref, chans_ref, qst_ref, *,
+                       ss, dish_size, Tbg, mask_center, q_kind, q_coeffs,
+                       q_power, q_scale, bounds_lo, bounds_hi, prior_mean,
+                       prior_std):
+    """In-kernel dense-grid lnprob builder, (n, D) theta -> (n, 1) —
+    shared by the whole-step kernel here and the sharded half-step kernel
+    (parallel/sharded_fused.py)."""
     lf, le, la, lg, lgl = (lines_ref[i:i + 1, :] for i in range(5))
     gf = chans_ref[0:1, :]
     y = chans_ref[1:2, :]
@@ -142,24 +143,39 @@ def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
     vel = vel_ref[:]
     q_of = _make_q_of(q_kind, q_coeffs, q_power, q_scale, qst_ref)
 
-    def lnprob(th):  # (h, D) -> (h, 1)
+    def lnprob(th):  # (n, D) -> (n, 1)
         ss_w, Ncol, Tex, vlsr, dV = _unpack_single(th, ss)
         taus = tau_sticks(jnp, lf, le, la, lg, lgl,
-                          q_of(Tex), Ncol, Tex, dV)           # (h, L)
+                          q_of(Tex), Ncol, Tex, dV)           # (n, L)
         # exp(-0.5 ((v - vlsr)/sigma)^2) as exp2(aa * d^2): one per-walker
         # scalar aa = -log2(e)/(2 sigma^2) replaces a per-element divide
-        # (the (h, L, C) elementwise block dominates this kernel's cost)
-        sigma = (dV / FWHM_TO_SIGMA_MODEL)[:, :, None]        # (h, 1, 1)
+        # (the (n, L, C) elementwise block dominates this kernel's cost)
+        sigma = (dV / FWHM_TO_SIGMA_MODEL)[:, :, None]        # (n, 1, 1)
         aa = (-0.5 * np.log2(np.e)) / (sigma * sigma)
         window = (jnp.abs(vel[None] - mask_center)
                   < VELOCITY_WINDOW_DV * dV[:, :, None])
-        d = vel[None] - vlsr[:, :, None]                      # (h, L, C)
+        d = vel[None] - vlsr[:, :, None]                      # (n, L, C)
         gauss = jnp.where(window, jnp.exp2(aa * (d * d)), 0.0)
-        opac = jnp.sum(taus[:, :, None] * gauss, axis=1)      # (h, C)
+        opac = jnp.sum(taus[:, :, None] * gauss, axis=1)      # (n, C)
         return _lnprob_tail(th, ss_w, Tex, opac, gf, y, isig, ss=ss,
                             dish_size=dish_size, Tbg=Tbg,
                             bounds_lo=bounds_lo, bounds_hi=bounds_hi,
                             prior_mean=prior_mean, prior_std=prior_std)
+
+    return lnprob
+
+
+def _step_kernel(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
+                 lines_ref, vel_ref, chans_ref, qst_ref,
+                 out_chain_ref, out_lnps_ref, out_acc_ref, *,
+                 a, h, k_steps, ss, dish_size, Tbg, mask_center, q_kind,
+                 q_coeffs, q_power, q_scale, bounds_lo, bounds_hi,
+                 prior_mean, prior_std):
+    lnprob = _make_dense_lnprob(
+        lines_ref, vel_ref, chans_ref, qst_ref, ss=ss, dish_size=dish_size,
+        Tbg=Tbg, mask_center=mask_center, q_kind=q_kind, q_coeffs=q_coeffs,
+        q_power=q_power, q_scale=q_scale, bounds_lo=bounds_lo,
+        bounds_hi=bounds_hi, prior_mean=prior_mean, prior_std=prior_std)
 
     _run_step_loop(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
                    out_chain_ref, out_lnps_ref, out_acc_ref, lnprob,
@@ -248,6 +264,18 @@ def make_fused_ensemble(model, spec, grid_ints, grid_yerrs, bounds,
     vocabulary (4-dim fixed-source-size layout; sigma_vlsr/sigma_dV
     overridden to 0.8/0.3 * mean_dV, reference inference.py:200-201).
     """
+    statics, tables = single_statics_tables(model, spec, grid_ints,
+                                            grid_yerrs, bounds, prior_means,
+                                            prior_stds)
+    kernel = functools.partial(_step_kernel, a=a, **statics)
+    return _make_fused_run(kernel, tables, interpret=interpret)
+
+
+def single_statics_tables(model, spec, grid_ints, grid_yerrs, bounds,
+                          prior_means, prior_stds):
+    """Static kwargs + device tables for the single-component in-kernel
+    lnprob (_make_dense_lnprob) — shared by the whole-step kernel above
+    and the sharded half-step kernel (parallel/sharded_fused.py)."""
     if spec.ncomp != 1:
         raise ValueError("fused path supports single-component layouts only"
                          " (use sampler.fused_multi for ncomp > 1)")
@@ -279,16 +307,13 @@ def make_fused_ensemble(model, spec, grid_ints, grid_yerrs, bounds,
         q_static = dict(q_kind="analytic", q_coeffs=qm.coeffs,
                         q_power=qm.power, q_scale=qm.scale)
 
-    kernel = functools.partial(
-        _step_kernel, a=a,
+    statics = dict(
         ss=None if free_ss else float(spec.fixed_source_size),
         dish_size=float(model.dish_size), Tbg=float(model.Tbg),
         mask_center=float(model.mask_center), **q_static,
         bounds_lo=lo, bounds_hi=hi,
         prior_mean=tuple(means), prior_std=tuple(stds))
-
-    return _make_fused_run(kernel, (lines, vel, chans, qst),
-                           interpret=interpret)
+    return statics, (lines, vel, chans, qst)
 
 
 def _make_fused_run(kernel, tables, *, interpret: bool = False):

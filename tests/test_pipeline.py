@@ -473,3 +473,74 @@ def test_fused_gather_branch_wiring(tmp_path, monkeypatch):
     (kw,) = calls
     assert kw["dv_max"] == cfg.bounds["dV"][1]
     assert kw["nwalkers"] == cfg.nwalkers
+
+
+@requires_reference
+@pytest.mark.slow
+def test_posterior_statistical_parity_gotham(tmp_path):
+    """The 1% same-data parity gate for the WIDEST model (VERDICT r3
+    item 3): 14-dim 4-component GOTHAM TMC-1.
+
+    The golden posterior (tests/golden/gotham_reference_posterior.json,
+    regenerable via tools/make_reference_posterior_gotham.py) samples the
+    *reference's own* frozen TMC-1 lnprob stack — executed in place from
+    /root/reference/scripts/MCMC/TMC1_four_component.py — on the shipped
+    hc9n_hfs GOTHAM datagrid with a NumPy emcee-v3 stretch move. This
+    test runs the full multifit pipeline (GOTHAM reduction -> batched
+    gather lnprob -> jitted sampler) at the same size and requires every
+    posterior mean and 16/50/84 percentile within 1%, and every std
+    within max(1%, 3 sigma of the two-sided Monte-Carlo error) — the
+    same tolerance scheme as the HC5N gate above."""
+    import json
+
+    from cha1_mcmc_tpu import MultiFitConfig, MultiComponentFit
+    from cha1_mcmc_tpu.sampler.diagnostics import autocorr_time
+    from tests.conftest import HC9N_GOTHAM
+
+    golden_path = os.path.join(os.path.dirname(__file__), "golden",
+                               "gotham_reference_posterior.json")
+    if not os.path.exists(golden_path):
+        pytest.skip("golden GOTHAM posterior not generated yet "
+                    "(tools/make_reference_posterior_gotham.py)")
+    with open(golden_path) as fh:
+        golden = json.load(fh)
+    nwalkers = golden["provenance"]["nwalkers"]
+    nsteps = golden["provenance"]["nsteps"]
+    burn = golden["provenance"]["burn"]
+
+    cfg = MultiFitConfig(
+        mol_name="hc9n_hfs", cat_folder=CATALOG_DIR, data_path=HC9N_GOTHAM,
+        fit_folder=str(tmp_path / "gotham_parity"), nruns=nsteps,
+        nwalkers=nwalkers, template_run=True, seed=3,
+        checkpoint_every=nsteps)
+    fit = MultiComponentFit(cfg)
+    with contextlib.redirect_stdout(io.StringIO()):
+        chain = fit.run()
+    flat = chain[:, burn:, :].reshape(-1, 14).astype(np.float64)
+
+    # my side's MC-error ingredients (for the std tolerance)
+    my_tau = autocorr_time(chain[:, burn:, :].astype(np.float64))
+    my_ess = chain.shape[0] * (nsteps - burn) / my_tau
+    my_kurt = np.mean(((flat - flat.mean(0)) / flat.std(0)) ** 4, axis=0)
+
+    stats = {
+        "mean": flat.mean(axis=0),
+        "std": flat.std(axis=0),
+        "p16": np.percentile(flat, 16, axis=0),
+        "p50": np.percentile(flat, 50, axis=0),
+        "p84": np.percentile(flat, 84, axis=0),
+    }
+    for stat, ours in stats.items():
+        for i, p in enumerate(golden["params"]):
+            ref = golden[stat][p]
+            rtol = 0.01
+            if stat == "std":
+                # two independent MC estimates of a posterior std differ
+                # by sigma = sqrt(sum over sides of (kappa-1)/(4 ESS))
+                var = sum((k - 1) / (4 * e) for k, e in
+                          [(golden["kurtosis"][p], golden["ess"][p]),
+                           (float(my_kurt[i]), float(my_ess[i]))])
+                rtol = max(0.01, 3 * np.sqrt(var))
+            assert np.isclose(ours[i], ref, rtol=rtol), (
+                f"{stat}[{p}]: tpu={ours[i]:.6e} ref={ref:.6e} "
+                f"rel={abs(ours[i] - ref) / abs(ref):.4f} (rtol {rtol:.4f})")
