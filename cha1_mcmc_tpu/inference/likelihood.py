@@ -192,37 +192,16 @@ def build_lnprob(model: SpectralModel, spec: ParamSpec, grid_ints, grid_yerrs, l
     return lnprob
 
 
-def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
-                         grid_yerrs, lnprior_fn, *, use_pallas: bool = False,
+def _build_batched_model(model: SpectralModel, spec: ParamSpec, *,
+                         use_pallas: bool = False,
                          dv_max: float | None = None, interpret: bool = False,
                          pallas_kernel: str = "gather",
                          dv_min: float | None = None,
                          vlsr_bounds: tuple | None = None):
-    """Batched lnprob(thetas (N, D)) -> (N,), optionally Pallas-backed.
-
-    The vmapped scalar path (build_lnprob) materializes a (N, L, C) Gaussian
-    intermediate; for dense catalogs that is HBM-bandwidth-bound or simply
-    too large to compile. This builder keeps the walker batch explicit so
-    the opacity accumulation can run through a sparse kernel
-    (models/pallas_kernels.py) exploiting the +-10*dV window sparsity:
-    pallas_kernel="gather" (default) uses the channel-major gather table
-    (pure jnp; fastest when few lines touch each channel); "csr" is the
-    Pallas kernel compacting each channel tile to its active lines
-    (for when the gather table's M would be large); "block" uses
-    tile-level block sparsity.
-
-    dv_max: upper bound on dV used for the *static* sparsity structure
-    (take it from the prior box bounds); required when use_pallas=True.
-    dv_min / vlsr_bounds: optional prior-box bounds. When given AND
-    window_is_exact() holds for them, the compiled kernels drop the
-    per-element window select (exp underflows to exactly 0 at the edge);
-    otherwise the select is kept, preserving the reference's exact
-    ±10·dV window semantics for any parameter box.
-    """
+    """Batched forward model builder, thetas (N, D) -> (N, C) — the shared
+    machinery behind build_lnprob_batched and build_lnlike_batched (kernel
+    selection, static sparsity tables, window-exactness analysis)."""
     dtype = model.dtype
-    y = jnp.asarray(grid_ints, dtype=dtype)
-    inv_sigma2 = 1.0 / jnp.asarray(grid_yerrs, dtype=dtype) ** 2
-    K = spec.ncomp
     C = model.n_channels
 
     if use_pallas:
@@ -274,7 +253,7 @@ def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
 
     from cha1_mcmc_tpu.constants import FWHM_TO_SIGMA_MODEL, VELOCITY_WINDOW_DV
 
-    def lnprob_batch(thetas):
+    def model_batch(thetas):
         thetas = jnp.asarray(thetas, dtype=dtype)
         if use_pallas and pallas_kernel == "gather" and split is not None:
             m = batched_model_gather_split(
@@ -315,7 +294,75 @@ def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
             opac = jnp.einsum("nkl,nklc->nkc", taus, gauss)
             m = _rt_tail(opac, ss, Tex, model.grid_freq, model.dish_size,
                          model.Tbg, dtype)
+        return m
 
+    return model_batch
+
+
+def build_lnlike_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
+                         grid_yerrs, **kwargs):
+    """Batched lnlike(thetas (N, D)) -> (N,), optionally Pallas-backed.
+
+    The chi^2 of build_lnlike over the sparse-kernel forward model (same
+    kwargs as build_lnprob_batched). Exists because the *scalar* lnlike
+    closes over the (L, C) velocity grid — a ~290 MB HLO constant on the
+    dense aromatic catalogs, which this machine's compile relay rejects —
+    while the gather-table path carries only the active-line tables. Used
+    by the MLE Ncol initializer on dense fits (inference/mle.py).
+    """
+    dtype = model.dtype
+    y = jnp.asarray(grid_ints, dtype=dtype)
+    inv_sigma2 = 1.0 / jnp.asarray(grid_yerrs, dtype=dtype) ** 2
+    model_batch = _build_batched_model(model, spec, **kwargs)
+
+    def lnlike_batch(thetas):
+        m = model_batch(thetas)
+        resid = y - m
+        ll = -0.5 * jnp.sum(resid * resid * inv_sigma2 - jnp.log(inv_sigma2),
+                            axis=-1)
+        return jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
+
+    return lnlike_batch
+
+
+def build_lnprob_batched(model: SpectralModel, spec: ParamSpec, grid_ints,
+                         grid_yerrs, lnprior_fn, *, use_pallas: bool = False,
+                         dv_max: float | None = None, interpret: bool = False,
+                         pallas_kernel: str = "gather",
+                         dv_min: float | None = None,
+                         vlsr_bounds: tuple | None = None):
+    """Batched lnprob(thetas (N, D)) -> (N,), optionally Pallas-backed.
+
+    The vmapped scalar path (build_lnprob) materializes a (N, L, C) Gaussian
+    intermediate; for dense catalogs that is HBM-bandwidth-bound or simply
+    too large to compile. This builder keeps the walker batch explicit so
+    the opacity accumulation can run through a sparse kernel
+    (models/pallas_kernels.py) exploiting the +-10*dV window sparsity:
+    pallas_kernel="gather" (default) uses the channel-major gather table
+    (pure jnp; fastest when few lines touch each channel); "csr" is the
+    Pallas kernel compacting each channel tile to its active lines
+    (for when the gather table's M would be large); "block" uses
+    tile-level block sparsity.
+
+    dv_max: upper bound on dV used for the *static* sparsity structure
+    (take it from the prior box bounds); required when use_pallas=True.
+    dv_min / vlsr_bounds: optional prior-box bounds. When given AND
+    window_is_exact() holds for them, the compiled kernels drop the
+    per-element window select (exp underflows to exactly 0 at the edge);
+    otherwise the select is kept, preserving the reference's exact
+    ±10·dV window semantics for any parameter box.
+    """
+    dtype = model.dtype
+    y = jnp.asarray(grid_ints, dtype=dtype)
+    inv_sigma2 = 1.0 / jnp.asarray(grid_yerrs, dtype=dtype) ** 2
+    model_batch = _build_batched_model(
+        model, spec, use_pallas=use_pallas, dv_max=dv_max,
+        interpret=interpret, pallas_kernel=pallas_kernel, dv_min=dv_min,
+        vlsr_bounds=vlsr_bounds)
+
+    def lnprob_batch(thetas):
+        thetas = jnp.asarray(thetas, dtype=dtype)
+        m = model_batch(thetas)
         resid = y - m
         ll = -0.5 * jnp.sum(resid * resid * inv_sigma2 - jnp.log(inv_sigma2), axis=-1)
         lp = jax.vmap(lnprior_fn)(thetas)

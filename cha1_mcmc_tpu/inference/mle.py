@@ -37,7 +37,8 @@ _GRID_K = 65
 
 
 def estimate_ncol_mle(lnlike_fn, spec: ParamSpec, fixed_theta, ncol_bounds,
-                      xatol: float = 1e-6, method: str = "device") -> float:
+                      xatol: float = 1e-6, method: str = "device",
+                      batched: bool = False) -> float:
     """Return the Ncol maximizing lnlike with other params fixed.
 
     `fixed_theta` is a full theta vector whose Ncol entry is overwritten per
@@ -45,6 +46,10 @@ def estimate_ncol_mle(lnlike_fn, spec: ParamSpec, fixed_theta, ncol_bounds,
     trial vectors). Raises RuntimeError if the scipy optimizer fails to
     converge (reference inference.py:371-373); the device search always
     terminates (fixed round count).
+
+    batched=True: `lnlike_fn` maps (N, D) -> (N,) (e.g.
+    build_lnlike_batched's sparse-kernel path — the scalar lnlike cannot
+    compile on dense catalogs, see inference/likelihood.py).
     """
     theta0 = np.asarray(fixed_theta, dtype=np.float64).copy()
     ncol_index = spec.ncomp if spec.free_source_size else 0
@@ -53,13 +58,15 @@ def estimate_ncol_mle(lnlike_fn, spec: ParamSpec, fixed_theta, ncol_bounds,
 
     if method == "device":
         return _device_search(lnlike_fn, theta0, ncol_index, ncol_bounds,
-                              xatol=xatol)
+                              xatol=xatol, batched=batched)
 
     jitted = jax.jit(lnlike_fn)
 
     def nll(ncol):
         theta = theta0.copy()
         theta[ncol_index] = ncol
+        if batched:
+            return -float(jitted(theta[None])[0])
         return -float(jitted(theta))
 
     result = opt.minimize_scalar(nll, bounds=tuple(ncol_bounds), method="bounded",
@@ -70,16 +77,20 @@ def estimate_ncol_mle(lnlike_fn, spec: ParamSpec, fixed_theta, ncol_bounds,
 
 
 def _device_search(lnlike_fn, theta0, ncol_index: int, ncol_bounds,
-                   xatol: float = 1e-6) -> float:
+                   xatol: float = 1e-6, batched: bool = False) -> float:
     # f64 under the x64 verification mode, else the device f32.
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     lo0, hi0 = float(ncol_bounds[0]), float(ncol_bounds[1])
     theta0 = jnp.asarray(theta0, dtype)
-    # lax.map, not vmap: the scalar lnlike materializes an (L, C) Gaussian
-    # intermediate, so a vmapped 65-point grid would need 65x that — ~19 GB
-    # for the 35k-line dense catalogs. Mapping evaluates one candidate at a
-    # time inside the same compiled program.
-    grid_lnlike = functools.partial(jax.lax.map, lnlike_fn)
+    if batched:
+        # Sparse-kernel batched lnlike: the grid IS its walker batch.
+        grid_lnlike = lnlike_fn
+    else:
+        # lax.map, not vmap: the scalar lnlike materializes an (L, C)
+        # Gaussian intermediate, so a vmapped 65-point grid would need 65x
+        # that — ~19 GB for the 35k-line dense catalogs. Mapping evaluates
+        # one candidate at a time inside the same compiled program.
+        grid_lnlike = functools.partial(jax.lax.map, lnlike_fn)
 
     # Bracket width after the log round is <= x * (r - 1) with
     # r = (hi/lo)^(2/(K-1)); each linear round divides it by (K-1)/2.

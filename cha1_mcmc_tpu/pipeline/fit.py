@@ -191,8 +191,26 @@ class SpectralFit:
         resuming = cfg.resume and os.path.exists(cfg.chain_path)
         if cfg.MLE_for_Ncol and not resuming:  # resume discards `initial`
             print(f"{GRAY}Initializing Ncol via MLE.{RESET}")
+            if use_pallas:
+                # The scalar lnlike closes over the (L, C) velocity grid —
+                # a ~290 MB HLO constant on dense catalogs that cannot
+                # compile here; the gather-table batched lnlike carries
+                # only the active-line tables (inference/likelihood.py).
+                from cha1_mcmc_tpu.inference.likelihood import (
+                    build_lnlike_batched)
+
+                lnlike_mle, mle_batched = build_lnlike_batched(
+                    model, self.spec, grid.ints, grid.yerrs,
+                    use_pallas=True, dv_max=cfg.bounds["dV"][1],
+                    dv_min=cfg.bounds["dV"][0],
+                    vlsr_bounds=cfg.bounds["vlsr"],
+                    interpret=jax.default_backend() == "cpu"), True
+            else:
+                lnlike_mle, mle_batched = lnlike, False
             try:
-                est = estimate_ncol_mle(lnlike, self.spec, initial, cfg.bounds["Ncol"])
+                est = estimate_ncol_mle(lnlike_mle, self.spec, initial,
+                                        cfg.bounds["Ncol"],
+                                        batched=mle_batched)
                 ncol_index = 0 if cfg.fixed_source_size is not None else 1
                 initial = np.array(initial, dtype=np.float64)
                 initial[ncol_index] = est
@@ -233,10 +251,24 @@ class SpectralFit:
         elif cfg.n_chains > 1:
             from cha1_mcmc_tpu.sampler import MultiChainSampler
 
+            run_fn = None
+            if (cfg.use_fused_step and not use_pallas
+                    and self.spec.ncomp == 1
+                    and self.dtype == jnp.float32
+                    and jax.default_backend() != "cpu"
+                    and self._fused_fits_vmem(
+                        model, cfg.nwalkers // cfg.n_chains)):
+                # K independent chains keep the fused whole-step kernel
+                # (vmapped over the chain axis; bitwise-equal per chain).
+                from cha1_mcmc_tpu.sampler import make_fused_ensemble
+
+                run_fn = make_fused_ensemble(
+                    model, self.spec, grid.ints, grid.yerrs, cfg.bounds,
+                    prior_means, prior_stds, a=cfg.stretch_a)
             self.sampler = MultiChainSampler(
                 lnprob_fn=lnprob, nwalkers=cfg.nwalkers, ndim=self.spec.ndim,
                 a=cfg.stretch_a, dtype=self.dtype, batched=use_pallas,
-                n_chains=cfg.n_chains)
+                n_chains=cfg.n_chains, run_fn=run_fn)
         elif (cfg.use_fused_step and use_pallas
               and self.spec.ncomp == 1
               and self.dtype == jnp.float32

@@ -312,6 +312,10 @@ class MultiChainSampler(EnsembleSampler):
     """
 
     n_chains: int = 2  # nwalkers is the TOTAL (K * per-chain) walker count
+    # Optional fused whole-step run (make_fused_ensemble's contract):
+    # vmapped over the chain axis, bitwise-equal per chain to calling it
+    # chain-by-chain, so K chains keep the fused kernel's step rate.
+    run_fn: callable = None
 
     def __post_init__(self):
         super().__post_init__()
@@ -334,9 +338,20 @@ class MultiChainSampler(EnsembleSampler):
     def _run_block(self, pos, lnp, key, nsteps: int, thin: int):
         pos = self._shape_pos(pos)
         keys = jax.random.split(key, self.n_chains)
-        chain, lnps, acc, final = run_ensemble_chains(
-            self.lnprob_fn, pos, lnp, keys, nsteps=nsteps, a=self.a,
-            thin=thin, batched=self.batched)
+        if self.run_fn is not None:
+            # thin via exact raw-trajectory subsampling, as in
+            # FusedEnsembleSampler._run_block.
+            chain, lnps, acc, final = jax.vmap(
+                lambda p, l, k: self.run_fn(p, l, k, nsteps * thin))(
+                    pos, lnp, keys)
+            if thin != 1:
+                chain = chain[:, thin - 1::thin]
+                lnps = lnps[:, thin - 1::thin]
+                acc = acc.reshape(self.n_chains, nsteps, thin).sum(axis=-1)
+        else:
+            chain, lnps, acc, final = run_ensemble_chains(
+                self.lnprob_fn, pos, lnp, keys, nsteps=nsteps, a=self.a,
+                thin=thin, batched=self.batched)
         K, S, W, D = chain.shape
         # (K, S, W, D) -> (S, K*W, D): the base class transposes each block
         # to the pooled (K*W, S, D) emcee layout

@@ -308,3 +308,22 @@ def test_batched_gather_matches_scalar_14dim():
     keep = np.isfinite(a)
     assert keep.sum() >= 5
     np.testing.assert_allclose(a[keep], b[keep], rtol=2e-4, atol=0.05)
+
+
+@requires_reference
+def test_mle_batched_gather_matches_scalar(hc5n_problem, hc5n_datagrid):
+    """The batched-lnlike MLE (the path dense fits take: the scalar
+    lnlike's (L, C) closure constant cannot compile there) finds the same
+    optimum as the scalar-lnlike search on the flagship problem."""
+    from cha1_mcmc_tpu.inference.likelihood import build_lnlike_batched
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    grid = hc5n_datagrid
+    lnlike = build_lnlike(model, spec, grid.ints, grid.yerrs)
+    lnlike_b = build_lnlike_batched(model, spec, grid.ints, grid.yerrs,
+                                    use_pallas=True, dv_max=1.5)
+    theta0 = np.array([3.4e10, 8.0, 4.3, 0.7575])
+    est_s = estimate_ncol_mle(lnlike, spec, theta0, (1e8, 1e14))
+    est_b = estimate_ncol_mle(lnlike_b, spec, theta0, (1e8, 1e14),
+                              batched=True)
+    assert np.isclose(est_b, est_s, rtol=5e-3), (est_b, est_s)

@@ -1090,3 +1090,38 @@ def test_fused_sampler_thin_matches_general(hc5n_problem, hc5n_datagrid):
     np.testing.assert_array_equal(fused.chain, general.chain)
     assert fused.total_proposals == general.total_proposals
     assert fused.accepted == general.accepted
+
+
+def test_multichain_fused_matches_general(hc5n_problem, hc5n_datagrid,
+                                          tmp_path):
+    """MultiChainSampler with a fused run_fn (vmapped over the chain
+    axis) records the same pooled chain as the general multi-chain
+    sampler — K independent chains keep the fused kernel's step rate."""
+    from cha1_mcmc_tpu.inference import single_component_lnprior, build_lnprob
+    from cha1_mcmc_tpu.sampler import MultiChainSampler
+    from cha1_mcmc_tpu.sampler.fused import make_fused_ensemble
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    grid = hc5n_datagrid
+    bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
+              "vlsr": (3.0, 5.5), "dV": (0.4, 1.5)}
+    means = np.array([3.4e10, 8.0, 4.3, 0.7575])
+    stds = np.array([0.34e10, 3.0, 0.06, 0.22])
+    lnprior = single_component_lnprior(spec, bounds, means, stds)
+    lnprob = build_lnprob(model, spec, grid.ints, grid.yerrs, lnprior)
+    run_fn = make_fused_ensemble(model, spec, grid.ints, grid.yerrs,
+                                 bounds, means, stds, interpret=True)
+
+    rng = np.random.default_rng(0)
+    W = 32  # pooled across 2 chains of 16
+    pos0 = np.array([3.24e12, 7.5, 4.11, 0.78]) * (
+        1 + 0.01 * rng.standard_normal((W, 4)))
+    key = jax.random.PRNGKey(0)
+    fused = MultiChainSampler(lnprob_fn=lnprob, nwalkers=W, ndim=4,
+                              n_chains=2, run_fn=run_fn)
+    fused.run_mcmc(pos0, 8, key, checkpoint_every=8)
+    general = MultiChainSampler(lnprob_fn=lnprob, nwalkers=W, ndim=4,
+                                n_chains=2)
+    general.run_mcmc(pos0, 8, key, checkpoint_every=8)
+    np.testing.assert_array_equal(fused.chain, general.chain)
+    assert fused.accepted == general.accepted
