@@ -88,6 +88,8 @@ class MultiFitConfig:
                                      # (reference TMC1_four_component.py:224)
     n_devices: int | None = None     # shard the fit over this many chips
     n_line_shards: int = 1           # of which, this many shard the line axis
+    n_chains: int = 1                # independent ensembles (nwalkers is the
+                                     # total; enables cross-chain R-hat)
 
     @property
     def ndim(self) -> int:
@@ -146,10 +148,12 @@ class MultiComponentFit:
         print(f"{GRAY}Saved reduced spectrum to: {cfg.datagrid_path}{RESET}")
         return grid
 
-    def _fused_eligible(self, model: SpectralModel) -> bool:
+    def _fused_eligible(self, model: SpectralModel,
+                        nwalkers: int | None = None) -> bool:
         """Auto-select the fused whole-step kernel when it applies: TPU
         backend (the CPU interpreter pays ~30 s of tracing per fit),
-        float32, and a problem whose working set fits VMEM."""
+        float32, and a problem whose working set fits VMEM (sized for
+        `nwalkers` — the per-chain count under MultiChainSampler)."""
         cfg = self.config
         if not cfg.use_fused_step or self.dtype != jnp.float32:
             return False
@@ -158,7 +162,7 @@ class MultiComponentFit:
         from cha1_mcmc_tpu.sampler.fused_multi import fused_multi_supported
 
         return fused_multi_supported(model, self.spec, cfg.dv_bound,
-                                     nwalkers=cfg.nwalkers)
+                                     nwalkers=nwalkers or cfg.nwalkers)
 
     def build_model(self, grid: Datagrid) -> SpectralModel:
         cfg = self.config
@@ -218,7 +222,31 @@ class MultiComponentFit:
                 nwalkers=cfg.nwalkers, ndim=cfg.ndim, a=cfg.stretch_a,
                 dtype=self.dtype, model=model, spec=self.spec,
                 grid_ints=grid.ints, grid_yerrs=grid.yerrs,
-                lnprior_fn=lnprior)
+                lnprior_fn=lnprior, n_chains=cfg.n_chains)
+        elif cfg.n_chains > 1:
+            # K independent ensembles (cross-chain R-hat); the fused
+            # multi-component kernel rides along vmapped over the chain
+            # axis when the per-chain ensemble is eligible.
+            from cha1_mcmc_tpu.inference import build_lnprob_batched
+            from cha1_mcmc_tpu.sampler import MultiChainSampler
+
+            lnprob_b = build_lnprob_batched(
+                model, self.spec, grid.ints, grid.yerrs, lnprior,
+                use_pallas=True, pallas_kernel="gather", dv_max=cfg.dv_bound)
+            run_fn = None
+            if self._fused_eligible(model,
+                                    nwalkers=cfg.nwalkers // cfg.n_chains):
+                from cha1_mcmc_tpu.sampler.fused_multi import (
+                    make_fused_ensemble_multi)
+
+                run_fn = make_fused_ensemble_multi(
+                    model, self.spec, grid.ints, grid.yerrs, prior_means,
+                    prior_stds, dv_max=cfg.dv_bound, a=cfg.stretch_a,
+                    nwalkers=cfg.nwalkers // cfg.n_chains)
+            self.sampler = MultiChainSampler(
+                lnprob_fn=lnprob_b, nwalkers=cfg.nwalkers, ndim=cfg.ndim,
+                a=cfg.stretch_a, dtype=self.dtype, batched=True,
+                n_chains=cfg.n_chains, run_fn=run_fn)
         elif self._fused_eligible(model):
             # Fused whole-ensemble-step Pallas kernel: one program per k
             # steps (sampler/fused_multi.py). Trajectories match the
@@ -284,6 +312,13 @@ class MultiComponentFit:
               f"{self.sampler.acceptance_fraction:.3f}  |  "
               f"{throughput.walker_steps_per_sec:,.0f} walker-steps/s "
               f"(wall, incl. compile + checkpoints){RESET}")
+        if cfg.n_chains > 1:
+            from cha1_mcmc_tpu.sampler import summarize_convergence
+
+            conv = summarize_convergence(self.sampler.chain)
+            rhat = ", ".join(f"{lbl}={r:.3f}" for lbl, r in
+                             zip(self.spec.labels, conv["r_hat"]))
+            print(f"{GRAY}Cross-chain R-hat ({cfg.n_chains} chains): {rhat}{RESET}")
         return self.sampler.chain
 
     def run(self) -> np.ndarray:

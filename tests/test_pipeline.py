@@ -544,3 +544,24 @@ def test_posterior_statistical_parity_gotham(tmp_path):
             assert np.isclose(ours[i], ref, rtol=rtol), (
                 f"{stat}[{p}]: tpu={ours[i]:.6e} ref={ref:.6e} "
                 f"rel={abs(ours[i] - ref) / abs(ref):.4f} (rtol {rtol:.4f})")
+
+
+@requires_reference
+def test_multicomponent_multichain_fit(tmp_path):
+    """MultiFitConfig(n_chains=K): K independent 14-dim ensembles pooled
+    into one chain file, cross-chain R-hat printed — the multifit
+    analogue of FitConfig.n_chains."""
+    from cha1_mcmc_tpu import MultiFitConfig, MultiComponentFit
+    from tests.conftest import HC9N_GOTHAM
+
+    cfg = MultiFitConfig(
+        mol_name="hc9n_hfs", cat_folder=CATALOG_DIR, data_path=HC9N_GOTHAM,
+        fit_folder=str(tmp_path / "gotham_mc"), nruns=20, nwalkers=32,
+        template_run=True, seed=0, checkpoint_every=20, n_chains=2)
+    fit = MultiComponentFit(cfg)
+    with contextlib.redirect_stdout(io.StringIO()):
+        chain = fit.run()
+    assert chain.shape == (32, 20, 14)
+    per_chain = chain.reshape(2, 16, 20, 14)
+    assert not np.array_equal(per_chain[0], per_chain[1])
+    assert 0.05 < fit.sampler.acceptance_fraction < 0.95
