@@ -316,16 +316,24 @@ def single_statics_tables(model, spec, grid_ints, grid_yerrs, bounds,
     return statics, (lines, vel, chans, qst)
 
 
-def _make_fused_run(kernel, tables, *, interpret: bool = False):
+def _make_fused_run(kernel, tables, *, interpret: bool = False,
+                    max_walkers: int | None = None):
     """Wrap a fused step kernel (statics bound except h/k_steps) into the
     run(pos0, lnp0, key, nsteps) contract shared by every fused sampler
     variant: run_ensemble's exact PRNG stream layout, lax.scan over
     k_steps-sized kernel launches, and the -inf <-> finfo.min boundary
     clamp. `tables` are the static device arrays appended to each
-    pallas_call after the per-block randomness."""
+    pallas_call after the per-block randomness. `max_walkers` guards
+    kernels whose static plan (walker chunking / VMEM gate) was sized for
+    a specific ensemble size."""
 
     @functools.partial(jax.jit, static_argnames=("nsteps", "k_steps"))
     def run(pos0, lnp0, key, nsteps: int, k_steps: int = 16):
+        if max_walkers is not None and pos0.shape[0] > max_walkers:
+            raise ValueError(
+                f"pos0 carries {pos0.shape[0]} walkers but the kernel's "
+                f"plan (and its VMEM gate) was sized for "
+                f"nwalkers={max_walkers}; rebuild with the larger count")
         # k_steps default from a v5e sweep at the flagship size (128
         # walkers): 20.2 us/step @ k=8, 18.7 @ k=16, 18.4 @ k=32, 19.2 @
         # k=64 — k=16 takes most of the launch-amortization gain at half

@@ -296,4 +296,5 @@ def make_fused_ensemble_gather(model, spec, grid_ints, grid_yerrs, bounds,
         prior_mean=tuple(means), prior_std=tuple(stds),
         has_overflow=tables["has_overflow"], wchunk=wchunk)
 
-    return _make_fused_run(kernel, dev + (chans, qst), interpret=interpret)
+    return _make_fused_run(kernel, dev + (chans, qst), interpret=interpret,
+                           max_walkers=nwalkers)
