@@ -565,3 +565,67 @@ def test_multicomponent_multichain_fit(tmp_path):
     per_chain = chain.reshape(2, 16, 20, 14)
     assert not np.array_equal(per_chain[0], per_chain[1])
     assert 0.05 < fit.sampler.acceptance_fraction < 0.95
+
+
+@requires_reference
+def test_dense_full_fit_smoke(tmp_path):
+    """The dense full-fit artifact path (tools/dense_full_fit.py, VERDICT
+    r3 item 4): the committed reduced datagrid of the synthetic
+    1-cyanonaphthalene observation (tests/golden/dense_synth.npz) drives
+    the standard SpectralFit machinery. Subset to the bottom ~3 GHz of the
+    band so the CPU run stays fast — the full-scale 128x10k run is the TPU
+    artifact (bench.py dense_full_fit section / BASELINE.md row).
+
+    Reference trail: catalog/1-cyanonapthalene.cat is the reference's
+    stress catalog; the config vocabulary is inference.py:585-631."""
+    from cha1_mcmc_tpu.catalogs import load_catalog
+    from cha1_mcmc_tpu.reduce.datagrid import Datagrid
+
+    golden_path = os.path.join(os.path.dirname(__file__), "golden",
+                               "dense_synth.npz")
+    g = np.load(golden_path)
+    # sidecar integrity: the fields the tool and bench section rely on
+    for key in ("freqs", "ints", "yerrs", "covered_trans", "ll", "ul",
+                "dish_size", "aligned_velocity", "ncol_true", "truth",
+                "source_size"):
+        assert key in g, key
+    assert g["freqs"].shape == g["ints"].shape == g["yerrs"].shape
+    assert 1e8 < float(g["ncol_true"]) < 1e14
+
+    cat = load_catalog(os.path.join(CATALOG_DIR, "1-cyanonapthalene.cat"))
+    ll, ul = float(g["ll"]), float(g["ul"])
+    i, i2 = cat.trim_indices(ll, ul)
+    trimfreq = cat.frequency[np.arange(i, i2)]
+    covered = np.asarray(g["covered_trans"], dtype=int)
+    # channels below 9 GHz; kept lines 5 MHz clear of the cut so no kept
+    # window loses channels
+    F = 10500.0
+    keep = covered[trimfreq[covered] < F - 5.0]
+    chmask = g["freqs"] < F
+    assert keep.size > 50 and chmask.sum() > 500
+    grid = Datagrid(freqs=np.asarray(g["freqs"])[chmask],
+                    ints=np.asarray(g["ints"])[chmask],
+                    yerrs=np.asarray(g["yerrs"])[chmask],
+                    covered_trans=keep)
+
+    ncol = float(g["ncol_true"])
+    cfg = FitConfig(
+        mol_name="1-cyanonapthalene", cat_folder=CATALOG_DIR,
+        fit_folder=str(tmp_path / "dense"), nruns=40, nwalkers=16,
+        lower_limit=ll, upper_limit=ul, dish_size=float(g["dish_size"]),
+        aligned_velocity=float(g["aligned_velocity"]),
+        fixed_source_size=float(g["source_size"]),
+        bounds={"source_size": (30.0, 90.0), "Ncol": (1e8, 1e14),
+                "Tex": (3.5, 12.0), "vlsr": (4.0, 7.5), "dV": (0.4, 1.5)},
+        template_means=(float(g["source_size"]), 1.2 * ncol, 8.0, 5.8,
+                        0.7575),
+        template_stds=(6.5, 0.5 * ncol, 3.0, 0.06, 0.22),
+        template_run=True, MLE_for_Ncol=True, seed=5, checkpoint_every=40)
+    fit = SpectralFit(cfg)
+    os.makedirs(cfg.mol_folder, exist_ok=True)
+    with contextlib.redirect_stdout(io.StringIO()):
+        chain = np.asarray(fit.fit(grid))
+    assert chain.shape == (16, 40, 4)
+    assert np.isfinite(chain).all()
+    assert chain[..., 0].min() > 1e8 and chain[..., 0].max() < 1e14
+    assert 0.0 < fit.sampler.acceptance_fraction <= 1.0
