@@ -56,7 +56,8 @@ from cha1_mcmc_tpu.sampler.fused import (_lnprob_tail, _make_fused_run,
                                          _unpack_single)
 
 __all__ = ["build_dense_tables", "fused_gather_supported",
-           "make_fused_ensemble_gather", "plan_fused_gather"]
+           "gather_statics_tables", "make_fused_ensemble_gather",
+           "plan_fused_gather", "replan_wchunk"]
 
 #: velocity value marking padding entries — Gaussian exactly 0 in f32
 #: (matches models/pallas_kernels.py's gather-table padding convention)
@@ -115,31 +116,75 @@ def build_dense_tables(model, dv_max: float, min_saving: float = 1.3):
                 active=active)
 
 
-def _vmem_estimate(n_elems: int, C: int, C2: int, n_states: int,
-                   wchunk: int, nwalkers: int) -> int:
-    """Working-set model (bytes): static tables + the largest per-chunk
-    temporaries (~4 live (wchunk, elems) blocks through the tau/gauss
-    chain) + the step loop's selectors and state."""
-    static = 4 * (6 * n_elems + C2 * C + 3 * C + 2 * n_states)
-    chunk = 4 * wchunk * (4 * n_elems + n_states + 4 * C)
+def _pad_tile(m: int, c: int) -> int:
+    """Element count of an (m, c) block after Mosaic's (8, 128) tiling."""
+    return -(-m // 8) * 8 * (-(-c // 128) * 128)
+
+
+def _padded_elems(tables) -> int:
+    """Padded element count of one (wchunk, M*, C*) temporary layer.
+
+    Mosaic tiles the trailing (M, C*) dims of the per-chunk 3-D
+    temporaries to (8, 128), so the scoped-stack cost follows the PADDED
+    table sizes, not n_elems: the bench-dense main table is (6, 2048) ->
+    (8, 2048) (+33%) and its overflow table (40, 223) -> (40, 256)."""
+    M1, C = tables["vel1"].shape
+    M2, C2 = tables["vel2"].shape
+    padded = _pad_tile(M1, C)
+    if tables["has_overflow"]:
+        padded += _pad_tile(M2, C2)
+    return padded
+
+
+def _vmem_estimate(tables, C: int, n_states: int, wchunk: int,
+                   nwalkers: int) -> int:
+    """Scoped-VMEM working-set model (bytes), calibrated against the one
+    measured on-chip data point (v5e terminal compile of the bench-dense
+    program, wchunk=16: "Scoped allocation with size 19.58M"): ~8 live
+    padded (wchunk, M, C*) blocks through tau_sticks' elementwise chain
+    and the windowed Gaussian, ~3 live (wchunk, S) blocks in the
+    state-sum Q, 4 (wchunk, C) channel rows in the RT/chi^2 tail, plus
+    the static tables and the step loop's selectors. At the calibration
+    point this model says 19.9M — slightly conservative by design."""
+    M1, C1 = tables["vel1"].shape
+    M2, C2 = tables["vel2"].shape
+    s_pad = -(-n_states // 128) * 128
+    static = 4 * (6 * (M1 * C1 + M2 * C2) + C2 * C + 3 * C + 2 * n_states)
+    chunk = 4 * wchunk * (8 * _padded_elems(tables) + 3 * s_pad + 4 * C)
     h = nwalkers // 2
     loop = 4 * (3 * h * nwalkers + 2 * nwalkers * 8)
     return static + chunk + loop
 
 
-def _pick_wchunk(n_elems: int, C: int, C2: int, n_states: int,
+def _pick_wchunk(tables, C: int, n_states: int,
                  nwalkers: int, budget: int) -> int | None:
     h = max(nwalkers // 2, 1)
     for wchunk in (h, 64, 32, 16, 8):
         if wchunk > h:
             continue
-        if _vmem_estimate(n_elems, C, C2, n_states, wchunk, nwalkers) <= budget:
+        if _vmem_estimate(tables, C, n_states, wchunk, nwalkers) <= budget:
             return wchunk
     return None
 
 
+#: Default planning budget. The kernel's temporaries live in the Mosaic
+#: scoped-VMEM stack, whose compiler limit on the v5e is 16 MiB — NOT the
+#: 128 MiB VMEM total that sampler/fused.py's whole-grid gate budgets
+#: against. Two terminal compiles of the bench-dense program measured the
+#: ceiling: wchunk=64 (planned under the original 48 MiB budget) failed at
+#: "Scoped allocation with size 25.50M and limit 16.00M", and wchunk=16
+#: (planned under 12 MiB with the pre-padding estimator, which said
+#: 9.2 MiB) still failed at 19.58M — Mosaic pads the (wchunk, M, C*)
+#: temporaries to (8, 128) tiles and keeps more of them live than the old
+#: model counted. _vmem_estimate is now calibrated to the 19.58M point;
+#: 12 MiB of modeled budget leaves ~4 MiB of real headroom below the
+#: compiler limit.
+_SCOPED_VMEM_BUDGET = 12 << 20
+
+
 def plan_fused_gather(model, spec, dv_max: float, nwalkers: int = 128,
-                      budget: int = 48 << 20, min_saving: float = 1.3):
+                      budget: int = _SCOPED_VMEM_BUDGET,
+                      min_saving: float = 1.3):
     """Build the channel-major tables and pick the walker chunk, or return
     None when (model, spec) cannot take the fused kernel (multi-component
     layout, or tables over the VMEM budget). Returns (tables, wchunk).
@@ -153,40 +198,44 @@ def plan_fused_gather(model, spec, dv_max: float, nwalkers: int = 128,
     tables = build_dense_tables(model, dv_max, min_saving=min_saving)
     qm = model.q_model
     n_states = 0 if qm.kind == "analytic" else int(np.size(qm.g))
-    wchunk = _pick_wchunk(tables["n_elems"], int(model.n_channels),
-                          tables["scat"].shape[0], n_states, nwalkers,
+    wchunk = _pick_wchunk(tables, int(model.n_channels), n_states, nwalkers,
                           budget)
     return None if wchunk is None else (tables, wchunk)
 
 
 def fused_gather_supported(model, spec, dv_max: float, nwalkers: int = 128,
-                           budget: int = 48 << 20) -> bool:
+                           budget: int = _SCOPED_VMEM_BUDGET) -> bool:
     """Can (model, spec) run through the fused channel-major kernel within
-    the VMEM budget? Single-component layouts only (the multi-component
-    family has its own fused kernel, sampler/fused_multi.py)."""
+    the scoped-VMEM budget? Single-component layouts only (the
+    multi-component family has its own fused kernel, sampler/fused_multi.py)."""
     return plan_fused_gather(model, spec, dv_max, nwalkers, budget) is not None
 
 
-def _step_kernel_gather(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref,
-                        au_ref, lines1_ref, vel1_ref, lines2_ref, vel2_ref,
-                        scat_ref, chans_ref, qst_ref,
-                        out_chain_ref, out_lnps_ref, out_acc_ref, *,
-                        a, h, k_steps, ss, dish_size, Tbg, mask_center,
+def _make_gather_lnprob(lines1, vel1, lines2, vel2, scat, chans, qst, *,
+                        ss, dish_size, Tbg, mask_center,
                         q_kind, q_coeffs, q_power, q_scale,
                         bounds_lo, bounds_hi, prior_mean, prior_std,
                         has_overflow, wchunk):
-    M1 = vel1_ref.shape[0]
-    M2 = vel2_ref.shape[0]
-    gf = chans_ref[0:1, :]
-    y = chans_ref[1:2, :]
-    isig = chans_ref[2:3, :]
-    q_of = _make_q_of(q_kind, q_coeffs, q_power, q_scale, qst_ref)
-    vel1 = vel1_ref[:]
-    l1 = tuple(lines1_ref[i * M1:(i + 1) * M1, :] for i in range(5))
+    """lnprob from the channel-major tables, (n, D) -> (n, 1), evaluated
+    in `wchunk`-sized walker chunks so the dominant (chunk, M, C)
+    temporaries stay inside the scoped-VMEM budget.
+
+    Ref-agnostic on purpose: every table access is basic slicing, so the
+    fused step kernel passes Pallas refs while the sharded composition
+    (parallel/sharded_fused.py) reuses the SAME code with plain arrays
+    for its entry lnprob — one numerics definition for both."""
+    M1 = vel1.shape[0]
+    M2 = lines2.shape[0] // 5
+    gf = chans[0:1, :]
+    y = chans[1:2, :]
+    isig = chans[2:3, :]
+    q_of = _make_q_of(q_kind, q_coeffs, q_power, q_scale, qst)
+    vel1_t = vel1[:]
+    l1 = tuple(lines1[i * M1:(i + 1) * M1, :] for i in range(5))
     if has_overflow:
-        vel2 = vel2_ref[:]
-        l2 = tuple(lines2_ref[i * M2:(i + 1) * M2, :] for i in range(5))
-        scat = scat_ref[:]
+        vel2_t = vel2[:]
+        l2 = tuple(lines2[i * M2:(i + 1) * M2, :] for i in range(5))
+        scat_t = scat[:]
 
     def opac_part(consts, vel_t, Q, Ncol, Tex, vlsr, dV):
         """Channel-major opacity over one table: (n, M, C*) tau recompute
@@ -203,19 +252,20 @@ def _step_kernel_gather(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref,
         gauss = jnp.where(window, jnp.exp2(aa * (d * d)), 0.0)
         return jnp.sum(taus * gauss, axis=1)                  # (n, C*)
 
-    def lnprob(th):  # (h, D) -> (h, 1), in walker chunks to bound VMEM
+    def lnprob(th):  # (n, D) -> (n, 1), in walker chunks to bound VMEM
+        n = th.shape[0]
         outs = []
-        for w0 in range(0, h, wchunk):
-            t = th[w0:min(w0 + wchunk, h), :]
+        for w0 in range(0, n, wchunk):
+            t = th[w0:min(w0 + wchunk, n), :]
             ss_w, Ncol, Tex, vlsr, dV = _unpack_single(t, ss)
             Q = q_of(Tex)
-            opac = opac_part(l1, vel1, Q, Ncol, Tex, vlsr, dV)  # (n, C)
+            opac = opac_part(l1, vel1_t, Q, Ncol, Tex, vlsr, dV)  # (n, C)
             if has_overflow:
                 # exact one-hot scatter of the heavy-channel overflow, as
                 # models/pallas_kernels.py:opacity_gather_split
-                o2 = opac_part(l2, vel2, Q, Ncol, Tex, vlsr, dV)  # (n, C2)
+                o2 = opac_part(l2, vel2_t, Q, Ncol, Tex, vlsr, dV)  # (n, C2)
                 opac = opac + jnp.dot(
-                    o2, scat, preferred_element_type=opac.dtype,
+                    o2, scat_t, preferred_element_type=opac.dtype,
                     precision=jax.lax.Precision.HIGHEST)
             outs.append(_lnprob_tail(
                 t, ss_w, Tex, opac, gf, y, isig, ss=ss,
@@ -224,6 +274,16 @@ def _step_kernel_gather(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref,
                 prior_std=prior_std))
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
+    return lnprob
+
+
+def _step_kernel_gather(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref,
+                        au_ref, lines1_ref, vel1_ref, lines2_ref, vel2_ref,
+                        scat_ref, chans_ref, qst_ref,
+                        out_chain_ref, out_lnps_ref, out_acc_ref, *,
+                        a, h, k_steps, **statics):
+    lnprob = _make_gather_lnprob(lines1_ref, vel1_ref, lines2_ref, vel2_ref,
+                                 scat_ref, chans_ref, qst_ref, **statics)
     _run_step_loop(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
                    out_chain_ref, out_lnps_ref, out_acc_ref, lnprob,
                    a=a, h=h, k_steps=k_steps)
@@ -232,7 +292,7 @@ def _step_kernel_gather(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref,
 def make_fused_ensemble_gather(model, spec, grid_ints, grid_yerrs, bounds,
                                prior_means, prior_stds, *, dv_max: float,
                                a: float = 2.0, nwalkers: int = 128,
-                               budget: int = 48 << 20,
+                               budget: int = _SCOPED_VMEM_BUDGET,
                                min_saving: float = 1.3,
                                plan=None, interpret: bool = False):
     """Build `run(pos0, lnp0, key, nsteps) -> (chain, lnps, accepted,
@@ -250,7 +310,6 @@ def make_fused_ensemble_gather(model, spec, grid_ints, grid_yerrs, bounds,
         raise ValueError("fused gather path supports single-component "
                          "layouts only (use sampler.fused_multi for "
                          "ncomp > 1)")
-    qm = model.q_model
     if plan is None:
         plan = plan_fused_gather(model, spec, dv_max, nwalkers, budget,
                                  min_saving=min_saving)
@@ -258,8 +317,23 @@ def make_fused_ensemble_gather(model, spec, grid_ints, grid_yerrs, bounds,
         raise ValueError(
             f"fused gather tables exceed the {budget >> 20} MiB VMEM "
             f"budget at nwalkers={nwalkers}")
-    tables, wchunk = plan
+    statics, dev = gather_statics_tables(model, spec, grid_ints, grid_yerrs,
+                                         bounds, prior_means, prior_stds,
+                                         plan)
+    kernel = functools.partial(_step_kernel_gather, a=a, **statics)
+    return _make_fused_run(kernel, dev, interpret=interpret,
+                           max_walkers=nwalkers)
 
+
+def gather_statics_tables(model, spec, grid_ints, grid_yerrs, bounds,
+                          prior_means, prior_stds, plan):
+    """Static kwargs + device tables for the channel-major in-kernel
+    lnprob (_make_gather_lnprob) — shared by the whole-step kernel above
+    and the sharded half-step composition (parallel/sharded_fused.py).
+    The counterpart of sampler/fused.py:single_statics_tables for the
+    dense table layout."""
+    tables, wchunk = plan
+    qm = model.q_model
     free_ss = spec.fixed_source_size is None
     means = np.asarray(prior_means, dtype=np.float64)
     stds = np.asarray(prior_stds, dtype=np.float64).copy()
@@ -271,9 +345,6 @@ def make_fused_ensemble_gather(model, spec, grid_ints, grid_yerrs, bounds,
     lo = tuple(float(bounds[k][0]) for k in names)
     hi = tuple(float(bounds[k][1]) for k in names)
 
-    dev = (jnp.asarray(tables["lines1"]), jnp.asarray(tables["vel1"]),
-           jnp.asarray(tables["lines2"]), jnp.asarray(tables["vel2"]),
-           jnp.asarray(tables["scat"]))
     chans = jnp.stack([model.grid_freq,
                        jnp.asarray(grid_ints, model.dtype),
                        1.0 / jnp.asarray(grid_yerrs, model.dtype) ** 2])
@@ -286,15 +357,26 @@ def make_fused_ensemble_gather(model, spec, grid_ints, grid_yerrs, bounds,
         qst = jnp.zeros((2, 8), model.dtype)
         q_static = dict(q_kind="analytic", q_coeffs=qm.coeffs,
                         q_power=qm.power, q_scale=qm.scale)
-
-    kernel = functools.partial(
-        _step_kernel_gather, a=a,
+    dev = (jnp.asarray(tables["lines1"]), jnp.asarray(tables["vel1"]),
+           jnp.asarray(tables["lines2"]), jnp.asarray(tables["vel2"]),
+           jnp.asarray(tables["scat"]), chans, qst)
+    statics = dict(
         ss=None if free_ss else float(spec.fixed_source_size),
         dish_size=float(model.dish_size), Tbg=float(model.Tbg),
         mask_center=float(model.mask_center), **q_static,
         bounds_lo=lo, bounds_hi=hi,
         prior_mean=tuple(means), prior_std=tuple(stds),
         has_overflow=tables["has_overflow"], wchunk=wchunk)
+    return statics, dev
 
-    return _make_fused_run(kernel, dev + (chans, qst), interpret=interpret,
-                           max_walkers=nwalkers)
+
+def replan_wchunk(tables, model, nwalkers: int,
+                  budget: int = _SCOPED_VMEM_BUDGET) -> int | None:
+    """Re-pick the walker chunk for a different ensemble size from
+    already-built tables (table construction costs seconds on a 35k-line
+    catalog; the sharded composition plans per-DEVICE walker counts from
+    the single plan the pipeline already made)."""
+    qm = model.q_model
+    n_states = 0 if qm.kind == "analytic" else int(np.size(qm.g))
+    return _pick_wchunk(tables, int(model.n_channels), n_states, nwalkers,
+                        budget)
