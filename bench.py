@@ -553,6 +553,43 @@ def bench_dense() -> dict:
     }
 
 
+DENSE_GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "golden", "dense_synth.npz")
+
+
+def bench_dense_full_fit() -> dict:
+    """Default-scale end-to-end dense aromatic fit (VERDICT r3 item 4; the
+    dense analogue of the flagship HC5N full run): 128 walkers x 10,000
+    steps through the real SpectralFit pipeline — MLE Ncol init, the
+    auto-selected sparse gather path, the fused channel-major step kernel
+    when its plan is viable — on the committed reduced datagrid of the
+    1-cyanonaphthalene synthetic observation (tests/golden/dense_synth.npz,
+    regenerable with `tools/dense_full_fit.py synth`; the raw-spectrum
+    reduction itself is host work benchmarked nowhere near the chip, so the
+    driver round skips it). Reports wall, rate, acceptance, the sampler
+    class that auto-selection picked, and truth-recovery z-scores."""
+    import contextlib
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.dense_full_fit import run_fit_from_datagrid
+
+    with contextlib.redirect_stdout(sys.stderr):  # keep stdout JSON-only
+        stats = run_fit_from_datagrid(nruns=10_000, nwalkers=NWALKERS)
+    return {
+        "n_lines_covered": stats["n_lines_covered"],
+        "n_channels": stats["n_channels"],
+        "nwalkers": stats["nwalkers"],
+        "nruns": stats["nruns"],
+        "sampler": stats["sampler"],
+        "wall_seconds": stats["wall_seconds"],
+        "walker_steps_per_sec": stats["walker_steps_per_sec"],
+        "acceptance": stats["acceptance"],
+        "recovery_z_max": stats["recovery_z_max"],
+        "ess_min": round(min(stats["ess"].values()), 1),
+        "tau_max": round(max(stats["tau"].values()), 1),
+    }
+
+
 def _reference_lnprob_factory():
     """One reference-fidelity lnprob evaluation on the CPU (see module doc)."""
     means = np.array([3.4e10, 8.0, 4.3, 0.7575])
@@ -723,6 +760,7 @@ def _assemble(results: dict, probe: dict) -> dict:
     else:
         result["tpu_error"] = tpu.get("error", "section did not run")
     result["dense_catalog_1cyanonaphthalene"] = results.get("dense")
+    result["dense_full_fit"] = results.get("dense_full_fit")
     result["saturation_8192_walkers"] = results.get("large")
     result["gotham_14dim_multifit"] = results.get("gotham")
     return result
@@ -795,6 +833,10 @@ def default_sections():
         ("tpu", bench_tpu, True),
         ("dense",
          lambda: bench_dense() if os.path.exists(DENSE_CAT) else None, True),
+        ("dense_full_fit",
+         lambda: bench_dense_full_fit()
+         if os.path.exists(DENSE_GOLDEN) and os.path.exists(DENSE_CAT)
+         else None, True),
         ("large", bench_large, True),
         ("gotham",
          lambda: bench_multifit() if os.path.exists(os.path.join(

@@ -24,10 +24,13 @@ from cha1_mcmc_tpu.parallel.sharded import (
 )
 from cha1_mcmc_tpu.parallel.sharded_fused import (
     fused_sharded_supported,
+    make_fused_gather_sharded_runner,
     make_fused_sharded_runner,
+    plan_fused_gather_sharded,
 )
 
 __all__ = ["ShardedEnsembleSampler", "make_mesh", "make_sharded_runner",
            "make_sharded_sampler", "make_fused_sharded_runner",
+           "make_fused_gather_sharded_runner", "plan_fused_gather_sharded",
            "fused_sharded_supported",
            "pad_model_lines", "run_ensemble_sharded"]

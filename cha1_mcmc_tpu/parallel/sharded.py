@@ -318,19 +318,36 @@ class ShardedEnsembleSampler(EnsembleSampler):
     bounds: dict | None = None
     prior_means: object = None
     prior_stds: object = None
+    # Dense-catalog variant of the composition: the channel-major gather
+    # step kernel per device (parallel/sharded_fused.py:
+    # make_fused_gather_sharded_runner). gather_plan carries the
+    # (tables, per-device wchunk) pair so eligibility and construction
+    # share one table build.
+    use_fused_gather: bool = False
+    gather_plan: object = None
 
     def __post_init__(self):
         super().__post_init__()
         if self.mesh is None or self.model is None:
             raise ValueError("ShardedEnsembleSampler requires mesh and model")
-        if self.use_fused and self.bounds is None:
+        if (self.use_fused or self.use_fused_gather) and self.bounds is None:
             raise ValueError("use_fused requires bounds/prior_means/"
                              "prior_stds for the in-kernel prior")
         self._runners: dict[int, object] = {}
 
     def _runner(self, nsteps: int):
         if nsteps not in self._runners:
-            if self.use_fused:
+            if self.use_fused_gather:
+                from cha1_mcmc_tpu.parallel.sharded_fused import (
+                    make_fused_gather_sharded_runner)
+
+                self._runners[nsteps] = make_fused_gather_sharded_runner(
+                    self.model, self.spec, self.grid_ints, self.grid_yerrs,
+                    self.bounds, self.prior_means, self.prior_stds,
+                    self.mesh, nsteps, nwalkers=self.nwalkers,
+                    dv_max=self.dv_max, a=self.a, plan=self.gather_plan,
+                    interpret=self.interpret)
+            elif self.use_fused:
                 from cha1_mcmc_tpu.parallel.sharded_fused import (
                     make_fused_sharded_runner)
 
@@ -394,22 +411,37 @@ def make_sharded_sampler(*, n_devices: int, n_line_shards: int, nwalkers: int,
                          f"n_chains={n_chains}")
     mesh = make_mesh(n_devices // (n_line_shards * n_chains), n_line_shards,
                      n_chain_shards=n_chains)
+    use_fused_gather, gather_plan = False, None
     if use_fused:
-        # Keep the fused whole-step kernel on the mesh when eligible
-        # (single-component f32, no line shards, per-device working set in
-        # VMEM); otherwise fall back to the general mesh program.
-        from cha1_mcmc_tpu.parallel.sharded_fused import (
-            fused_sharded_supported)
+        eligible = (bounds is not None
+                    and spec.ncomp == 1
+                    and jnp.dtype(dtype) in (jnp.float32, jnp.float64))
+        if use_pallas:
+            # Dense catalogs: the channel-major gather step kernel per
+            # device. Walker sharding shrinks the per-device scoped-VMEM
+            # working set, so meshes can hold problems the single-device
+            # fused path cannot.
+            from cha1_mcmc_tpu.parallel.sharded_fused import (
+                plan_fused_gather_sharded)
 
-        use_fused = (bounds is not None
-                     and spec.ncomp == 1
-                     and jnp.dtype(dtype) in (jnp.float32, jnp.float64)
-                     and fused_sharded_supported(model, mesh, nwalkers))
+            if eligible and dv_max is not None:
+                gather_plan = plan_fused_gather_sharded(
+                    model, spec, mesh, nwalkers, dv_max)
+            use_fused_gather = gather_plan is not None
+            use_fused = False
+        else:
+            # Whole-grid fused step: per-device (h_local, L, C) in VMEM.
+            from cha1_mcmc_tpu.parallel.sharded_fused import (
+                fused_sharded_supported)
+
+            use_fused = (eligible
+                         and fused_sharded_supported(model, mesh, nwalkers))
     if verbose:
         from cha1_mcmc_tpu.constants import GRAY, RESET
 
         chains_txt = (f"chains={n_chains}, " if n_chains > 1 else "")
-        fused_txt = ", fused step kernel" if use_fused else ""
+        fused_txt = (", fused step kernel" if use_fused else
+                     ", fused gather step kernel" if use_fused_gather else "")
         print(f"{GRAY}Sampling on a {n_devices}-device mesh "
               f"({chains_txt}walkers={mesh.shape[WALKER_AXIS]}, "
               f"lines={mesh.shape[LINE_AXIS]}{fused_txt}).{RESET}")
@@ -418,4 +450,5 @@ def make_sharded_sampler(*, n_devices: int, n_line_shards: int, nwalkers: int,
         mesh=mesh, model=model, spec=spec, grid_ints=grid_ints,
         grid_yerrs=grid_yerrs, lnprior_fn=lnprior_fn, use_pallas=use_pallas,
         dv_max=dv_max, interpret=interpret, use_fused=use_fused,
-        bounds=bounds, prior_means=prior_means, prior_stds=prior_stds)
+        bounds=bounds, prior_means=prior_means, prior_stds=prior_stds,
+        use_fused_gather=use_fused_gather, gather_plan=gather_plan)

@@ -52,7 +52,8 @@ from cha1_mcmc_tpu.models.forward import forward_from_lines
 from cha1_mcmc_tpu.sampler.fused import (_make_dense_lnprob,
                                          single_statics_tables)
 
-__all__ = ["make_fused_sharded_runner", "fused_sharded_supported"]
+__all__ = ["make_fused_sharded_runner", "fused_sharded_supported",
+           "make_fused_gather_sharded_runner", "plan_fused_gather_sharded"]
 
 CHAIN_AXIS = "chains"
 WALKER_AXIS = "walkers"
@@ -85,16 +86,16 @@ def fused_sharded_supported(model, mesh: Mesh, nwalkers: int,
     return model_bytes + selector_bytes + q_bytes <= budget_bytes
 
 
-def _half_step_kernel(state_ref, active_ref, comp_ref, zu_ref, pair_ref,
-                      au_ref, lines_ref, vel_ref, chans_ref, qst_ref,
-                      out_state_ref, out_acc_ref, *, a, h, D, **statics):
+def _half_update(state_ref, active_ref, comp_ref, zu_ref, pair_ref,
+                 au_ref, out_state_ref, out_acc_ref, lnprob, *, a, h, D):
     """One fused half-update of the local ensemble against the gathered
     global complement — the in-kernel analogue of
     parallel/sharded.py:_half_step_sharded with sampler/fused.py's exact
     one-hot gather/scatter discipline (HIGHEST-precision matmuls keep
-    coordinates bitwise-equal to the general path's .at[].set)."""
-    lnprob = _make_dense_lnprob(lines_ref, vel_ref, chans_ref, qst_ref,
-                                **statics)
+    coordinates bitwise-equal to the general path's .at[].set). The
+    in-kernel `lnprob((h, D)) -> (h, 1)` is supplied by the caller: the
+    dense-grid formulation (_make_dense_lnprob) or the channel-major
+    gather tables (_make_gather_lnprob)."""
     state = state_ref[:]                                      # (Wl, D+1)
     Wl = state.shape[0]
     wdt = state.dtype
@@ -129,6 +130,184 @@ def _half_step_kernel(state_ref, active_ref, comp_ref, zu_ref, pair_ref,
                     precision=jax.lax.Precision.HIGHEST)
     out_state_ref[:] = jnp.where(acc_w > 0.5, newvals, state)
     out_acc_ref[0, 0] = jnp.sum(accept.astype(jnp.float32))
+
+
+def _half_step_kernel(state_ref, active_ref, comp_ref, zu_ref, pair_ref,
+                      au_ref, lines_ref, vel_ref, chans_ref, qst_ref,
+                      out_state_ref, out_acc_ref, *, a, h, D, **statics):
+    """Dense-grid half-step: in-VMEM (h, L, C) forward model."""
+    lnprob = _make_dense_lnprob(lines_ref, vel_ref, chans_ref, qst_ref,
+                                **statics)
+    _half_update(state_ref, active_ref, comp_ref, zu_ref, pair_ref, au_ref,
+                 out_state_ref, out_acc_ref, lnprob, a=a, h=h, D=D)
+
+
+def _half_step_kernel_gather(state_ref, active_ref, comp_ref, zu_ref,
+                             pair_ref, au_ref, lines1_ref, vel1_ref,
+                             lines2_ref, vel2_ref, scat_ref, chans_ref,
+                             qst_ref, out_state_ref, out_acc_ref, *,
+                             a, h, D, **statics):
+    """Dense-catalog half-step: channel-major gather tables with tau
+    recomputed per table entry (sampler/fused_gather.py), in VMEM-sized
+    walker chunks."""
+    from cha1_mcmc_tpu.sampler.fused_gather import _make_gather_lnprob
+
+    lnprob = _make_gather_lnprob(lines1_ref, vel1_ref, lines2_ref, vel2_ref,
+                                 scat_ref, chans_ref, qst_ref, **statics)
+    _half_update(state_ref, active_ref, comp_ref, zu_ref, pair_ref, au_ref,
+                 out_state_ref, out_acc_ref, lnprob, a=a, h=h, D=D)
+
+
+def plan_fused_gather_sharded(model, spec, mesh: Mesh, nwalkers: int,
+                              dv_max: float, tables=None,
+                              min_saving: float = 1.3):
+    """Per-device plan for the DENSE fused-sharded composition (the
+    channel-major gather kernel on a walker-sharded mesh), or None when
+    ineligible. The walker chunk is re-picked for the per-device ensemble
+    size — walker sharding SHRINKS the kernel's scoped-VMEM working set,
+    so catalogs too big for the single-device fused path can regain it on
+    a mesh. Pass prebuilt `tables` (from build_dense_tables or an existing
+    plan) to skip the seconds-scale host table construction."""
+    from cha1_mcmc_tpu.sampler.fused_gather import (build_dense_tables,
+                                                    replan_wchunk)
+
+    if spec.ncomp != 1:
+        return None
+    if LINE_AXIS in mesh.shape and mesh.shape[LINE_AXIS] != 1:
+        return None
+    n_c = mesh.shape.get(CHAIN_AXIS, 1)
+    n_w = mesh.shape[WALKER_AXIS]
+    if nwalkers % (2 * n_c * n_w):
+        return None
+    w_local = nwalkers // (n_c * n_w)
+    if tables is None:
+        tables = build_dense_tables(model, dv_max, min_saving=min_saving)
+    wchunk = replan_wchunk(tables, model, w_local)
+    return None if wchunk is None else (tables, wchunk)
+
+
+def make_fused_gather_sharded_runner(
+    model,
+    spec,
+    grid_ints,
+    grid_yerrs,
+    bounds,
+    prior_means,
+    prior_stds,
+    mesh: Mesh,
+    nsteps: int,
+    nwalkers: int,
+    dv_max: float,
+    a: float = 2.0,
+    plan=None,
+    interpret: bool = False,
+):
+    """The dense-catalog analogue of make_fused_sharded_runner: each
+    half-update is one channel-major gather Pallas program per device
+    (sampler/fused_gather.py's table layout and VMEM-chunked lnprob)
+    between the two per-step all_gathers. Same mesh contract, PRNG
+    stream, and split semantics as make_sharded_runner.
+
+    Entry lnp reuses _make_gather_lnprob with plain arrays — the exact
+    numerics definition the kernel compiles — so entry and in-chain lnp
+    share one formulation (the general sharded dense path instead uses
+    the block-sparse Pallas kernel: trajectories agree on tested streams,
+    lnp to f32 ulps; see sampler/fused.py's discussion)."""
+    from cha1_mcmc_tpu.sampler.fused_gather import (_make_gather_lnprob,
+                                                    gather_statics_tables)
+
+    if plan is None:
+        plan = plan_fused_gather_sharded(model, spec, mesh, nwalkers, dv_max)
+    if plan is None:
+        raise ValueError("dense fused-sharded composition ineligible for "
+                         "this (model, spec, mesh, nwalkers) — check "
+                         "plan_fused_gather_sharded first")
+    statics, tables = gather_statics_tables(
+        model, spec, grid_ints, grid_yerrs, bounds, prior_means, prior_stds,
+        plan)
+    n_w = mesh.shape[WALKER_AXIS]
+    n_c = mesh.shape.get(CHAIN_AXIS, 1)
+    dtype = model.dtype
+
+    table_specs = tuple(P() for _ in tables)  # replicated (no line shards)
+    W_SPEC = (CHAIN_AXIS, WALKER_AXIS)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(table_specs, P(W_SPEC, None), P()),
+        out_specs=(P(None, W_SPEC, None), P(None, W_SPEC), P(),
+                   P(W_SPEC, None), P(W_SPEC)),
+        check_vma=False,
+    )
+    def sharded_run(tables_dev, pos_local, key):
+        W_local, D = pos_local.shape
+        h = W_local // 2
+        n_comp = h * n_w
+        w_idx = (jax.lax.axis_index(CHAIN_AXIS) * n_w
+                 + jax.lax.axis_index(WALKER_AXIS))
+
+        entry_lnprob = _make_gather_lnprob(*tables_dev, **statics)
+        lnp_local = entry_lnprob(jnp.asarray(pos_local, dtype))[:, 0]
+        fmin = jnp.finfo(dtype).min
+        lnp_local = jnp.where(jnp.isfinite(lnp_local), lnp_local, fmin)
+
+        # Bulk pre-generated randomness: make_sharded_runner's exact
+        # stream (fold by walker-shard; perms/z/pair/acc in that order).
+        k = jax.random.fold_in(key, w_idx)
+        k_perm, k_z, k_pair, k_acc = jax.random.split(k, 4)
+        perms = jnp.argsort(
+            jax.random.uniform(k_perm, (nsteps, W_local)), axis=1)
+        z_u = jax.random.uniform(k_z, (nsteps, 2, h), dtype=pos_local.dtype)
+        pair = jax.random.randint(k_pair, (nsteps, 2, h), 0, n_comp)
+        acc_u = jax.random.uniform(k_acc, (nsteps, 2, h),
+                                   dtype=pos_local.dtype)
+
+        call = pl.pallas_call(
+            functools.partial(_half_step_kernel_gather, a=a, h=h, D=D,
+                              **statics),
+            out_shape=(jax.ShapeDtypeStruct((W_local, D + 1), dtype),
+                       jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+            interpret=interpret,
+        )
+
+        def one_step(carry, xs):
+            state = carry                                     # (Wl, D+1)
+            perm, zu, pr, au = xs
+            acc = jnp.float32(0.0)
+            for half in range(2):
+                active = perm[half * h:(half + 1) * h]
+                comp_idx = perm[(1 - half) * h:(2 - half) * h]
+                comp = jax.lax.all_gather(state[comp_idx, :D], WALKER_AXIS,
+                                          axis=0, tiled=True)
+                state, a_h = call(state, active[:, None], comp,
+                                  zu[half][None, :], pr[half][None, :],
+                                  au[half][None, :], *tables_dev)
+                acc = acc + a_h[0, 0]
+            acc = jax.lax.psum(acc, (CHAIN_AXIS, WALKER_AXIS))
+            return state, (state[:, :D], state[:, D], acc)
+
+        state0 = jnp.concatenate([pos_local, lnp_local[:, None]], axis=1)
+        state, (chain, lnps, accepted) = jax.lax.scan(
+            one_step, state0, (perms, z_u, pair, acc_u))
+        lnps = jnp.where(lnps == fmin, -jnp.inf, lnps)
+        lnp = jnp.where(state[:, D] == fmin, -jnp.inf, state[:, D])
+        return chain, lnps, accepted, state[:, :D], lnp
+
+    jitted = jax.jit(sharded_run)
+
+    def runner(pos0, key):
+        W, D = pos0.shape
+        if W != nwalkers:
+            raise ValueError(
+                f"pos0 carries {W} walkers but the per-device plan (and "
+                f"its scoped-VMEM gate) was sized for nwalkers={nwalkers}; "
+                f"rebuild the runner")
+        pos0 = jax.device_put(jnp.asarray(pos0, dtype=dtype))
+        chain, lnps, accepted, pos, lnp = jitted(tables, pos0, key)
+        return chain, lnps, accepted, (pos, lnp)
+
+    return runner
 
 
 def make_fused_sharded_runner(

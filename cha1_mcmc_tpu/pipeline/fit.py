@@ -240,10 +240,15 @@ class SpectralFit:
                 # program per device between the two per-step
                 # all_gathers) when eligible — keeps the us-regime step
                 # on the mesh instead of reverting to the general scan.
+                # make_sharded_sampler routes by use_pallas: whole-grid
+                # kernel for small models, channel-major gather kernel
+                # for dense catalogs (walker sharding shrinks the
+                # per-device scoped-VMEM working set, so meshes regain
+                # the fused step on problems a single chip cannot hold).
                 # Not on CPU (same interpreter-tracing-cost rationale as
                 # the single-device fused selection below; direct
-                # make_fused_sharded_runner calls cover CPU tests).
-                use_fused=(cfg.use_fused_step and not use_pallas
+                # make_fused_*_sharded_runner calls cover CPU tests).
+                use_fused=(cfg.use_fused_step
                            and jax.default_backend() != "cpu"),
                 bounds=cfg.bounds, prior_means=prior_means,
                 prior_stds=prior_stds,

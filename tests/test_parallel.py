@@ -377,3 +377,116 @@ def test_fused_sharded_falls_back_when_ineligible(hc5n_problem,
         prior_means=np.array([3.4e10, 8.0, 4.3, 0.7575]),
         prior_stds=np.array([0.34e10, 3.0, 0.06, 0.22]), verbose=False)
     assert not sampler.use_fused
+
+
+@requires_reference
+@pytest.mark.parametrize("mesh_shape", [(2, 1), (4, 1)])
+def test_fused_gather_sharded_matches_general(hc5n_problem, hc5n_datagrid,
+                                              mesh_shape):
+    """The DENSE fused-sharded composition (channel-major gather step
+    kernel per device, parallel/sharded_fused.py:
+    make_fused_gather_sharded_runner) reproduces the general sharded mesh
+    program on the same PRNG stream. The in-kernel lnprob is the gather
+    -table formulation rather than the general path's forward_from_lines,
+    so lnp agrees to f32 ulps and trajectories are bitwise-equal on the
+    tested streams (the same caveat sampler/fused.py documents)."""
+    from cha1_mcmc_tpu.parallel import (make_fused_gather_sharded_runner,
+                                        make_sharded_runner)
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    lnprior = hc5n_problem["lnprior"]
+    grid = hc5n_datagrid
+    mesh = make_mesh(*mesh_shape)
+    bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
+              "vlsr": (3.0, 5.5), "dV": (0.4, 1.5)}
+    means = np.array([3.4e10, 8.0, 4.3, 0.7575])
+    stds = np.array([0.34e10, 3.0, 0.06, 0.22])
+    W, steps = 32, 24
+    rng = np.random.default_rng(0)
+    pos0 = np.array([3.24e12, 7.5, 4.11, 0.78]) * (
+        1 + 0.01 * rng.standard_normal((W, 4)))
+    key = jax.random.PRNGKey(0)
+
+    run_gen = make_sharded_runner(model, spec, grid.ints, grid.yerrs,
+                                  lnprior, mesh, steps)
+    cg, lg, ag, (pg, lpg) = run_gen(pos0, key)
+    run_fused = make_fused_gather_sharded_runner(
+        model, spec, grid.ints, grid.yerrs, bounds, means, stds,
+        mesh, steps, nwalkers=W, dv_max=bounds["dV"][1], interpret=True)
+    cf, lf, af, (pf, lpf) = run_fused(pos0, key)
+
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cg))
+    np.testing.assert_array_equal(np.asarray(pf), np.asarray(pg))
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lg), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(af, np.float32),
+                                  np.asarray(ag, np.float32))
+
+
+@requires_reference
+def test_fused_gather_sharded_sampler_contract(hc5n_problem, hc5n_datagrid,
+                                               tmp_path):
+    """make_sharded_sampler(use_fused=True, use_pallas=True) routes dense
+    configs to the gather step kernel (use_fused_gather) and keeps the
+    full sampler contract: chain layout, checkpoint file, .state.npz
+    exact resume."""
+    from cha1_mcmc_tpu.parallel import make_sharded_sampler
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    lnprior = hc5n_problem["lnprior"]
+    grid = hc5n_datagrid
+    bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
+              "vlsr": (3.0, 5.5), "dV": (0.4, 1.5)}
+    means = np.array([3.4e10, 8.0, 4.3, 0.7575])
+    stds = np.array([0.34e10, 3.0, 0.06, 0.22])
+    W, steps = 32, 16
+    kwargs = dict(n_devices=2, n_line_shards=1, nwalkers=W, ndim=4, a=2.0,
+                  dtype=jnp.float32, model=model, spec=spec,
+                  grid_ints=grid.ints, grid_yerrs=grid.yerrs,
+                  lnprior_fn=lnprior, use_pallas=True, dv_max=1.5,
+                  use_fused=True, bounds=bounds, prior_means=means,
+                  prior_stds=stds, verbose=False, interpret=True)
+    sampler = make_sharded_sampler(**kwargs)
+    assert sampler.use_fused_gather  # dense routing picked the gather kernel
+    assert not sampler.use_fused
+    rng = np.random.default_rng(0)
+    pos0 = np.array([3.24e12, 7.5, 4.11, 0.78]) * (
+        1 + 0.01 * rng.standard_normal((W, 4)))
+    chain_file = str(tmp_path / "chain.npy")
+    key = jax.random.PRNGKey(7)
+    sampler.run_mcmc(pos0, steps, key, checkpoint_every=8,
+                     chain_file=chain_file)
+    assert sampler.chain.shape == (W, steps, 4)
+    assert 0.05 < sampler.acceptance_fraction < 0.95
+
+    # Exact resume from the .state.npz sidecar vs an uninterrupted run.
+    full = make_sharded_sampler(**kwargs)
+    full.run_mcmc(pos0, 2 * steps, key, checkpoint_every=8)
+    resumed = make_sharded_sampler(**kwargs)
+    state = resumed.load_state(chain_file)
+    assert state is not None
+    pos, lnp, saved_key = state
+    resumed.preload(np.load(chain_file))
+    resumed.run_mcmc(pos, steps, saved_key, checkpoint_every=8, lnp0=lnp)
+    np.testing.assert_array_equal(resumed.chain, full.chain)
+
+
+@requires_reference
+def test_fused_gather_sharded_falls_back_when_ineligible(hc5n_problem,
+                                                         hc5n_datagrid):
+    """Line-sharded dense meshes keep the general path: use_fused with
+    use_pallas degrades gracefully instead of failing in
+    make_fused_gather_sharded_runner."""
+    from cha1_mcmc_tpu.parallel import make_sharded_sampler
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    grid = hc5n_datagrid
+    bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
+              "vlsr": (3.0, 5.5), "dV": (0.4, 1.5)}
+    sampler = make_sharded_sampler(
+        n_devices=4, n_line_shards=2, nwalkers=16, ndim=4, a=2.0,
+        dtype=jnp.float32, model=model, spec=spec, grid_ints=grid.ints,
+        grid_yerrs=grid.yerrs, lnprior_fn=hc5n_problem["lnprior"],
+        use_pallas=True, dv_max=1.5, use_fused=True, bounds=bounds,
+        prior_means=np.array([3.4e10, 8.0, 4.3, 0.7575]),
+        prior_stds=np.array([0.34e10, 3.0, 0.06, 0.22]), verbose=False)
+    assert not sampler.use_fused_gather and not sampler.use_fused
