@@ -23,8 +23,10 @@ from cha1_mcmc_tpu.parallel.sharded import (
     run_ensemble_sharded,
 )
 from cha1_mcmc_tpu.parallel.sharded_fused import (
+    fused_multi_sharded_supported,
     fused_sharded_supported,
     make_fused_gather_sharded_runner,
+    make_fused_multi_sharded_runner,
     make_fused_sharded_runner,
     plan_fused_gather_sharded,
 )
@@ -32,5 +34,6 @@ from cha1_mcmc_tpu.parallel.sharded_fused import (
 __all__ = ["ShardedEnsembleSampler", "make_mesh", "make_sharded_runner",
            "make_sharded_sampler", "make_fused_sharded_runner",
            "make_fused_gather_sharded_runner", "plan_fused_gather_sharded",
+           "make_fused_multi_sharded_runner", "fused_multi_sharded_supported",
            "fused_sharded_supported",
            "pad_model_lines", "run_ensemble_sharded"]

@@ -325,6 +325,12 @@ class ShardedEnsembleSampler(EnsembleSampler):
     # share one table build.
     use_fused_gather: bool = False
     gather_plan: object = None
+    # Multi-component variant: the transposed-layout compact-span
+    # half-step kernel per device (parallel/sharded_fused.py:
+    # make_fused_multi_sharded_runner) — the GOTHAM-class 14-dim fit's
+    # fused step on the mesh. Its in-kernel ordered-velocity prior comes
+    # from prior_means/prior_stds + dv_max (no bounds dict).
+    use_fused_multi: bool = False
 
     def __post_init__(self):
         super().__post_init__()
@@ -333,11 +339,23 @@ class ShardedEnsembleSampler(EnsembleSampler):
         if (self.use_fused or self.use_fused_gather) and self.bounds is None:
             raise ValueError("use_fused requires bounds/prior_means/"
                              "prior_stds for the in-kernel prior")
+        if self.use_fused_multi and self.prior_means is None:
+            raise ValueError("use_fused_multi requires prior_means/"
+                             "prior_stds for the in-kernel ordered prior")
         self._runners: dict[int, object] = {}
 
     def _runner(self, nsteps: int):
         if nsteps not in self._runners:
-            if self.use_fused_gather:
+            if self.use_fused_multi:
+                from cha1_mcmc_tpu.parallel.sharded_fused import (
+                    make_fused_multi_sharded_runner)
+
+                self._runners[nsteps] = make_fused_multi_sharded_runner(
+                    self.model, self.spec, self.grid_ints, self.grid_yerrs,
+                    self.lnprior_fn, self.prior_means, self.prior_stds,
+                    self.mesh, nsteps, nwalkers=self.nwalkers,
+                    dv_max=self.dv_max, a=self.a, interpret=self.interpret)
+            elif self.use_fused_gather:
                 from cha1_mcmc_tpu.parallel.sharded_fused import (
                     make_fused_gather_sharded_runner)
 
@@ -411,8 +429,22 @@ def make_sharded_sampler(*, n_devices: int, n_line_shards: int, nwalkers: int,
                          f"n_chains={n_chains}")
     mesh = make_mesh(n_devices // (n_line_shards * n_chains), n_line_shards,
                      n_chain_shards=n_chains)
-    use_fused_gather, gather_plan = False, None
-    if use_fused:
+    use_fused_gather, gather_plan, use_fused_multi = False, None, False
+    if use_fused and spec.ncomp > 1:
+        # Multi-component family: the transposed-layout compact-span
+        # half-step kernel (its in-kernel prior is the ordered-velocity
+        # family, so it needs prior_means/stds + dv_max, not bounds).
+        from cha1_mcmc_tpu.parallel.sharded_fused import (
+            fused_multi_sharded_supported)
+
+        use_fused_multi = (prior_means is not None
+                           and dv_max is not None
+                           and spec.free_source_size
+                           and jnp.dtype(dtype) == jnp.float32
+                           and fused_multi_sharded_supported(
+                               model, spec, dv_max, mesh, nwalkers))
+        use_fused = False
+    elif use_fused:
         eligible = (bounds is not None
                     and spec.ncomp == 1
                     and jnp.dtype(dtype) in (jnp.float32, jnp.float64))
@@ -441,7 +473,8 @@ def make_sharded_sampler(*, n_devices: int, n_line_shards: int, nwalkers: int,
 
         chains_txt = (f"chains={n_chains}, " if n_chains > 1 else "")
         fused_txt = (", fused step kernel" if use_fused else
-                     ", fused gather step kernel" if use_fused_gather else "")
+                     ", fused gather step kernel" if use_fused_gather else
+                     ", fused multi step kernel" if use_fused_multi else "")
         print(f"{GRAY}Sampling on a {n_devices}-device mesh "
               f"({chains_txt}walkers={mesh.shape[WALKER_AXIS]}, "
               f"lines={mesh.shape[LINE_AXIS]}{fused_txt}).{RESET}")
@@ -451,4 +484,5 @@ def make_sharded_sampler(*, n_devices: int, n_line_shards: int, nwalkers: int,
         grid_yerrs=grid_yerrs, lnprior_fn=lnprior_fn, use_pallas=use_pallas,
         dv_max=dv_max, interpret=interpret, use_fused=use_fused,
         bounds=bounds, prior_means=prior_means, prior_stds=prior_stds,
-        use_fused_gather=use_fused_gather, gather_plan=gather_plan)
+        use_fused_gather=use_fused_gather, gather_plan=gather_plan,
+        use_fused_multi=use_fused_multi)

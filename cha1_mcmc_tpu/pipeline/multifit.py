@@ -222,7 +222,17 @@ class MultiComponentFit:
                 nwalkers=cfg.nwalkers, ndim=cfg.ndim, a=cfg.stretch_a,
                 dtype=self.dtype, model=model, spec=self.spec,
                 grid_ints=grid.ints, grid_yerrs=grid.yerrs,
-                lnprior_fn=lnprior, n_chains=cfg.n_chains)
+                lnprior_fn=lnprior, n_chains=cfg.n_chains,
+                # Keep the fused step on the mesh when eligible: the
+                # transposed-layout multi-component half-step kernel per
+                # device between the two per-step all_gathers (not on
+                # CPU — same interpreter-tracing-cost rationale as the
+                # single-component selection in pipeline/fit.py; direct
+                # make_fused_multi_sharded_runner calls cover CPU tests).
+                use_fused=(cfg.use_fused_step
+                           and jax.default_backend() != "cpu"),
+                dv_max=cfg.dv_bound, prior_means=prior_means,
+                prior_stds=prior_stds)
         elif cfg.n_chains > 1:
             # K independent ensembles (cross-chain R-hat); the fused
             # multi-component kernel rides along vmapped over the chain

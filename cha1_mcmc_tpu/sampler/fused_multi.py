@@ -63,7 +63,7 @@ from cha1_mcmc_tpu.constants import (FWHM_TO_SIGMA_MODEL, KCM,
 from cha1_mcmc_tpu.ops.lte import planck_J, beam_dilution, tau_sticks
 
 __all__ = ["make_fused_ensemble_multi", "fused_multi_supported",
-           "window_extents"]
+           "multi_statics_tables", "window_extents"]
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -223,29 +223,32 @@ def fused_multi_supported(model, spec, dv_max: float,
     return est <= vmem_budget
 
 
-def _multi_step_kernel(state_ref, permr_ref, permc_ref, zu_ref, pair_ref,
-                       au_ref, lines_ref, qst_ref, velc_ref, chans_ref,
-                       out_chain_ref, out_lnps_ref, out_acc_ref, opac_ref,
-                       flat_ref, *,
-                       a, h, k_steps, K, D, dish_size, Tbg, mask_center,
+def _make_multi_lnprob(lines, qst, velc_in, chans, opac_ref, flat_ref, *,
+                       h, K, dish_size, Tbg, mask_center,
                        q_kind, q_coeffs, q_power, q_scale, chunk_plan,
                        ss_bounds, ncol_bounds, tex_min,
                        dv_bound, vlsr_min_sep, vlsr_max_sep, mean_ss,
                        std_ss, mean_tex, std_tex, mean_vlsr, std_vlsr,
                        mean_dv, std_dv):
-    W = state_ref.shape[1]
+    """Transposed-layout lnprob from the compact-span tables,
+    (D, h) -> (1, h) — the multi-component LTE forward model, radiative
+    transfer, and ordered-velocity prior of _multi_step_kernel's hot
+    loop, factored out so the whole-step kernel (Pallas refs) and the
+    sharded half-step composition (parallel/sharded_fused.py, same refs
+    at the per-device half size) share one numerics definition.
+    `opac_ref` / `flat_ref` are VMEM scratch sized (C, K*h) / (8, K*h)."""
     Kh = K * h
-    C = chans_ref.shape[0]
-    lf, le, la_, lg, lgl = (lines_ref[:, i:i + 1] for i in range(5))
-    gf = chans_ref[:, 0:1]
-    y = chans_ref[:, 1:2]
-    isig = chans_ref[:, 2:3]
-    velc = velc_ref[:]                                    # (La, Wc, 1)
+    C = chans.shape[0]
+    lf, le, la_, lg, lgl = (lines[:, i:i + 1] for i in range(5))
+    gf = chans[:, 0:1]
+    y = chans[:, 1:2]
+    isig = chans[:, 2:3]
+    velc = velc_in[:]                                     # (La, Wc, 1)
 
     def q_of(Tex):                                        # (1, h) -> (1, h)
         if q_kind == "states":
-            g_col = qst_ref[:, 0:1]                       # (S, 1)
-            E_col = qst_ref[:, 1:2]
+            g_col = qst[:, 0:1]                           # (S, 1)
+            E_col = qst[:, 1:2]
             boltz = jnp.exp(-E_col / (KCM * Tex))         # (S, h)
             return jnp.sum(g_col * boltz, axis=0, keepdims=True)
         q = jnp.zeros_like(Tex)
@@ -350,6 +353,16 @@ def _multi_step_kernel(state_ref, permr_ref, permc_ref, zu_ref, pair_ref,
         val = lp + ll
         return jnp.where(jnp.isfinite(lp) & jnp.isfinite(ll), val, -jnp.inf)
 
+    return lnprob
+
+
+def _multi_step_kernel(state_ref, permr_ref, permc_ref, zu_ref, pair_ref,
+                       au_ref, lines_ref, qst_ref, velc_ref, chans_ref,
+                       out_chain_ref, out_lnps_ref, out_acc_ref, opac_ref,
+                       flat_ref, *, a, h, k_steps, K, D, **statics):
+    W = state_ref.shape[1]
+    lnprob = _make_multi_lnprob(lines_ref, qst_ref, velc_ref, chans_ref,
+                                opac_ref, flat_ref, h=h, K=K, **statics)
     wdt = state_ref.dtype
 
     def dot(x, s):  # exact one-hot contraction (f32 at HIGHEST precision)
@@ -403,31 +416,20 @@ def _multi_step_kernel(state_ref, permr_ref, permc_ref, zu_ref, pair_ref,
         out_acc_ref[step:step + 1, :] = step_acc
 
 
-def make_fused_ensemble_multi(model, spec, grid_ints, grid_yerrs,
-                              prior_means, prior_stds, *, dv_max: float,
-                              a: float = 2.0, ss_bounds=(0.0, 200.0),
-                              ncol_bounds=(0.0, 1e16), tex_min: float = 2.7,
-                              vlsr_min_sep: float = 0.05,
-                              vlsr_max_sep: float = 0.3,
-                              line_chunk: int | None = None,
-                              nwalkers: int = 128,
-                              interpret: bool = False):
-    """Build `run(pos0, lnp0, key, nsteps) -> (chain, lnps, accepted,
-    (pos, lnp))` with run_ensemble's exact contract and PRNG stream, each
-    ensemble step executing as one fused Pallas program.
-
-    Prior vocabulary matches ordered_velocity_lnprior (reference
-    TMC1_four_component.py:224-268): Gaussian on ss/Tex/vlsr/dV with
-    sigma_vlsr = 0.8*mean_dV and sigma_dV = 0.3*mean_dV, flat on Ncol,
-    hard bounds + velocity-ordering constraints. `dv_max` bounds BOTH the
-    prior box and the static window structure, exactly like
-    MultiFitConfig.dv_bound on the general gather path.
-    """
-    if not spec.free_source_size:
-        raise ValueError("fused multi path requires free source size "
-                         "(the ordered-velocity prior family)")
+def multi_statics_tables(model, spec, grid_ints, grid_yerrs,
+                         prior_means, prior_stds, *, dv_max: float,
+                         ss_bounds=(0.0, 200.0), ncol_bounds=(0.0, 1e16),
+                         tex_min: float = 2.7, vlsr_min_sep: float = 0.05,
+                         vlsr_max_sep: float = 0.3,
+                         line_chunk: int | None = None,
+                         nwalkers: int = 128):
+    """Static kwargs + device tables for the multi-component in-kernel
+    lnprob (_make_multi_lnprob) — shared by the whole-step kernel above
+    and the sharded half-step composition (parallel/sharded_fused.py).
+    `nwalkers` is the ensemble size RESIDENT IN ONE KERNEL CALL (the
+    per-device local ensemble on a mesh): the adaptive line chunking is
+    sized to its half, exactly as fused_multi_supported gates."""
     K = spec.ncomp
-    D = spec.ndim
     qm = model.q_model
 
     means = np.asarray(prior_means, dtype=np.float64)
@@ -473,12 +475,47 @@ def make_fused_ensemble_multi(model, spec, grid_ints, grid_yerrs,
                        1.0 / jnp.asarray(grid_yerrs, model.dtype) ** 2],
                       axis=1)                                     # (C, 3)
     velc = jnp.asarray(velc, model.dtype)
-
-    kernel = functools.partial(
-        _multi_step_kernel, a=a, K=K, D=D,
+    statics = dict(
         dish_size=float(model.dish_size), Tbg=float(model.Tbg),
         mask_center=float(model.mask_center), chunk_plan=plan,
         **q_static, **prior_kw)
+    return statics, (lines, qst, velc, chans)
+
+
+def make_fused_ensemble_multi(model, spec, grid_ints, grid_yerrs,
+                              prior_means, prior_stds, *, dv_max: float,
+                              a: float = 2.0, ss_bounds=(0.0, 200.0),
+                              ncol_bounds=(0.0, 1e16), tex_min: float = 2.7,
+                              vlsr_min_sep: float = 0.05,
+                              vlsr_max_sep: float = 0.3,
+                              line_chunk: int | None = None,
+                              nwalkers: int = 128,
+                              interpret: bool = False):
+    """Build `run(pos0, lnp0, key, nsteps) -> (chain, lnps, accepted,
+    (pos, lnp))` with run_ensemble's exact contract and PRNG stream, each
+    ensemble step executing as one fused Pallas program.
+
+    Prior vocabulary matches ordered_velocity_lnprior (reference
+    TMC1_four_component.py:224-268): Gaussian on ss/Tex/vlsr/dV with
+    sigma_vlsr = 0.8*mean_dV and sigma_dV = 0.3*mean_dV, flat on Ncol,
+    hard bounds + velocity-ordering constraints. `dv_max` bounds BOTH the
+    prior box and the static window structure, exactly like
+    MultiFitConfig.dv_bound on the general gather path.
+    """
+    if not spec.free_source_size:
+        raise ValueError("fused multi path requires free source size "
+                         "(the ordered-velocity prior family)")
+    K = spec.ncomp
+    D = spec.ndim
+    statics, tables = multi_statics_tables(
+        model, spec, grid_ints, grid_yerrs, prior_means, prior_stds,
+        dv_max=dv_max, ss_bounds=ss_bounds, ncol_bounds=ncol_bounds,
+        tex_min=tex_min, vlsr_min_sep=vlsr_min_sep,
+        vlsr_max_sep=vlsr_max_sep, line_chunk=line_chunk,
+        nwalkers=nwalkers)
+    lines, qst, velc, chans = tables
+
+    kernel = functools.partial(_multi_step_kernel, a=a, K=K, D=D, **statics)
 
     @functools.partial(jax.jit, static_argnames=("nsteps", "k_steps"))
     def run(pos0, lnp0, key, nsteps: int, k_steps: int = 16):

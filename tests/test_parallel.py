@@ -490,3 +490,114 @@ def test_fused_gather_sharded_falls_back_when_ineligible(hc5n_problem,
         prior_means=np.array([3.4e10, 8.0, 4.3, 0.7575]),
         prior_stds=np.array([0.34e10, 3.0, 0.06, 0.22]), verbose=False)
     assert not sampler.use_fused_gather and not sampler.use_fused
+
+
+@requires_reference
+@pytest.mark.parametrize("mesh_shape", [(2, 1), (4, 1)])
+def test_fused_multi_sharded_matches_general(hc9n_problem, mesh_shape):
+    """The MULTI-COMPONENT fused-sharded composition (transposed-layout
+    half-step kernel per device, parallel/sharded_fused.py:
+    make_fused_multi_sharded_runner) reproduces the general sharded mesh
+    program on the same PRNG stream for the 14-dim 4-component GOTHAM fit
+    (reference TMC1_four_component.py). The in-kernel lnprob is the
+    compact-span formulation rather than forward_from_lines, so lnp
+    agrees to f32 ulps and trajectories are bitwise-equal on the tested
+    streams (the caveat sampler/fused_multi.py documents)."""
+    from cha1_mcmc_tpu.inference import ordered_velocity_lnprior
+    from cha1_mcmc_tpu.parallel import (make_fused_multi_sharded_runner,
+                                        make_sharded_runner)
+
+    model, spec, grid = (hc9n_problem["model"], hc9n_problem["spec"],
+                         hc9n_problem["grid"])
+    means, stds = hc9n_problem["means"], hc9n_problem["stds"]
+    dv_bound = hc9n_problem["dv_bound"]
+    lnprior = ordered_velocity_lnprior(spec, means, stds, dv_max=dv_bound)
+    mesh = make_mesh(*mesh_shape)
+    W, steps = 32, 16
+    rng = np.random.default_rng(5)
+    pos0 = means + hc9n_problem["perturbation"] * rng.standard_normal(
+        (W, spec.ndim))
+    key = jax.random.PRNGKey(3)
+
+    run_gen = make_sharded_runner(model, spec, grid.ints, grid.yerrs,
+                                  lnprior, mesh, steps)
+    cg, lg, ag, (pg, lpg) = run_gen(pos0, key)
+    run_fused = make_fused_multi_sharded_runner(
+        model, spec, grid.ints, grid.yerrs, lnprior, means, stds,
+        mesh, steps, nwalkers=W, dv_max=dv_bound, interpret=True)
+    cf, lf, af, (pf, lpf) = run_fused(pos0, key)
+
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cg))
+    np.testing.assert_array_equal(np.asarray(pf), np.asarray(pg))
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lg), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(af, np.float32),
+                                  np.asarray(ag, np.float32))
+
+
+@requires_reference
+def test_fused_multi_sharded_sampler_contract(hc9n_problem, tmp_path):
+    """make_sharded_sampler(use_fused=True) routes multi-component
+    configs to the transposed-layout half-step kernel (use_fused_multi)
+    and keeps the full sampler contract: chain layout, checkpoint file,
+    .state.npz exact resume."""
+    from cha1_mcmc_tpu.inference import ordered_velocity_lnprior
+    from cha1_mcmc_tpu.parallel import make_sharded_sampler
+
+    model, spec, grid = (hc9n_problem["model"], hc9n_problem["spec"],
+                         hc9n_problem["grid"])
+    means, stds = hc9n_problem["means"], hc9n_problem["stds"]
+    dv_bound = hc9n_problem["dv_bound"]
+    lnprior = ordered_velocity_lnprior(spec, means, stds, dv_max=dv_bound)
+    W, steps = 32, 16
+    kwargs = dict(n_devices=2, n_line_shards=1, nwalkers=W, ndim=spec.ndim,
+                  a=2.0, dtype=jnp.float32, model=model, spec=spec,
+                  grid_ints=grid.ints, grid_yerrs=grid.yerrs,
+                  lnprior_fn=lnprior, dv_max=dv_bound, use_fused=True,
+                  prior_means=means, prior_stds=stds, verbose=False,
+                  interpret=True)
+    sampler = make_sharded_sampler(**kwargs)
+    assert sampler.use_fused_multi  # multi routing picked the fused kernel
+    assert not sampler.use_fused and not sampler.use_fused_gather
+    rng = np.random.default_rng(0)
+    pos0 = means + hc9n_problem["perturbation"] * rng.standard_normal(
+        (W, spec.ndim))
+    chain_file = str(tmp_path / "chain.npy")
+    key = jax.random.PRNGKey(7)
+    sampler.run_mcmc(pos0, steps, key, checkpoint_every=8,
+                     chain_file=chain_file)
+    assert sampler.chain.shape == (W, steps, spec.ndim)
+    assert 0.05 < sampler.acceptance_fraction < 0.95
+
+    # Exact resume from the .state.npz sidecar vs an uninterrupted run.
+    full = make_sharded_sampler(**kwargs)
+    full.run_mcmc(pos0, 2 * steps, key, checkpoint_every=8)
+    resumed = make_sharded_sampler(**kwargs)
+    state = resumed.load_state(chain_file)
+    assert state is not None
+    pos, lnp, saved_key = state
+    resumed.preload(np.load(chain_file))
+    resumed.run_mcmc(pos, steps, saved_key, checkpoint_every=8, lnp0=lnp)
+    np.testing.assert_array_equal(resumed.chain, full.chain)
+
+
+@requires_reference
+def test_fused_multi_sharded_falls_back_when_ineligible(hc9n_problem):
+    """Line-sharded multi-component meshes keep the general path:
+    use_fused degrades gracefully instead of failing in
+    make_fused_multi_sharded_runner."""
+    from cha1_mcmc_tpu.inference import ordered_velocity_lnprior
+    from cha1_mcmc_tpu.parallel import make_sharded_sampler
+
+    model, spec, grid = (hc9n_problem["model"], hc9n_problem["spec"],
+                         hc9n_problem["grid"])
+    means, stds = hc9n_problem["means"], hc9n_problem["stds"]
+    lnprior = ordered_velocity_lnprior(spec, means, stds,
+                                       dv_max=hc9n_problem["dv_bound"])
+    sampler = make_sharded_sampler(
+        n_devices=4, n_line_shards=2, nwalkers=16, ndim=spec.ndim, a=2.0,
+        dtype=jnp.float32, model=model, spec=spec, grid_ints=grid.ints,
+        grid_yerrs=grid.yerrs, lnprior_fn=lnprior,
+        dv_max=hc9n_problem["dv_bound"], use_fused=True, prior_means=means,
+        prior_stds=stds, verbose=False)
+    assert not sampler.use_fused_multi
+    assert not sampler.use_fused and not sampler.use_fused_gather
