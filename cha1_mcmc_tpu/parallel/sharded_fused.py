@@ -147,15 +147,17 @@ def _half_step_kernel(state_ref, active_ref, comp_ref, zu_ref, pair_ref,
 def _half_step_kernel_gather(state_ref, active_ref, comp_ref, zu_ref,
                              pair_ref, au_ref, lines1_ref, vel1_ref,
                              lines2_ref, vel2_ref, scat_ref, chans_ref,
-                             qst_ref, out_state_ref, out_acc_ref, *,
-                             a, h, D, **statics):
+                             qst_ref, out_state_ref, out_acc_ref,
+                             lnp_scratch_ref, *, a, h, D, **statics):
     """Dense-catalog half-step: channel-major gather tables with tau
     recomputed per table entry (sampler/fused_gather.py), in VMEM-sized
-    walker chunks."""
+    walker chunks whose results store into scratch (the LIFO scoped-stack
+    discipline _make_gather_lnprob documents)."""
     from cha1_mcmc_tpu.sampler.fused_gather import _make_gather_lnprob
 
     lnprob = _make_gather_lnprob(lines1_ref, vel1_ref, lines2_ref, vel2_ref,
-                                 scat_ref, chans_ref, qst_ref, **statics)
+                                 scat_ref, chans_ref, qst_ref,
+                                 out_scratch=lnp_scratch_ref, **statics)
     _half_update(state_ref, active_ref, comp_ref, zu_ref, pair_ref, au_ref,
                  out_state_ref, out_acc_ref, lnprob, a=a, h=h, D=D)
 
@@ -265,11 +267,14 @@ def make_fused_gather_sharded_runner(
         acc_u = jax.random.uniform(k_acc, (nsteps, 2, h),
                                    dtype=pos_local.dtype)
 
+        from jax.experimental.pallas import tpu as pltpu
+
         call = pl.pallas_call(
             functools.partial(_half_step_kernel_gather, a=a, h=h, D=D,
                               **statics),
             out_shape=(jax.ShapeDtypeStruct((W_local, D + 1), dtype),
                        jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+            scratch_shapes=[pltpu.VMEM((h, 1), dtype)],
             interpret=interpret,
         )
 

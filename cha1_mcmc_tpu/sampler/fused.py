@@ -317,7 +317,7 @@ def single_statics_tables(model, spec, grid_ints, grid_yerrs, bounds,
 
 
 def _make_fused_run(kernel, tables, *, interpret: bool = False,
-                    max_walkers: int | None = None):
+                    max_walkers: int | None = None, scratch_shapes=None):
     """Wrap a fused step kernel (statics bound except h/k_steps) into the
     run(pos0, lnp0, key, nsteps) contract shared by every fused sampler
     variant: run_ensemble's exact PRNG stream layout, lax.scan over
@@ -325,7 +325,10 @@ def _make_fused_run(kernel, tables, *, interpret: bool = False,
     clamp. `tables` are the static device arrays appended to each
     pallas_call after the per-block randomness. `max_walkers` guards
     kernels whose static plan (walker chunking / VMEM gate) was sized for
-    a specific ensemble size."""
+    a specific ensemble size. `scratch_shapes`, when given, is a callable
+    (h, dtype) -> list of pltpu scratch allocations appended to the
+    kernel's trailing parameters (VMEM scratch lives OUTSIDE the Mosaic
+    scoped stack — see _make_gather_lnprob's LIFO note)."""
 
     @functools.partial(jax.jit, static_argnames=("nsteps", "k_steps"))
     def run(pos0, lnp0, key, nsteps: int, k_steps: int = 16):
@@ -372,6 +375,8 @@ def _make_fused_run(kernel, tables, *, interpret: bool = False,
             out_shape=(jax.ShapeDtypeStruct((k_steps * W, D), pos0.dtype),
                        jax.ShapeDtypeStruct((k_steps * W, 1), pos0.dtype),
                        jax.ShapeDtypeStruct((k_steps, 1), jnp.float32)),
+            scratch_shapes=(scratch_shapes(h, pos0.dtype)
+                            if scratch_shapes is not None else ()),
             interpret=interpret,
         )
 

@@ -215,10 +215,24 @@ def _make_gather_lnprob(lines1, vel1, lines2, vel2, scat, chans, qst, *,
                         ss, dish_size, Tbg, mask_center,
                         q_kind, q_coeffs, q_power, q_scale,
                         bounds_lo, bounds_hi, prior_mean, prior_std,
-                        has_overflow, wchunk):
+                        has_overflow, wchunk, out_scratch=None):
     """lnprob from the channel-major tables, (n, D) -> (n, 1), evaluated
     in `wchunk`-sized walker chunks so the dominant (chunk, M, C)
     temporaries stay inside the scoped-VMEM budget.
+
+    In-kernel callers MUST pass `out_scratch` (an (h, 1) VMEM scratch
+    ref): Mosaic's scoped-VMEM allocator is a LIFO stack, so when chunk
+    results are returned as values for a final concatenate, each chunk's
+    surviving output PINS its dead temporaries below it on the stack and
+    walker chunking frees nothing — measured on v5e terminal compiles of
+    the bench-dense program as a ~16M wchunk-INDEPENDENT watermark
+    (19.58M @ wchunk=16, 17.89M @ wchunk=8, both over the 16M limit).
+    Storing each chunk's (cn, 1) lnp into pre-allocated scratch lets the
+    whole chunk pop, leaving only one chunk's transient on the stack —
+    the same scratch-accumulation discipline sampler/fused_multi.py uses
+    (and that kernel compiles on-chip). With out_scratch=None (the
+    sharded composition's plain-array entry lnprob, outside Pallas) the
+    results are concatenated as ordinary XLA values.
 
     Ref-agnostic on purpose: every table access is basic slicing, so the
     fused step kernel passes Pallas refs while the sharded composition
@@ -256,7 +270,8 @@ def _make_gather_lnprob(lines1, vel1, lines2, vel2, scat, chans, qst, *,
         n = th.shape[0]
         outs = []
         for w0 in range(0, n, wchunk):
-            t = th[w0:min(w0 + wchunk, n), :]
+            w1 = min(w0 + wchunk, n)
+            t = th[w0:w1, :]
             ss_w, Ncol, Tex, vlsr, dV = _unpack_single(t, ss)
             Q = q_of(Tex)
             opac = opac_part(l1, vel1_t, Q, Ncol, Tex, vlsr, dV)  # (n, C)
@@ -267,11 +282,17 @@ def _make_gather_lnprob(lines1, vel1, lines2, vel2, scat, chans, qst, *,
                 opac = opac + jnp.dot(
                     o2, scat_t, preferred_element_type=opac.dtype,
                     precision=jax.lax.Precision.HIGHEST)
-            outs.append(_lnprob_tail(
+            lnp = _lnprob_tail(
                 t, ss_w, Tex, opac, gf, y, isig, ss=ss,
                 dish_size=dish_size, Tbg=Tbg, bounds_lo=bounds_lo,
                 bounds_hi=bounds_hi, prior_mean=prior_mean,
-                prior_std=prior_std))
+                prior_std=prior_std)
+            if out_scratch is None:
+                outs.append(lnp)
+            else:  # scratch store pops the chunk's scoped stack (doc above)
+                out_scratch[w0:w1, :] = lnp
+        if out_scratch is not None:
+            return out_scratch[0:n, :]
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     return lnprob
@@ -280,10 +301,11 @@ def _make_gather_lnprob(lines1, vel1, lines2, vel2, scat, chans, qst, *,
 def _step_kernel_gather(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref,
                         au_ref, lines1_ref, vel1_ref, lines2_ref, vel2_ref,
                         scat_ref, chans_ref, qst_ref,
-                        out_chain_ref, out_lnps_ref, out_acc_ref, *,
-                        a, h, k_steps, **statics):
+                        out_chain_ref, out_lnps_ref, out_acc_ref,
+                        lnp_scratch_ref, *, a, h, k_steps, **statics):
     lnprob = _make_gather_lnprob(lines1_ref, vel1_ref, lines2_ref, vel2_ref,
-                                 scat_ref, chans_ref, qst_ref, **statics)
+                                 scat_ref, chans_ref, qst_ref,
+                                 out_scratch=lnp_scratch_ref, **statics)
     _run_step_loop(coords_ref, lnp_ref, perm_ref, zu_ref, pair_ref, au_ref,
                    out_chain_ref, out_lnps_ref, out_acc_ref, lnprob,
                    a=a, h=h, k_steps=k_steps)
@@ -320,9 +342,12 @@ def make_fused_ensemble_gather(model, spec, grid_ints, grid_yerrs, bounds,
     statics, dev = gather_statics_tables(model, spec, grid_ints, grid_yerrs,
                                          bounds, prior_means, prior_stds,
                                          plan)
+    from jax.experimental.pallas import tpu as pltpu
+
     kernel = functools.partial(_step_kernel_gather, a=a, **statics)
-    return _make_fused_run(kernel, dev, interpret=interpret,
-                           max_walkers=nwalkers)
+    return _make_fused_run(
+        kernel, dev, interpret=interpret, max_walkers=nwalkers,
+        scratch_shapes=lambda h, dt: [pltpu.VMEM((h, 1), dt)])
 
 
 def gather_statics_tables(model, spec, grid_ints, grid_yerrs, bounds,

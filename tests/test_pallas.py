@@ -908,13 +908,20 @@ def test_fused_gather_support_bounds():
     from cha1_mcmc_tpu.inference import ParamSpec
     from cha1_mcmc_tpu.sampler.fused_gather import _pick_wchunk
 
+    def tables(M1, C, M2=1, C2=1, has_overflow=False):
+        return {"vel1": np.zeros((M1, C), np.float32),
+                "vel2": np.zeros((M2, C2), np.float32),
+                "has_overflow": has_overflow}
+
     # plenty of budget: whole half-ensemble in one chunk
-    assert _pick_wchunk(1000, 512, 1, 0, 128, 48 << 20) == 64
+    assert _pick_wchunk(tables(2, 512), 512, 0, 128, 48 << 20) == 64
     # tight budget: falls to a smaller chunk rather than refusing
-    w = _pick_wchunk(100_000, 2048, 256, 20_000, 128, 48 << 20)
+    w = _pick_wchunk(tables(48, 2048, 16, 256, True), 2048, 20_000, 128,
+                     48 << 20)
     assert w is not None and w < 64
     # impossible budget: refuses
-    assert _pick_wchunk(10_000_000, 2048, 1024, 0, 128, 16 << 20) is None
+    assert _pick_wchunk(tables(400, 2048, 64, 1024, True), 2048, 0, 128,
+                        16 << 20) is None
 
     class _Spec:
         ncomp = 2

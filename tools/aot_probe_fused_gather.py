@@ -105,7 +105,11 @@ def _tpu_sharding():
     return NamedSharding(mesh, PartitionSpec())
 
 
-def probe(name, problem, sharding, nwalkers=128, nsteps=64):
+def probe(name, problem, sharding, nwalkers=128, nsteps=(2, 64)):
+    """Compile at each nsteps in order — the scoped-VMEM watermark is set
+    inside one half-update, so a small-k program (minutes) gives the
+    verdict before the full k=16 program (the better part of an hour)
+    confirms it."""
     from cha1_mcmc_tpu.sampler.fused_gather import (
         make_fused_ensemble_gather, plan_fused_gather, _vmem_estimate)
 
@@ -131,23 +135,25 @@ def probe(name, problem, sharding, nwalkers=128, nsteps=64):
                                 sharding=sharding)
     lnp0 = jax.ShapeDtypeStruct((nwalkers,), np.float32, sharding=sharding)
     key = jax.ShapeDtypeStruct((2,), np.uint32, sharding=sharding)
-    t0 = time.perf_counter()
-    try:
-        lowered = run.trace(pos0, lnp0, key, nsteps=nsteps).lower()
-        compiled = lowered.compile()
-        dt = time.perf_counter() - t0
-    except Exception as exc:
-        print(f"[{name}] COMPILE FAILED after "
-              f"{time.perf_counter() - t0:.0f}s: {exc}")
-        return False
-    mem = ""
-    try:
-        ma = compiled.memory_analysis()
-        mem = (f"  (argument {ma.argument_size_in_bytes / 2**20:.1f} MiB, "
-               f"temp {ma.temp_size_in_bytes / 2**20:.1f} MiB)")
-    except Exception:
-        pass
-    print(f"[{name}] COMPILED OK in {dt:.0f}s{mem}")
+    for n in (nsteps if isinstance(nsteps, tuple) else (nsteps,)):
+        t0 = time.perf_counter()
+        try:
+            lowered = run.trace(pos0, lnp0, key, nsteps=n).lower()
+            compiled = lowered.compile()
+            dt = time.perf_counter() - t0
+        except Exception as exc:
+            print(f"[{name}] nsteps={n} COMPILE FAILED after "
+                  f"{time.perf_counter() - t0:.0f}s: {exc}", flush=True)
+            return False
+        mem = ""
+        try:
+            ma = compiled.memory_analysis()
+            mem = (f"  (argument {ma.argument_size_in_bytes / 2**20:.1f} "
+                   f"MiB, temp {ma.temp_size_in_bytes / 2**20:.1f} MiB)")
+        except Exception:
+            pass
+        print(f"[{name}] nsteps={n} COMPILED OK in {dt:.0f}s{mem}",
+              flush=True)
     return True
 
 
