@@ -511,15 +511,16 @@ def bench_dense() -> dict:
                        + NWALKERS * (La + 3 * DENSE_CHANNELS))
     # Fused-chain flop model: per step, 2 half-evals of h walkers, each
     # recomputing tau at every table entry (~14 flops incl 2 exp), the
-    # state-sum Q ((h, S) Boltzmann), the RT/chi2 tail, the one-hot
-    # overflow scatter on the MXU and the move matmuls.
+    # state-sum Q ((h, S) Boltzmann), the RT/chi2 tail and the move
+    # matmuls. The heavy-channel overflow is an in-place slice add under
+    # the kernel's heavy-first permutation (no scatter matmul; its
+    # element work is already inside gauss_elems).
     from cha1_mcmc_tpu.catalogs.partition import q_model_for_catalog
     n_states = (0 if q_model_for_catalog(catalog).kind == "analytic"
                 else int(np.size(q_model_for_catalog(catalog).g)))
     h = NWALKERS // 2
     fused_flops_step = 2 * (h * (gauss_elems * 14 + n_states * 4
                                  + DENSE_CHANNELS * 18)
-                            + h * C2 * DENSE_CHANNELS * 2
                             + 3 * 2 * 5 * NWALKERS * h)
     return {
         "n_lines": L,

@@ -146,17 +146,18 @@ def _half_step_kernel(state_ref, active_ref, comp_ref, zu_ref, pair_ref,
 
 def _half_step_kernel_gather(state_ref, active_ref, comp_ref, zu_ref,
                              pair_ref, au_ref, lines1_ref, vel1_ref,
-                             lines2_ref, vel2_ref, scat_ref, chans_ref,
+                             lines2_ref, vel2_ref, chans_ref,
                              qst_ref, out_state_ref, out_acc_ref,
                              lnp_scratch_ref, *, a, h, D, **statics):
     """Dense-catalog half-step: channel-major gather tables with tau
     recomputed per table entry (sampler/fused_gather.py), in VMEM-sized
-    walker chunks whose results store into scratch (the LIFO scoped-stack
-    discipline _make_gather_lnprob documents)."""
+    (walker chunk) x (channel block) tiles whose results store into
+    scratch (the LIFO scoped-stack discipline _make_gather_lnprob
+    documents)."""
     from cha1_mcmc_tpu.sampler.fused_gather import _make_gather_lnprob
 
     lnprob = _make_gather_lnprob(lines1_ref, vel1_ref, lines2_ref, vel2_ref,
-                                 scat_ref, chans_ref, qst_ref,
+                                 chans_ref, qst_ref,
                                  out_scratch=lnp_scratch_ref, **statics)
     _half_update(state_ref, active_ref, comp_ref, zu_ref, pair_ref, au_ref,
                  out_state_ref, out_acc_ref, lnprob, a=a, h=h, D=D)
@@ -167,13 +168,13 @@ def plan_fused_gather_sharded(model, spec, mesh: Mesh, nwalkers: int,
                               min_saving: float = 1.3):
     """Per-device plan for the DENSE fused-sharded composition (the
     channel-major gather kernel on a walker-sharded mesh), or None when
-    ineligible. The walker chunk is re-picked for the per-device ensemble
+    ineligible. The chunking is re-picked for the per-device ensemble
     size — walker sharding SHRINKS the kernel's scoped-VMEM working set,
     so catalogs too big for the single-device fused path can regain it on
     a mesh. Pass prebuilt `tables` (from build_dense_tables or an existing
-    plan) to skip the seconds-scale host table construction."""
+    plan's "tables") to skip the seconds-scale host table construction."""
     from cha1_mcmc_tpu.sampler.fused_gather import (build_dense_tables,
-                                                    replan_wchunk)
+                                                    replan_chunks)
 
     if spec.ncomp != 1:
         return None
@@ -186,8 +187,7 @@ def plan_fused_gather_sharded(model, spec, mesh: Mesh, nwalkers: int,
     w_local = nwalkers // (n_c * n_w)
     if tables is None:
         tables = build_dense_tables(model, dv_max, min_saving=min_saving)
-    wchunk = replan_wchunk(tables, model, w_local)
-    return None if wchunk is None else (tables, wchunk)
+    return replan_chunks(tables, model, w_local)
 
 
 def make_fused_gather_sharded_runner(

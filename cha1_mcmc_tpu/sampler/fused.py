@@ -99,25 +99,32 @@ def _unpack_single(th, ss):
     return ss_w, Ncol, Tex, vlsr, dV
 
 
-def _lnprob_tail(th, ss_w, Tex, opac, gf, y, isig, *, ss, dish_size, Tbg,
-                 bounds_lo, bounds_hi, prior_mean, prior_std):
-    """Radiative transfer + chi^2 + box/Gaussian priors from an opacity
-    block, (n, C) opac -> (n, 1) lnprob. Exactly the op sequence the
-    original in-kernel lnprob used (reference inference.py:44-61 RT,
-    :127-166 chi^2, :193-246 priors), shared by the fused-kernel
-    variants."""
-    dt = th.dtype
+def _rt_chi2_block(th_dtype, ss_w, Tex, opac, gf, y, isig, *, dish_size,
+                   Tbg):
+    """Radiative transfer + chi^2 partial over one channel block,
+    (n, Cb) opac -> (n, 1). Exactly the reference's op sequence
+    (inference.py:44-61 RT with the 1e-10 guard, :160 chi^2). Split out
+    of _lnprob_tail so the channel-blocked dense kernel
+    (sampler/fused_gather.py) can accumulate per-block partials without
+    holding a full (n, C) opacity in scoped VMEM."""
     J_T = planck_J(jnp, gf, Tex, guard=1e-10)
-    J_Tbg = planck_J(jnp, gf, jnp.asarray(Tbg, dt), guard=1e-10)
+    J_Tbg = planck_J(jnp, gf, jnp.asarray(Tbg, th_dtype), guard=1e-10)
     dil = beam_dilution(jnp, gf, ss_w, dish_size)
     m = dil * (J_T - J_Tbg) * (1.0 - jnp.exp(-opac))
     resid = y - m
-    ll = -0.5 * jnp.sum(resid * resid * isig - jnp.log(isig),
-                        axis=-1, keepdims=True)           # (n, 1)
+    return -0.5 * jnp.sum(resid * resid * isig - jnp.log(isig),
+                          axis=-1, keepdims=True)         # (n, 1)
+
+
+def _prior_box(th, Tex, *, ss, bounds_lo, bounds_hi, prior_mean,
+               prior_std):
+    """Box-bounds mask + Gaussian priors (flat on Ncol), (n, D) theta ->
+    ((n, 1) bool ok, (n, 1) lp). Reference inference.py:193-246 with the
+    sigma overrides already baked into prior_std by the statics builders."""
     ok = jnp.ones_like(Tex, dtype=jnp.bool_)
     for i, (lo_b, hi_b) in enumerate(zip(bounds_lo, bounds_hi)):
         ok = ok & (th[:, i:i + 1] > lo_b) & (th[:, i:i + 1] < hi_b)
-    lp = jnp.zeros_like(ll)
+    lp = jnp.zeros_like(Tex)
     ncol_idx = 0 if ss is not None else 1
     for i in range(len(bounds_lo)):  # Gaussian priors; Ncol flat
         if i == ncol_idx:
@@ -125,6 +132,21 @@ def _lnprob_tail(th, ss_w, Tex, opac, gf, y, isig, *, ss, dish_size, Tbg,
         mu, sd = prior_mean[i], prior_std[i]
         lp = lp + (np.log(1.0 / (np.sqrt(2.0 * np.pi) * sd))
                    - 0.5 * ((th[:, i:i + 1] - mu) / sd) ** 2)
+    return ok, lp
+
+
+def _lnprob_tail(th, ss_w, Tex, opac, gf, y, isig, *, ss, dish_size, Tbg,
+                 bounds_lo, bounds_hi, prior_mean, prior_std):
+    """Radiative transfer + chi^2 + box/Gaussian priors from an opacity
+    block, (n, C) opac -> (n, 1) lnprob. Exactly the op sequence the
+    original in-kernel lnprob used (reference inference.py:44-61 RT,
+    :127-166 chi^2, :193-246 priors), shared by the fused-kernel
+    variants."""
+    ll = _rt_chi2_block(th.dtype, ss_w, Tex, opac, gf, y, isig,
+                        dish_size=dish_size, Tbg=Tbg)
+    ok, lp = _prior_box(th, Tex, ss=ss, bounds_lo=bounds_lo,
+                        bounds_hi=bounds_hi, prior_mean=prior_mean,
+                        prior_std=prior_std)
     val = lp + ll
     return jnp.where(ok & jnp.isfinite(val), val, -jnp.inf)
 

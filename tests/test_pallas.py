@@ -845,22 +845,28 @@ def test_batched_lnprob_gather_split_matches_plain(hc5n_problem,
 
 
 @requires_reference
-@pytest.mark.parametrize("min_saving", [1e9, 0.0],
-                         ids=["rect_table", "split_overflow"])
+@pytest.mark.parametrize("min_saving,force_fori", [
+    (1e9, False), (0.0, False), (0.0, True)],
+    ids=["rect_table", "split_overflow", "split_blocked_fori"])
 def test_fused_gather_kernel_matches_run_ensemble(hc5n_problem,
-                                                  hc5n_datagrid, min_saving):
+                                                  hc5n_datagrid, min_saving,
+                                                  force_fori):
     """The dense-catalog fused whole-step kernel (sampler/fused_gather.py)
     reproduces run_ensemble over the user-facing batched gather lnprob on
     the same PRNG stream: trajectories bitwise-identical on the tested
     stream, lnp to f32 ulps (exp2 vs exp Gaussian formulation), the -inf
     contract for never-accepting walkers, in both table modes
     (rectangular table via min_saving=inf; two-class split with the
-    one-hot overflow scatter via min_saving=0)."""
+    heavy-first in-place overflow add via min_saving=0) — and with a
+    plan inflated to multi-block fori_loop channel walks (the extra
+    blocks are pure padding, which must contribute exactly 0, so
+    trajectories stay bitwise; test_fused_gather_blocked_dense_grid
+    covers fori over real channels)."""
     from cha1_mcmc_tpu.inference import single_component_lnprior
     from cha1_mcmc_tpu.sampler import run_ensemble
     from cha1_mcmc_tpu.sampler.fused_gather import (
         build_dense_tables, fused_gather_supported,
-        make_fused_ensemble_gather)
+        make_fused_ensemble_gather, plan_fused_gather)
 
     model, spec = hc5n_problem["model"], hc5n_problem["spec"]
     grid = hc5n_datagrid
@@ -875,9 +881,15 @@ def test_fused_gather_kernel_matches_run_ensemble(hc5n_problem,
     assert fused_gather_supported(model, spec, dv_max=1.5, nwalkers=16)
     tables = build_dense_tables(model, 1.5, min_saving=min_saving)
     assert tables["has_overflow"] == (min_saving == 0.0)
+    plan = plan_fused_gather(model, spec, 1.5, nwalkers=16,
+                             min_saving=min_saving)
+    if force_fori:  # inflate both regions past the unroll threshold
+        plan = dict(plan, n_bo=2, n_br=2, cbo=128, cbr=128,
+                    cb0p=256, Cp=512)
     run_fused = make_fused_ensemble_gather(
         model, spec, grid.ints, grid.yerrs, bounds, means, stds,
-        dv_max=1.5, nwalkers=16, min_saving=min_saving, interpret=True)
+        dv_max=1.5, nwalkers=16, min_saving=min_saving, plan=plan,
+        interpret=True)
 
     rng = np.random.default_rng(0)
     pos0 = np.array([3.24e12, 7.5, 4.11, 0.78]) * (
@@ -904,24 +916,33 @@ def test_fused_gather_kernel_matches_run_ensemble(hc5n_problem,
 
 def test_fused_gather_support_bounds():
     """fused_gather_supported refuses multi-component layouts and
-    oversized tables; _pick_wchunk shrinks chunks before giving up."""
+    oversized tables; _pick_chunks shrinks walker chunks and channel
+    blocks before giving up."""
     from cha1_mcmc_tpu.inference import ParamSpec
-    from cha1_mcmc_tpu.sampler.fused_gather import _pick_wchunk
+    from cha1_mcmc_tpu.sampler.fused_gather import _pick_chunks
 
-    def tables(M1, C, M2=1, C2=1, has_overflow=False):
+    def tables(M1, C, M2=1, cb0=0, has_overflow=False):
         return {"vel1": np.zeros((M1, C), np.float32),
-                "vel2": np.zeros((M2, C2), np.float32),
-                "has_overflow": has_overflow}
+                "vel2": np.zeros((M2, max(cb0, 1)), np.float32),
+                "has_overflow": has_overflow, "cb0": cb0}
 
-    # plenty of budget: whole half-ensemble in one chunk
-    assert _pick_wchunk(tables(2, 512), 512, 0, 128, 48 << 20) == 64
-    # tight budget: falls to a smaller chunk rather than refusing
-    w = _pick_wchunk(tables(48, 2048, 16, 256, True), 2048, 20_000, 128,
-                     48 << 20)
-    assert w is not None and w < 64
+    # plenty of budget: whole half-ensemble in one chunk, one block
+    assert _pick_chunks(tables(2, 512), 512, 0, 128, 48 << 20) == (
+        64, 128, 512)
+    # tight budget: shrinks the walker chunk / blocks rather than refusing
+    picked = _pick_chunks(tables(48, 2048, 16, 256, True), 2048, 20_000,
+                          128, 8 << 20)
+    assert picked is not None
+    w, cbo, cbr = picked
+    assert w < 64 or cbr < 2048 - 256
+    # channel blocking rescues a grid far too wide for whole-width
+    # temporaries (the dense_full_fit shape: C=10850, 1554 heavy channels)
+    picked = _pick_chunks(tables(6, 10850, 21, 1664, True), 10850, 16_488,
+                          128, 12 << 20)
+    assert picked is not None
     # impossible budget: refuses
-    assert _pick_wchunk(tables(400, 2048, 64, 1024, True), 2048, 0, 128,
-                        16 << 20) is None
+    assert _pick_chunks(tables(400, 2048, 64, 1024, True), 2048, 0, 128,
+                        1 << 20) is None
 
     class _Spec:
         ncomp = 2
@@ -1132,3 +1153,65 @@ def test_multichain_fused_matches_general(hc5n_problem, hc5n_datagrid,
     general.run_mcmc(pos0, 8, key, checkpoint_every=8)
     np.testing.assert_array_equal(fused.chain, general.chain)
     assert fused.accepted == general.accepted
+
+
+@requires_reference
+@pytest.mark.slow
+def test_fused_gather_blocked_dense_grid():
+    """The blocked fused kernel on the REAL dense_full_fit geometry
+    (tests/golden/dense_synth.npz: 2,095-line 1-cyanonaphthalene x 10,850
+    channels, 1,554 heavy channels): the plan must engage multi-block
+    fori_loop channel walks over real (not padding) channels, and a short
+    fused chain must reproduce run_ensemble over the batched gather
+    lnprob — the pre-TPU correctness gate for the dense full fit, which
+    the pre-blocking kernel could never serve (its overflow scatter
+    exceeded scoped VMEM; BASELINE.md round-4 addendum)."""
+    import os
+
+    from cha1_mcmc_tpu.inference import single_component_lnprior
+    from cha1_mcmc_tpu.pipeline.fit import SpectralFit
+    from cha1_mcmc_tpu.reduce.datagrid import Datagrid
+    from cha1_mcmc_tpu.sampler import run_ensemble
+    from cha1_mcmc_tpu.sampler.fused_gather import (
+        make_fused_ensemble_gather, plan_fused_gather)
+    from tools.dense_full_fit import GOLDEN_PATH, _golden_config
+
+    if not os.path.exists(GOLDEN_PATH):
+        pytest.skip("dense_synth golden not committed")
+    cfg, g = _golden_config(8, 8)
+    grid = Datagrid(freqs=np.asarray(g["freqs"], dtype=np.float64),
+                    ints=np.asarray(g["ints"], dtype=np.float64),
+                    yerrs=np.asarray(g["yerrs"], dtype=np.float64),
+                    covered_trans=np.asarray(g["covered_trans"], dtype=int))
+    fit = SpectralFit(cfg)
+    model = fit.build_model(grid)
+    spec = fit.spec
+    means = np.asarray(cfg.template_means, dtype=np.float64)
+    stds = np.asarray(cfg.template_stds, dtype=np.float64)
+    dv_max = cfg.bounds["dV"][1]
+
+    plan = plan_fused_gather(model, spec, dv_max, nwalkers=8)
+    assert plan is not None, "blocked planner must now serve this geometry"
+    assert plan["n_bo"] > 1 or plan["n_br"] > 1   # real fori block walks
+
+    lnprior = single_component_lnprior(spec, cfg.bounds, means, stds)
+    lnprob_b = build_lnprob_batched(
+        model, spec, grid.ints, grid.yerrs, lnprior, use_pallas=True,
+        dv_max=dv_max, pallas_kernel="gather", interpret=True)
+    run_fused = make_fused_ensemble_gather(
+        model, spec, grid.ints, grid.yerrs, cfg.bounds, means, stds,
+        dv_max=dv_max, nwalkers=8, plan=plan, interpret=True)
+
+    rng = np.random.default_rng(3)
+    pos0 = np.array([float(g["ncol_true"]), 8.0, 5.8, 0.7575]) * (
+        1 + 0.01 * rng.standard_normal((8, 4)))
+    pos0 = jnp.asarray(pos0, jnp.float32)
+    lnp0 = lnprob_b(pos0)
+    key = jax.random.PRNGKey(5)
+    cf, lf, af, (pf, lpf) = run_fused(pos0, lnp0, key, 8, 2)
+    cu, lu, au, (pu, lpu) = run_ensemble(lnprob_b, pos0, lnp0, key,
+                                         nsteps=8, batched=True)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(cu))
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lu), rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(af),
+                                  np.asarray(au).astype(np.float32))

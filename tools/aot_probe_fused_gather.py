@@ -22,9 +22,9 @@ Probes the fused channel-major step program (sampler/fused_gather.py) at
 the two dense problem sizes the driver exercises:
   * bench.py's dense section (35,460-line 1-cyanonaphthalene x 2048
     channels, the SURVEY §6 stress row), and
-  * the dense_full_fit datagrid (tests/golden/dense_synth.npz) when
-    present (expected: plan=None — its 1554x10850 overflow scatter cannot
-    fit scoped VMEM, so the pipeline's general gather chain serves it).
+  * the dense_full_fit datagrid (tests/golden/dense_synth.npz) — served
+    by the channel-BLOCKED kernel (fori_loop walks; the pre-blocking
+    kernel's whole-width overflow scatter could not fit scoped VMEM).
 
 Usage (no TPU needed, CPU platform):
   PYTHONPATH=/root/repo python tools/aot_probe_fused_gather.py
@@ -119,13 +119,16 @@ def probe(name, problem, sharding, nwalkers=128, nsteps=(2, 64)):
         print(f"[{name}] plan=None (fused kernel not selected; general "
               f"gather chain would run) — nothing to compile")
         return True
-    tables, wchunk = plan
+    tables = plan["tables"]
     qm = model.q_model
     n_states = 0 if qm.kind == "analytic" else int(np.size(qm.g))
-    est = _vmem_estimate(tables, int(model.n_channels), n_states, wchunk,
-                         nwalkers)
+    est = _vmem_estimate(tables, int(model.n_channels), n_states,
+                         plan["wchunk"], nwalkers, plan["cbo"],
+                         plan["cbr"])
     print(f"[{name}] L={model.n_lines} C={model.n_channels} "
-          f"n_elems={tables['n_elems']} wchunk={wchunk} "
+          f"n_elems={tables['n_elems']} wchunk={plan['wchunk']} "
+          f"cbo={plan['cbo']}x{plan['n_bo']} cbr={plan['cbr']}x"
+          f"{plan['n_br']} schunk={plan['schunk']}x{plan['n_sb']} "
           f"estimate={est / 2**20:.1f} MiB")
 
     run = make_fused_ensemble_gather(

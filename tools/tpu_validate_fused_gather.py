@@ -68,7 +68,9 @@ def main():
 
     plan = plan_fused_gather(model, spec, bounds["dV"][1], nwalkers=nwalkers)
     assert plan is not None, "plan unexpectedly None at bench_dense size"
-    out["wchunk"] = int(plan[1])
+    out["plan"] = {k: int(plan[k]) for k in
+                   ("wchunk", "cbo", "cbr", "n_bo", "n_br", "schunk",
+                    "n_sb")}
     run_fused = make_fused_ensemble_gather(
         model, spec, ints, yerrs, bounds, prior_means, prior_stds,
         dv_max=bounds["dV"][1], nwalkers=nwalkers, plan=plan)
