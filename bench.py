@@ -476,7 +476,15 @@ def bench_dense() -> dict:
         fused_chain_error = None
     except Exception as exc:  # record, never silently mask a regression
         fused_slope, fused_chain_error = None, f"{type(exc).__name__}: {exc}"
-    best_chain = fused_slope if fused_slope is not None else chain_slope
+    # Headline the path the pipeline would actually pick: the FASTER of
+    # the general scan and the fused whole-chain kernel. Measured on-chip
+    # 2026-08-19 (block-stacked formulation): fused 54.2 us/step vs
+    # general 111.2 — fused wins 2.05x — but keep the min() so a
+    # formulation regression (the lane-axis-sliced first attempt was
+    # ~25x SLOWER under Mosaic; see docs/KERNELS.md) can never tank the
+    # headline below the user-facing auto-selected rate.
+    best_chain = (min(fused_slope, chain_slope)
+                  if fused_slope is not None else chain_slope)
 
     # Roofline accounting from first principles (VERDICT r2 item 5). The
     # gather path's per-eval work: taus over the active lines (~10 flops

@@ -24,22 +24,26 @@ forward model in the gather tables' channel-major layout:
     every inter-op round trip;
   * the channel axis is PERMUTED heavy-first: the C2 channels that carry
     overflow rows move to the front, so the overflow partial is a
-    same-position slice ADD onto the leading channel blocks instead of a
+    same-position block ADD onto the leading channel blocks instead of a
     (C2, C) one-hot MXU contraction (models/pallas_kernels.py's
     opacity_gather_split scatter) — no scatter matmul, no (C2, C) static
     in VMEM. lnprob is a channel sum, so the permutation only
     reassociates the chi^2 reduction (lnp to f32 ulps vs the natural
     order — within the kernel's documented contract);
-  * the lnprob is evaluated in (wchunk walkers) x (channel block) tiles:
-    the dominant temporaries are (wchunk, M, cblock) — bounded for ANY
-    catalog/grid size, which is what lets grids far too wide for a
-    whole-(n, M, C) formulation (the 10,850-channel dense_full_fit
-    datagrid) keep the fused step. Channel blocks run as a
-    lax.fori_loop with pl.ds table slices when there are many (program
-    size stays flat), unrolled with static slices when few;
+  * the lnprob is evaluated in (wchunk walkers) x (cblock channels)
+    tiles: the dominant temporaries are (wchunk, M, cblock) — bounded
+    for ANY catalog/grid size, which is what lets grids far too wide for
+    a whole-(n, M, C) formulation (the 10,850-channel dense_full_fit
+    datagrid) keep the fused step. The channel walk is a lax.fori_loop
+    when blocks are many (program size stays flat with grid width) and
+    a static unroll when few. Crucially the tables are BLOCK-STACKED
+    host-side — each channel block's columns become a row-band, so the
+    loop's dynamic slices run along the SUBLANE-major axis with static
+    sizes (the form Mosaic lowers well); dynamic slicing along the lane
+    axis is avoided entirely;
   * a state-sum partition function (the aromatics' 16k-state fallback Q)
-    is likewise chunked over states, so the (wchunk, S) Boltzmann block
-    no longer caps the walker chunk;
+    is likewise chunked over row-stacked (8, schunk) state bands, so the
+    (wchunk, S) Boltzmann block no longer caps the walker chunk;
   * the stretch-move machinery (one-hot walker gathers/scatters, the two
     sequential half-updates, bulk pre-generated randomness) is shared
     verbatim with sampler/fused.py (_run_step_loop / _make_fused_run),
@@ -158,9 +162,13 @@ def _lane(c: int) -> int:
     return -(-c // 128) * 128
 
 
-#: Unroll channel-block loops up to this many blocks per region (static
-#: slices, no loop machinery); longer walks become lax.fori_loop with
-#: pl.ds slices so the unrolled program size stays flat with grid width.
+def _sub8(r: int) -> int:
+    return -(-r // 8) * 8
+
+
+#: Unroll channel-block walks up to this many blocks per region (static
+#: row-band slices); longer walks become lax.fori_loop over the stacked
+#: row bands so the unrolled program size stays flat with grid width.
 #: Unrolled blocks accumulate by value, which PINS each block's dead
 #: temporaries below the surviving partial on the Mosaic scoped stack
 #: (see _make_gather_lnprob) — the estimator charges unrolled regions for
@@ -173,47 +181,65 @@ _UNROLL_BLOCKS = 1
 _STATE_CHUNK = 2048
 
 
-def _vmem_estimate(tables, C, n_states, wchunk, nwalkers,
-                   cbo: int, cbr: int) -> int:
-    """Scoped-VMEM working-set model (bytes) for candidate block widths
-    (cbo = overflow-region block, cbr = rest-region block), calibrated
-    against the measured on-chip data point (v5e terminal compile of the
-    pre-blocking bench-dense program, wchunk=16, whole-width blocks:
-    "Scoped allocation with size 19.58M"): ~8 live padded (wchunk, M, c*)
-    layers through tau_sticks' elementwise chain and the windowed
-    Gaussian per channel block, ~3 live (wchunk, schunk) layers in the
-    state-sum Q, 4 (wchunk, c*) channel rows in the RT/chi^2 tail, plus
-    the static tables and the step loop's selectors. Unrolled regions
-    (block count <= _UNROLL_BLOCKS) pin every block's layers; fori
-    regions cost one iteration."""
-    M1 = tables["vel1"].shape[0]
-    M2, cb0_t = tables["vel2"].shape
-    cb0 = tables.get("cb0", cb0_t if tables["has_overflow"] else 0)
-    s_pad = _lane(n_states)
-    schunk = min(s_pad, _STATE_CHUNK) if n_states else 0
-    n_bo = -(-cb0 // cbo) if (tables["has_overflow"] and cbo) else 0
-    cb0p = n_bo * cbo
+def _geom(tables, C: int, n_states: int, cblock: int):
+    """Block-walk geometry for one candidate channel-block width."""
+    cb0 = tables.get("cb0", 0) if tables["has_overflow"] else 0
+    n_bo = -(-cb0 // cblock) if cb0 else 0
+    cb0p = n_bo * cblock
     rest = max(C - cb0p, 0)
-    n_br = -(-rest // cbr) if (rest and cbr) else 0
-    Cp = cb0p + n_br * cbr
+    n_br = -(-rest // cblock) if rest else 0
+    Cp = (n_bo + n_br) * cblock
+    if n_states:
+        s_pad = _lane(n_states)
+        schunk = min(s_pad, _STATE_CHUNK)
+        n_sb = -(-s_pad // schunk)
+    else:
+        schunk, n_sb = 0, 0
+    return dict(cblock=cblock, n_bo=n_bo, n_br=n_br, cb0p=cb0p, Cp=Cp,
+                schunk=schunk, n_sb=n_sb)
 
-    static = 4 * (6 * (M1 * Cp + M2 * cb0p) + 3 * Cp + 2 * s_pad)
-    layers_o = _pad_tile(M1, cbo) + _pad_tile(M2, cbo) if n_bo else 0
-    layers_r = _pad_tile(M1, cbr) if n_br else 0
+
+def _vmem_estimate(tables, C, n_states, wchunk, nwalkers,
+                   cblock: int) -> int:
+    """Scoped-VMEM working-set model (bytes) for a candidate channel
+    block width, calibrated against the measured on-chip data point (v5e
+    terminal compile of the pre-blocking bench-dense program, wchunk=16,
+    whole-width blocks: "Scoped allocation with size 19.58M"): ~8 live
+    padded (wchunk, M, cblock) layers through tau_sticks' elementwise
+    chain and the windowed Gaussian per channel block, ~3 live
+    (wchunk, schunk) layers in the state-sum Q, 4 (wchunk, cblock)
+    channel rows in the RT/chi^2 tail, the per-iteration row-band loads,
+    plus the block-stacked static tables and the step loop's selectors.
+    Unrolled regions (block count <= _UNROLL_BLOCKS) pin every block's
+    layers; fori regions cost one iteration."""
+    M1 = tables["vel1"].shape[0]
+    M2 = tables["vel2"].shape[0]
+    g = _geom(tables, C, n_states, cblock)
+    n_bo, n_br, n_sb, schunk = g["n_bo"], g["n_br"], g["n_sb"], g["schunk"]
+    n_blk = n_bo + n_br
+
+    R1, V1 = _sub8(5 * M1), _sub8(M1)
+    R2, V2 = _sub8(5 * M2), _sub8(M2)
+    static = 4 * (n_blk * (R1 + V1 + 8) * cblock
+                  + n_bo * (R2 + V2) * cblock
+                  + n_sb * 8 * max(schunk, 1))
+    layers_o = _pad_tile(M1, cblock) + _pad_tile(M2, cblock) if n_bo else 0
+    layers_r = _pad_tile(M1, cblock) if n_br else 0
     blk = ((n_bo if n_bo <= _UNROLL_BLOCKS else 1) * layers_o
            + (n_br if n_br <= _UNROLL_BLOCKS else 1) * layers_r)
-    cmax = max(cbo if n_bo else 0, cbr if n_br else 0)
-    chunk = 4 * wchunk * (8 * blk + 3 * schunk + 4 * cmax)
+    loads = ((R1 + V1 + 8 + (R2 + V2 if n_bo else 0)) * cblock
+             + 8 * max(schunk, 1))
+    chunk = 4 * (wchunk * (8 * blk + 3 * schunk + 4 * cblock) + loads)
     h = nwalkers // 2
     loop = 4 * (3 * h * nwalkers + 2 * nwalkers * 8)
     return static + chunk + loop
 
 
 def _width_cands(width: int):
-    """Descending lane-aligned halvings of a region width (block-size
+    """Descending lane-aligned halvings of the grid width (channel-block
     candidates): full width first, 128 last."""
     if width <= 0:
-        return [0]
+        return [128]
     cands = []
     cb = _lane(width)
     while cb > 128:
@@ -225,20 +251,18 @@ def _width_cands(width: int):
 
 def _pick_chunks(tables, C: int, n_states: int, nwalkers: int,
                  budget: int):
-    """Pick (wchunk, cbo, cbr): the largest walker chunk (fewest table
-    re-reads — each channel block's table slice is re-read once per
-    walker chunk), then the widest channel blocks, that fit the scoped
-    budget. Returns None when nothing fits."""
+    """Pick (wchunk, cblock): the largest walker chunk (fewest table
+    re-reads — each channel block's row band is re-read once per walker
+    chunk), then the widest channel block, that fit the scoped budget.
+    Returns None when nothing fits."""
     h = max(nwalkers // 2, 1)
-    cb0 = tables.get("cb0", 0) if tables["has_overflow"] else 0
     for wchunk in (h, 64, 32, 16, 8):
         if wchunk > h:
             continue
-        for cbr in _width_cands(C - cb0):
-            for cbo in _width_cands(cb0):
-                if _vmem_estimate(tables, C, n_states, wchunk, nwalkers,
-                                  cbo or 128, cbr or 128) <= budget:
-                    return wchunk, (cbo or 128), (cbr or 128)
+        for cblock in _width_cands(C):
+            if _vmem_estimate(tables, C, n_states, wchunk, nwalkers,
+                              cblock) <= budget:
+                return wchunk, cblock
     return None
 
 
@@ -263,7 +287,7 @@ def plan_fused_gather(model, spec, dv_max: float, nwalkers: int = 128,
     """Build the channel-major tables and pick the (walker, channel,
     state) chunking, or return None when (model, spec) cannot take the
     fused kernel (multi-component layout, or a working set over the VMEM
-    budget). Returns a plan dict: {tables, wchunk, cbo, cbr, n_bo, n_br,
+    budget). Returns a plan dict: {tables, wchunk, cblock, n_bo, n_br,
     cb0p, Cp, schunk, n_sb}.
 
     Table construction on a 35k-line catalog costs seconds of host time
@@ -279,27 +303,9 @@ def plan_fused_gather(model, spec, dv_max: float, nwalkers: int = 128,
     picked = _pick_chunks(tables, C, n_states, nwalkers, budget)
     if picked is None:
         return None
-    wchunk, cbo, cbr = picked
-    return _finish_plan(tables, C, n_states, wchunk, cbo, cbr)
-
-
-def _finish_plan(tables, C, n_states, wchunk, cbo, cbr):
-    """Derive the block walk geometry from picked widths."""
-    cb0 = tables.get("cb0", 0) if tables["has_overflow"] else 0
-    n_bo = -(-cb0 // cbo) if cb0 else 0
-    cb0p = n_bo * cbo
-    rest = max(C - cb0p, 0)
-    n_br = -(-rest // cbr) if rest else 0
-    Cp = cb0p + n_br * cbr
-    if n_states:
-        s_pad = _lane(n_states)
-        schunk = min(s_pad, _STATE_CHUNK)
-        n_sb = -(-s_pad // schunk)
-    else:
-        schunk, n_sb = 0, 0
-    return dict(tables=tables, wchunk=wchunk, cbo=cbo, cbr=cbr,
-                n_bo=n_bo, n_br=n_br, cb0p=cb0p, Cp=Cp,
-                schunk=schunk, n_sb=n_sb)
+    wchunk, cblock = picked
+    return dict(tables=tables, wchunk=wchunk,
+                **_geom(tables, C, n_states, cblock))
 
 
 def fused_gather_supported(model, spec, dv_max: float, nwalkers: int = 128,
@@ -314,11 +320,25 @@ def _make_gather_lnprob(lines1, vel1, lines2, vel2, chans, qst, *,
                         ss, dish_size, Tbg, mask_center,
                         q_kind, q_coeffs, q_power, q_scale,
                         bounds_lo, bounds_hi, prior_mean, prior_std,
-                        has_overflow, wchunk, cbo, cbr, n_bo, n_br,
-                        cb0p, schunk, n_sb, out_scratch=None):
-    """lnprob from the channel-major tables, (n, D) -> (n, 1), evaluated
-    in (wchunk walkers) x (channel block) tiles so the dominant
-    (chunk, M, cblock) temporaries stay inside the scoped-VMEM budget.
+                        has_overflow, M1, M2, wchunk, cblock, n_bo, n_br,
+                        schunk, n_sb, out_scratch=None):
+    """lnprob from the block-stacked channel-major tables, (n, D) ->
+    (n, 1), evaluated in (wchunk walkers) x (cblock channels) tiles so
+    the dominant (chunk, M, cblock) temporaries stay inside the
+    scoped-VMEM budget.
+
+    Table layout (built by gather_statics_tables): each channel block b
+    is a ROW BAND — lines1[b*R1:(b+1)*R1, :cblock] holds the five
+    (M1, cblock) constant planes (R1 = 5*M1 padded to a sublane
+    multiple), vel1 the (M1, cblock) velocities at stride V1, chans the
+    (3, cblock) obs rows at stride 8, and (for blocks b < n_bo) lines2/
+    vel2 the overflow planes at strides R2/V2. The channel walk's
+    dynamic slices therefore run along the sublane-MAJOR axis with
+    static sizes — the form Mosaic lowers to cheap address arithmetic.
+    An earlier formulation sliced the lane axis (x[:, pl.ds(c0, w)])
+    and, while interpret-mode exact, produced wrong trajectories AND a
+    ~30x slowdown when terminal-compiled on the v5e — do not reintroduce
+    lane-axis dynamic slicing here.
 
     In-kernel callers MUST pass `out_scratch` (an (h, 1) VMEM scratch
     ref): Mosaic's scoped-VMEM allocator is a LIFO stack, so when chunk
@@ -334,97 +354,84 @@ def _make_gather_lnprob(lines1, vel1, lines2, vel2, chans, qst, *,
     lax.fori_loop (block counts over _UNROLL_BLOCKS) whose carried
     (cn, 1) partial lets every iteration's temporaries pop, or a short
     static unroll. With out_scratch=None (the sharded composition's
-    plain-array entry lnprob, outside Pallas) each region is evaluated
-    at full width and results are concatenated as ordinary XLA values —
-    the same formulas, chi^2 reassociated (ulp-level, documented).
-
-    Ref-agnostic on purpose: the in-kernel path slices table refs with
-    pl.ds; the plain-array path (parallel/sharded_fused.py's entry
-    lnprob) reuses the SAME numerics with jnp slicing — one definition
-    for both."""
-    M1 = vel1.shape[0]
-    M2 = lines2.shape[0] // 5
+    plain-array entry lnprob, outside Pallas) the SAME walk runs on
+    plain arrays via lax.dynamic_slice — one numerics definition, one
+    reduction order, for both paths."""
     in_kernel = out_scratch is not None
+    R1, V1 = _sub8(5 * M1), _sub8(M1)
+    R2, V2 = _sub8(5 * M2), _sub8(M2)
 
-    def slc(x, r0, r1, c0, w):
-        """(r0:r1, c0:c0+w) block of a table; rows/width static, start
-        static under unroll and traced (128-aligned) under fori."""
+    def band(x, r0, rows):
+        """(rows, cblock) row band starting at r0 (static under unroll,
+        traced sublane-aligned under fori)."""
         if in_kernel:
-            if not isinstance(c0, int):
-                c0 = pl.multiple_of(c0, 128)
-            return x[r0:r1, pl.ds(c0, w)]
-        return jax.lax.dynamic_slice_in_dim(x[r0:r1, :], c0, w, axis=1)
+            if not isinstance(r0, int):
+                r0 = pl.multiple_of(r0, 8)
+            return x[pl.ds(r0, rows), :]
+        return jax.lax.dynamic_slice_in_dim(x, r0, rows, axis=0)
 
     def q_of(Tex):  # (n, 1) -> (n, 1)
-        if q_kind != "states" or not in_kernel or n_sb <= 1:
+        if q_kind != "states" or n_sb <= 1:
             return _make_q_of(q_kind, q_coeffs, q_power, q_scale, qst)(Tex)
-        # State-sum fallback Q chunked over states (module docstring):
-        # qst is zero-padded to n_sb * schunk columns (g=0 rows add
-        # exactly 0), the fori carry is the (n, 1) partial sum.
+        # State-sum fallback Q walked over row-stacked (8, schunk) bands
+        # (module docstring): zero-padded states (g=0) add exactly 0; the
+        # fori carry is the (n, 1) partial sum.
         inv = -1.0 / (KCM * Tex)                             # (n, 1)
 
         def body(j, acc):
-            g = slc(qst, 0, 1, j * schunk, schunk)           # (1, sc)
-            E = slc(qst, 1, 2, j * schunk, schunk)
-            return acc + jnp.sum(g * jnp.exp(E * inv), axis=1,
+            b = band(qst, j * 8, 8)
+            g_row, E_row = b[0:1, :], b[1:2, :]
+            return acc + jnp.sum(g_row * jnp.exp(E_row * inv), axis=1,
                                  keepdims=True)
 
         return jax.lax.fori_loop(0, n_sb, body, jnp.zeros_like(Tex))
 
-    def opac_block(lines, vel, M, c0, w, Q, Ncol, Tex, vlsr, dV):
-        """Channel-major opacity over one (M, w) table block: tau
-        recompute + windowed Gaussian, summed over table rows -> (n, w)."""
-        lf, le, la_, lg, lgl = (slc(lines, i * M, (i + 1) * M, c0, w)
+    def opac_block(lines_b, vel_b, M, Q, Ncol, Tex, vlsr, dV):
+        """Channel-major opacity over one (M, cblock) band: tau recompute
+        + windowed Gaussian, summed over table rows -> (n, cblock)."""
+        lf, le, la_, lg, lgl = (lines_b[i * M:(i + 1) * M, :]
                                 for i in range(5))
-        vel_b = slc(vel, 0, M, c0, w)
         taus = tau_sticks(jnp, lf[None], le[None], la_[None], lg[None],
                           lgl[None], Q[:, :, None], Ncol[:, :, None],
-                          Tex[:, :, None], dV[:, :, None])    # (n, M, w)
+                          Tex[:, :, None], dV[:, :, None])  # (n, M, cb)
         sigma = (dV / FWHM_TO_SIGMA_MODEL)[:, :, None]        # (n, 1, 1)
         aa = (-0.5 * np.log2(np.e)) / (sigma * sigma)
         window = (jnp.abs(vel_b[None] - mask_center)
                   < VELOCITY_WINDOW_DV * dV[:, :, None])
         d = vel_b[None] - vlsr[:, :, None]
         gauss = jnp.where(window, jnp.exp2(aa * (d * d)), 0.0)
-        return jnp.sum(taus * gauss, axis=1)                  # (n, w)
+        return jnp.sum(taus * gauss, axis=1)                  # (n, cb)
 
     def chunk_ll(dt, ss_w, Q, Ncol, Tex, vlsr, dV):
         """Blocked chi^2 over the permuted channel axis, (n, 1)."""
-        def part(c0, w, with_over):
-            opac = opac_block(lines1, vel1, M1, c0, w,
-                              Q, Ncol, Tex, vlsr, dV)
+        def part(b, with_over):
+            opac = opac_block(band(lines1, b * R1, 5 * M1),
+                              band(vel1, b * V1, M1)[0:M1, :],
+                              M1, Q, Ncol, Tex, vlsr, dV)
             if with_over:
                 # heavy-first permutation: overflow adds in place
-                opac = opac + opac_block(lines2, vel2, M2, c0, w,
-                                         Q, Ncol, Tex, vlsr, dV)
-            gf = slc(chans, 0, 1, c0, w)
-            y = slc(chans, 1, 2, c0, w)
-            isig = slc(chans, 2, 3, c0, w)
+                opac = opac + opac_block(band(lines2, b * R2, 5 * M2),
+                                         band(vel2, b * V2, M2)[0:M2, :],
+                                         M2, Q, Ncol, Tex, vlsr, dV)
+            cb = band(chans, b * 8, 8)
+            gf, y, isig = cb[0:1, :], cb[1:2, :], cb[2:3, :]
             return _rt_chi2_block(dt, ss_w, Tex, opac, gf, y, isig,
                                   dish_size=dish_size, Tbg=Tbg)
 
         ll = jnp.zeros_like(Tex)
-        if not in_kernel:
-            # plain-array path: one full-width partial per region
-            if n_bo:
-                ll = ll + part(0, cb0p, has_overflow)
-            if n_br:
-                ll = ll + part(cb0p, n_br * cbr, False)
-            return ll
-        for n_b, width, base, w_over in ((n_bo, cbo, 0, has_overflow),
-                                         (n_br, cbr, cb0p, False)):
+        for n_b, base, w_over in ((n_bo, 0, has_overflow),
+                                  (n_br, n_bo, False)):
             if not n_b:
                 continue
             if n_b <= _UNROLL_BLOCKS:
                 for i in range(n_b):
-                    ll = ll + part(base + i * width, width, w_over)
+                    ll = ll + part(base + i, w_over)
             else:
                 ll = jax.lax.fori_loop(
                     0, n_b,
                     functools.partial(
-                        lambda i, acc, wd, bs, ov:
-                            acc + part(bs + i * wd, wd, ov),
-                        wd=width, bs=base, ov=w_over),
+                        lambda i, acc, bs, ov: acc + part(bs + i, ov),
+                        bs=base, ov=w_over),
                     ll)
         return ll
 
@@ -505,16 +512,26 @@ def make_fused_ensemble_gather(model, spec, grid_ints, grid_yerrs, bounds,
         scratch_shapes=lambda h, dt: [pltpu.VMEM((h, 1), dt)])
 
 
-def _pad_cols(arr, width, value=None):
-    """Pad a host (r, c) table's channel axis to `width` columns — edge
-    replication for line constants (tau stays finite), a constant for
-    velocity/obs rows."""
-    c = arr.shape[1]
-    if width <= c:
-        return arr
-    if value is None:
-        return np.pad(arr, ((0, 0), (0, width - c)), mode="edge")
-    return np.pad(arr, ((0, 0), (0, width - c)), constant_values=value)
+def _stack_bands(arr, Cp: int, cblock: int, stride: int, pad_value):
+    """Block-stack a host (R, C*) table: pad the channel axis to Cp
+    (`pad_value`: None = edge-replicate for line constants so tau stays
+    finite; a float otherwise), then lay each cblock-wide column block
+    into its own `stride`-row band -> (n_blk * stride, cblock). Dead
+    rows (R..stride) are zero and are sliced away before any compute."""
+    R, c = arr.shape
+    if Cp > c:
+        if pad_value is None:
+            arr = np.pad(arr, ((0, 0), (0, Cp - c)), mode="edge")
+        else:
+            arr = np.pad(arr, ((0, 0), (0, Cp - c)),
+                         constant_values=pad_value)
+    else:
+        arr = arr[:, :Cp]
+    n_blk = Cp // cblock
+    out = np.zeros((n_blk * stride, cblock), arr.dtype)
+    for b in range(n_blk):
+        out[b * stride:b * stride + R] = arr[:, b * cblock:(b + 1) * cblock]
+    return out
 
 
 def gather_statics_tables(model, spec, grid_ints, grid_yerrs, bounds,
@@ -525,13 +542,14 @@ def gather_statics_tables(model, spec, grid_ints, grid_yerrs, bounds,
     The counterpart of sampler/fused.py:single_statics_tables for the
     dense table layout.
 
-    Finalizes the plan's padding here (host numpy, cheap): the main table
-    and the obs rows extend to Cp columns (exact zero contribution:
-    vel=_PAD_VEL so opac=0, y=0/isig=1 so the chi^2 term is exactly 0 and
-    log isig = 0), the overflow table to cb0p, the state-sum (g, E) to
-    n_sb * schunk (g=0 adds exactly 0) — so every fori block is full
-    width."""
+    Block-stacks every table host-side (cheap numpy) per the plan's
+    geometry: the main table and obs rows extend to Cp channels (exact
+    zero contribution: vel=_PAD_VEL so opac=0, y=0/isig=1 so the chi^2
+    term is exactly 0 and log isig = 0), the overflow table to cb0p, the
+    state-sum (g, E) to n_sb * schunk zero-padded states (g=0 adds
+    exactly 0) — so every walked band is full width."""
     tables, wchunk = plan["tables"], plan["wchunk"]
+    cblock, n_bo, n_br = plan["cblock"], plan["n_bo"], plan["n_br"]
     cb0p, Cp, schunk, n_sb = (plan["cb0p"], plan["Cp"], plan["schunk"],
                               plan["n_sb"])
     qm = model.q_model
@@ -546,27 +564,39 @@ def gather_statics_tables(model, spec, grid_ints, grid_yerrs, bounds,
     lo = tuple(float(bounds[k][0]) for k in names)
     hi = tuple(float(bounds[k][1]) for k in names)
 
+    M1 = tables["vel1"].shape[0]
+    M2 = tables["vel2"].shape[0]
+    R1, V1 = _sub8(5 * M1), _sub8(M1)
+    R2, V2 = _sub8(5 * M2), _sub8(M2)
     np_dt = np.float64 if model.dtype == jnp.float64 else np.float32
     chans = np.stack([np.asarray(model.grid_freq, np_dt),
                       np.asarray(grid_ints, np_dt),
                       1.0 / np.asarray(grid_yerrs, np_dt) ** 2])
     if tables["perm"] is not None:
         chans = chans[:, tables["perm"]]   # heavy-first channel order
-    C = chans.shape[1]
-    if Cp > C:
-        pad = np.tile(np.array([[1.0], [0.0], [1.0]], np_dt), (1, Cp - C))
-        chans = np.concatenate([chans, pad], axis=1)
-    lines1 = _pad_cols(tables["lines1"], Cp)
-    vel1 = _pad_cols(tables["vel1"], Cp, value=_PAD_VEL)
-    lines2 = _pad_cols(tables["lines2"], cb0p)
-    vel2 = _pad_cols(tables["vel2"], cb0p, value=_PAD_VEL)
+    # exact-zero padding channels: gf=1 (planck finite), y=0, isig=1
+    pad_col = np.array([[1.0], [0.0], [1.0]], np_dt)
+    if Cp > chans.shape[1]:
+        chans = np.concatenate(
+            [chans, np.tile(pad_col, (1, Cp - chans.shape[1]))], axis=1)
+    chans_s = _stack_bands(chans, Cp, cblock, 8, pad_value=0.0)
+    lines1 = _stack_bands(tables["lines1"], Cp, cblock, R1, pad_value=None)
+    vel1 = _stack_bands(tables["vel1"], Cp, cblock, V1, pad_value=_PAD_VEL)
+    if n_bo:
+        lines2 = _stack_bands(tables["lines2"], cb0p, cblock, R2,
+                              pad_value=None)
+        vel2 = _stack_bands(tables["vel2"], cb0p, cblock, V2,
+                            pad_value=_PAD_VEL)
+    else:
+        lines2 = np.zeros((R2, cblock), np_dt)
+        vel2 = np.full((V2, cblock), _PAD_VEL, np_dt)
 
     if qm.kind == "states":
         qst_h = np.stack([np.asarray(qm.g), np.asarray(qm.E)]).astype(np_dt)
         if n_sb > 1:
-            qst_h = np.pad(qst_h,
-                           ((0, 0), (0, n_sb * schunk - qst_h.shape[1])))
-        qst = jnp.asarray(qst_h, model.dtype)                 # (2, S)
+            qst_h = _stack_bands(qst_h, n_sb * schunk, schunk, 8,
+                                 pad_value=0.0)
+        qst = jnp.asarray(qst_h, model.dtype)
         q_static = dict(q_kind="states", q_coeffs=(), q_power=None,
                         q_scale=1.0)
     else:
@@ -575,16 +605,16 @@ def gather_statics_tables(model, spec, grid_ints, grid_yerrs, bounds,
                         q_power=qm.power, q_scale=qm.scale)
     dev = (jnp.asarray(lines1), jnp.asarray(vel1),
            jnp.asarray(lines2), jnp.asarray(vel2),
-           jnp.asarray(chans, model.dtype), qst)
+           jnp.asarray(chans_s, model.dtype), qst)
     statics = dict(
         ss=None if free_ss else float(spec.fixed_source_size),
         dish_size=float(model.dish_size), Tbg=float(model.Tbg),
         mask_center=float(model.mask_center), **q_static,
         bounds_lo=lo, bounds_hi=hi,
         prior_mean=tuple(means), prior_std=tuple(stds),
-        has_overflow=tables["has_overflow"], wchunk=wchunk,
-        cbo=plan["cbo"], cbr=plan["cbr"], n_bo=plan["n_bo"],
-        n_br=plan["n_br"], cb0p=cb0p, schunk=schunk, n_sb=n_sb)
+        has_overflow=tables["has_overflow"], M1=M1, M2=M2,
+        wchunk=wchunk, cblock=cblock, n_bo=n_bo, n_br=n_br,
+        schunk=schunk, n_sb=n_sb)
     return statics, dev
 
 
@@ -601,5 +631,6 @@ def replan_chunks(tables, model, nwalkers: int,
     picked = _pick_chunks(tables, C, n_states, nwalkers, budget)
     if picked is None:
         return None
-    wchunk, cbo, cbr = picked
-    return _finish_plan(tables, C, n_states, wchunk, cbo, cbr)
+    wchunk, cblock = picked
+    return dict(tables=tables, wchunk=wchunk,
+                **_geom(tables, C, n_states, cblock))

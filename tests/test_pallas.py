@@ -884,8 +884,7 @@ def test_fused_gather_kernel_matches_run_ensemble(hc5n_problem,
     plan = plan_fused_gather(model, spec, 1.5, nwalkers=16,
                              min_saving=min_saving)
     if force_fori:  # inflate both regions past the unroll threshold
-        plan = dict(plan, n_bo=2, n_br=2, cbo=128, cbr=128,
-                    cb0p=256, Cp=512)
+        plan = dict(plan, n_bo=2, n_br=2, cblock=128, cb0p=256, Cp=512)
     run_fused = make_fused_ensemble_gather(
         model, spec, grid.ints, grid.yerrs, bounds, means, stds,
         dv_max=1.5, nwalkers=16, min_saving=min_saving, plan=plan,
@@ -927,14 +926,13 @@ def test_fused_gather_support_bounds():
                 "has_overflow": has_overflow, "cb0": cb0}
 
     # plenty of budget: whole half-ensemble in one chunk, one block
-    assert _pick_chunks(tables(2, 512), 512, 0, 128, 48 << 20) == (
-        64, 128, 512)
+    assert _pick_chunks(tables(2, 512), 512, 0, 128, 48 << 20) == (64, 512)
     # tight budget: shrinks the walker chunk / blocks rather than refusing
     picked = _pick_chunks(tables(48, 2048, 16, 256, True), 2048, 20_000,
                           128, 8 << 20)
     assert picked is not None
-    w, cbo, cbr = picked
-    assert w < 64 or cbr < 2048 - 256
+    w, cblock = picked
+    assert w < 64 or cblock < 2048
     # channel blocking rescues a grid far too wide for whole-width
     # temporaries (the dense_full_fit shape: C=10850, 1554 heavy channels)
     picked = _pick_chunks(tables(6, 10850, 21, 1664, True), 10850, 16_488,

@@ -28,10 +28,23 @@ the two dense problem sizes the driver exercises:
 
 Usage (no TPU needed, CPU platform):
   PYTHONPATH=/root/repo python tools/aot_probe_fused_gather.py
+
+Experiment flags (both optional):
+  --unroll N   monkeypatch fused_gather._UNROLL_BLOCKS to N AFTER
+               planning (the plan keeps the default fori geometry, only
+               the kernel's channel walk unrolls) — answers "does an
+               unrolled accumulator walk pin the scoped stack?" without
+               a relay compile. The on-chip ablation measured the
+               unrolled lnprob 2-4x faster than the fori walk
+               (kern_unrolled 6-14 us/eval vs kern_base 27), so if this
+               passes, unrolling is a real speed lever.
+  --wchunk N   override the planned walker chunk.
+  --bench-only / --full-only   probe a single problem.
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -105,11 +118,13 @@ def _tpu_sharding():
     return NamedSharding(mesh, PartitionSpec())
 
 
-def probe(name, problem, sharding, nwalkers=128, nsteps=(2, 64)):
+def probe(name, problem, sharding, nwalkers=128, nsteps=(2, 64),
+          unroll=None, wchunk=None):
     """Compile at each nsteps in order — the scoped-VMEM watermark is set
     inside one half-update, so a small-k program (minutes) gives the
     verdict before the full k=16 program (the better part of an hour)
     confirms it."""
+    from cha1_mcmc_tpu.sampler import fused_gather
     from cha1_mcmc_tpu.sampler.fused_gather import (
         make_fused_ensemble_gather, plan_fused_gather, _vmem_estimate)
 
@@ -119,16 +134,21 @@ def probe(name, problem, sharding, nwalkers=128, nsteps=(2, 64)):
         print(f"[{name}] plan=None (fused kernel not selected; general "
               f"gather chain would run) — nothing to compile")
         return True
+    if wchunk is not None:
+        plan = dict(plan, wchunk=int(wchunk))
+    if unroll is not None:       # experiment: unroll the planned geometry
+        fused_gather._UNROLL_BLOCKS = int(unroll)
+        print(f"[{name}] EXPERIMENT: _UNROLL_BLOCKS={unroll} "
+              f"wchunk={plan['wchunk']} (plan geometry unchanged)")
     tables = plan["tables"]
     qm = model.q_model
     n_states = 0 if qm.kind == "analytic" else int(np.size(qm.g))
     est = _vmem_estimate(tables, int(model.n_channels), n_states,
-                         plan["wchunk"], nwalkers, plan["cbo"],
-                         plan["cbr"])
+                         plan["wchunk"], nwalkers, plan["cblock"])
     print(f"[{name}] L={model.n_lines} C={model.n_channels} "
           f"n_elems={tables['n_elems']} wchunk={plan['wchunk']} "
-          f"cbo={plan['cbo']}x{plan['n_bo']} cbr={plan['cbr']}x"
-          f"{plan['n_br']} schunk={plan['schunk']}x{plan['n_sb']} "
+          f"cblock={plan['cblock']} (overflow x{plan['n_bo']}, rest x"
+          f"{plan['n_br']}) schunk={plan['schunk']}x{plan['n_sb']} "
           f"estimate={est / 2**20:.1f} MiB")
 
     run = make_fused_ensemble_gather(
@@ -164,13 +184,24 @@ def main():
     if os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
         raise SystemExit("unset PALLAS_AXON_REMOTE_COMPILE: this probe must "
                          "compile against the local libtpu, not the relay")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--unroll", type=int, default=None)
+    ap.add_argument("--wchunk", type=int, default=None)
+    ap.add_argument("--bench-only", action="store_true")
+    ap.add_argument("--full-only", action="store_true")
+    args = ap.parse_args()
     jax.config.update("jax_platforms", "cpu")  # before any backend init
     sharding = _tpu_sharding()
     print(f"compile-only topology: {sharding.mesh.devices}")
-    ok = probe("bench_dense", _bench_dense_problem(), sharding)
-    p2 = _dense_full_fit_problem()
-    if p2 is not None:
-        ok = probe("dense_full_fit", p2, sharding) and ok
+    ok = True
+    if not args.full_only:
+        ok = probe("bench_dense", _bench_dense_problem(), sharding,
+                   unroll=args.unroll, wchunk=args.wchunk)
+    if not args.bench_only:
+        p2 = _dense_full_fit_problem()
+        if p2 is not None:
+            ok = probe("dense_full_fit", p2, sharding,
+                       unroll=args.unroll, wchunk=args.wchunk) and ok
     raise SystemExit(0 if ok else 1)
 
 
