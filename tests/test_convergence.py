@@ -256,9 +256,10 @@ def test_distributional_parity_with_real_emcee():
     emcee==3.1.6, reference requirements.txt:8, driven at
     inference.py:455-473) whenever it is importable.
 
-    Environment probe (2026-08-17, this machine): `import emcee` fails,
-    `pip download emcee==3.1.6` returns "No matching distribution found"
-    (zero network egress), and a full filesystem scan finds no emcee wheel
+    Environment probe (2026-08-17, re-run 2026-08-19, this machine):
+    `import emcee` fails, `pip install`/`pip download emcee` both return
+    "No matching distribution found" (pypi.org does not resolve — zero
+    network egress), and a full filesystem scan finds no emcee wheel
     or source tree anywhere on disk — the real package CANNOT be obtained
     here, so this test self-skips and the two independent oracles above
     (hand-rolled NumPy stretch + the class-for-class vendor_emcee
