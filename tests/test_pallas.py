@@ -845,12 +845,13 @@ def test_batched_lnprob_gather_split_matches_plain(hc5n_problem,
 
 
 @requires_reference
-@pytest.mark.parametrize("min_saving,force_fori", [
-    (1e9, False), (0.0, False), (0.0, True)],
-    ids=["rect_table", "split_overflow", "split_blocked_fori"])
+@pytest.mark.parametrize("min_saving,walk", [
+    (1e9, None), (0.0, None), (0.0, "fori"), (0.0, "unroll")],
+    ids=["rect_table", "split_overflow", "split_blocked_fori",
+         "split_blocked_unroll"])
 def test_fused_gather_kernel_matches_run_ensemble(hc5n_problem,
                                                   hc5n_datagrid, min_saving,
-                                                  force_fori):
+                                                  walk, monkeypatch):
     """The dense-catalog fused whole-step kernel (sampler/fused_gather.py)
     reproduces run_ensemble over the user-facing batched gather lnprob on
     the same PRNG stream: trajectories bitwise-identical on the tested
@@ -858,16 +859,23 @@ def test_fused_gather_kernel_matches_run_ensemble(hc5n_problem,
     contract for never-accepting walkers, in both table modes
     (rectangular table via min_saving=inf; two-class split with the
     heavy-first in-place overflow add via min_saving=0) — and with a
-    plan inflated to multi-block fori_loop channel walks (the extra
+    plan inflated to multi-block channel walks in BOTH walk modes:
+    lax.fori_loop ("fori") and the statically unrolled accumulator
+    ("unroll", _UNROLL_BLOCKS raised past the block count). The extra
     blocks are pure padding, which must contribute exactly 0, so
     trajectories stay bitwise; test_fused_gather_blocked_dense_grid
-    covers fori over real channels)."""
+    covers block walks over real channels."""
     from cha1_mcmc_tpu.inference import single_component_lnprior
     from cha1_mcmc_tpu.sampler import run_ensemble
+    import cha1_mcmc_tpu.sampler.fused_gather as fg
     from cha1_mcmc_tpu.sampler.fused_gather import (
         build_dense_tables, fused_gather_supported,
         make_fused_ensemble_gather, plan_fused_gather)
 
+    if walk == "fori":
+        monkeypatch.setattr(fg, "_UNROLL_BLOCKS", 0)
+    elif walk == "unroll":
+        monkeypatch.setattr(fg, "_UNROLL_BLOCKS", 999)
     model, spec = hc5n_problem["model"], hc5n_problem["spec"]
     grid = hc5n_datagrid
     bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
@@ -883,7 +891,7 @@ def test_fused_gather_kernel_matches_run_ensemble(hc5n_problem,
     assert tables["has_overflow"] == (min_saving == 0.0)
     plan = plan_fused_gather(model, spec, 1.5, nwalkers=16,
                              min_saving=min_saving)
-    if force_fori:  # inflate both regions past the unroll threshold
+    if walk is not None:  # inflate both regions to multi-block walks
         plan = dict(plan, n_bo=2, n_br=2, cblock=128, cb0p=256, Cp=512)
     run_fused = make_fused_ensemble_gather(
         model, spec, grid.ints, grid.yerrs, bounds, means, stds,
