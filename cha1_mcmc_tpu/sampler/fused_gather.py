@@ -169,11 +169,20 @@ def _sub8(r: int) -> int:
 #: Unroll channel-block walks up to this many blocks per region (static
 #: row-band slices); longer walks become lax.fori_loop over the stacked
 #: row bands so the unrolled program size stays flat with grid width.
-#: Unrolled blocks accumulate by value, which PINS each block's dead
-#: temporaries below the surviving partial on the Mosaic scoped stack
-#: (see _make_gather_lnprob) — the estimator charges unrolled regions for
-#: every block, fori regions for one iteration.
-_UNROLL_BLOCKS = 1
+#: The unrolled walk accumulates into an (n, 1) partial (ll = ll +
+#: part(b)), so each block's dead temporaries POP off the Mosaic scoped
+#: stack after the add — unlike chunk results that survive for a final
+#: concatenate, which pin the stack (see _make_gather_lnprob). Measured
+#: on the v5e (tools/tpu_time_gather_ablate.py, 2026-08-19): the 16-block
+#: bench-dense walk fully unrolled terminal-compiles within the 16 MiB
+#: scoped limit at wchunk=32 and runs the whole fused chain at
+#: 43.8 us/step vs 68.3 with the fori walk — so unrolling is the default
+#: up to this threshold; the estimator charges unrolled regions ~2 live
+#: blocks (the seam), fori regions one iteration. The decision is made
+#: per region at PLAN time (plan keys unroll_bo/unroll_br): a region
+#: whose unrolled charge would blow the scoped budget falls back to the
+#: fori walk instead of refusing the fused kernel outright.
+_UNROLL_BLOCKS = 16
 
 #: State-sum chunk width: Q(T)'s (wchunk, S) Boltzmann block is walked in
 #: (wchunk, _STATE_CHUNK) tiles when S exceeds it (the aromatics carry
@@ -200,7 +209,7 @@ def _geom(tables, C: int, n_states: int, cblock: int):
 
 
 def _vmem_estimate(tables, C, n_states, wchunk, nwalkers,
-                   cblock: int) -> int:
+                   cblock: int, unroll_bo=None, unroll_br=None) -> int:
     """Scoped-VMEM working-set model (bytes) for a candidate channel
     block width, calibrated against the measured on-chip data point (v5e
     terminal compile of the pre-blocking bench-dense program, wchunk=16,
@@ -210,13 +219,22 @@ def _vmem_estimate(tables, C, n_states, wchunk, nwalkers,
     (wchunk, schunk) layers in the state-sum Q, 4 (wchunk, cblock)
     channel rows in the RT/chi^2 tail, the per-iteration row-band loads,
     plus the block-stacked static tables and the step loop's selectors.
-    Unrolled regions (block count <= _UNROLL_BLOCKS) pin every block's
-    layers; fori regions cost one iteration."""
+    Unrolled regions accumulate into an (n, 1) partial, so each block's
+    layers pop after its add — charged ~2 live blocks (the seam, where
+    one block's surviving partial overlaps the next block's transient;
+    the 16-block unrolled bench-dense walk compiling at wchunk=32 on the
+    v5e bounds the true live count at <= 2.7 blocks under this model).
+    fori regions cost one iteration. unroll_bo/unroll_br pick the walk
+    mode per region (None: derive from _UNROLL_BLOCKS eligibility)."""
     M1 = tables["vel1"].shape[0]
     M2 = tables["vel2"].shape[0]
     g = _geom(tables, C, n_states, cblock)
     n_bo, n_br, n_sb, schunk = g["n_bo"], g["n_br"], g["n_sb"], g["schunk"]
     n_blk = n_bo + n_br
+    if unroll_bo is None:
+        unroll_bo = n_bo <= _UNROLL_BLOCKS
+    if unroll_br is None:
+        unroll_br = n_br <= _UNROLL_BLOCKS
 
     R1, V1 = _sub8(5 * M1), _sub8(M1)
     R2, V2 = _sub8(5 * M2), _sub8(M2)
@@ -225,8 +243,8 @@ def _vmem_estimate(tables, C, n_states, wchunk, nwalkers,
                   + n_sb * 8 * max(schunk, 1))
     layers_o = _pad_tile(M1, cblock) + _pad_tile(M2, cblock) if n_bo else 0
     layers_r = _pad_tile(M1, cblock) if n_br else 0
-    blk = ((n_bo if n_bo <= _UNROLL_BLOCKS else 1) * layers_o
-           + (n_br if n_br <= _UNROLL_BLOCKS else 1) * layers_r)
+    blk = ((min(n_bo, 2) if unroll_bo else 1) * layers_o
+           + (min(n_br, 2) if unroll_br else 1) * layers_r)
     loads = ((R1 + V1 + 8 + (R2 + V2 if n_bo else 0)) * cblock
              + 8 * max(schunk, 1))
     chunk = 4 * (wchunk * (8 * blk + 3 * schunk + 4 * cblock) + loads)
@@ -235,34 +253,42 @@ def _vmem_estimate(tables, C, n_states, wchunk, nwalkers,
     return static + chunk + loop
 
 
-def _width_cands(width: int):
-    """Descending lane-aligned halvings of the grid width (channel-block
-    candidates): full width first, 128 last."""
-    if width <= 0:
-        return [128]
-    cands = []
-    cb = _lane(width)
-    while cb > 128:
-        cands.append(cb)
-        cb = max(128, _lane(cb // 2))
-    cands.append(128)
-    return cands
-
-
 def _pick_chunks(tables, C: int, n_states: int, nwalkers: int,
                  budget: int):
-    """Pick (wchunk, cblock): the largest walker chunk (fewest table
-    re-reads — each channel block's row band is re-read once per walker
-    chunk), then the widest channel block, that fit the scoped budget.
-    Returns None when nothing fits."""
+    """Pick (wchunk, cblock, unroll_bo, unroll_br) by measured on-chip
+    preference, not a re-read-count heuristic. The v5e lnprob ablation
+    (tools/tpu_time_gather_ablate.py, 2026-08-19, bench-dense geometry)
+    ranked the walker chunks 32 > 64 > 8 (0.032 / 0.041 / 0.068 ms/eval)
+    and the channel blocks 128 > 512 > 2048 (0.032 / 0.058 / 0.164) —
+    narrow channel blocks are both fastest AND minimize the scoped
+    working set (every term of _vmem_estimate grows with cblock, so a
+    wider block can never rescue a failed 128 plan; 128 is the only
+    candidate). Per wchunk, walk modes are tried most-unrolled-first
+    (43.8 vs 68.3 us/step whole-chain): both regions unrolled, then the
+    single-region unrolls — larger region first, since unrolling saves
+    per-block loop overhead proportional to the block count (bench-dense
+    lands here: both-unrolled charges 16.3 MiB at wchunk=32 but
+    rest-only-unrolled 10.3 MiB, keeping 14 of its 16 blocks on the fast
+    walk) — then full fori, so a region whose unrolled seam charge would
+    blow the scoped budget downgrades instead of refusing. Returns None
+    when nothing fits."""
     h = max(nwalkers // 2, 1)
-    for wchunk in (h, 64, 32, 16, 8):
-        if wchunk > h:
-            continue
-        for cblock in _width_cands(C):
+    g = _geom(tables, C, n_states, 128)
+    n_bo, n_br = g["n_bo"], g["n_br"]
+    bo_ok = n_bo <= _UNROLL_BLOCKS
+    br_ok = n_br <= _UNROLL_BLOCKS
+    singles = (((False, br_ok), (bo_ok, False)) if n_br >= n_bo
+               else ((bo_ok, False), (False, br_ok)))
+    walks = []
+    for cand in ((bo_ok, br_ok), *singles, (False, False)):
+        if cand not in walks:
+            walks.append(cand)
+    cands = [w for w in (32, 64, 16, 8) if w <= h] or [h]
+    for wchunk in cands:
+        for ubo, ubr in walks:
             if _vmem_estimate(tables, C, n_states, wchunk, nwalkers,
-                              cblock) <= budget:
-                return wchunk, cblock
+                              128, ubo, ubr) <= budget:
+                return wchunk, 128, ubo, ubr
     return None
 
 
@@ -288,7 +314,7 @@ def plan_fused_gather(model, spec, dv_max: float, nwalkers: int = 128,
     state) chunking, or return None when (model, spec) cannot take the
     fused kernel (multi-component layout, or a working set over the VMEM
     budget). Returns a plan dict: {tables, wchunk, cblock, n_bo, n_br,
-    cb0p, Cp, schunk, n_sb}.
+    cb0p, Cp, schunk, n_sb, unroll_bo, unroll_br}.
 
     Table construction on a 35k-line catalog costs seconds of host time
     (the (L, C) window scan), so callers that first check support and then
@@ -303,9 +329,9 @@ def plan_fused_gather(model, spec, dv_max: float, nwalkers: int = 128,
     picked = _pick_chunks(tables, C, n_states, nwalkers, budget)
     if picked is None:
         return None
-    wchunk, cblock = picked
-    return dict(tables=tables, wchunk=wchunk,
-                **_geom(tables, C, n_states, cblock))
+    wchunk, cblock, unroll_bo, unroll_br = picked
+    return dict(tables=tables, wchunk=wchunk, unroll_bo=unroll_bo,
+                unroll_br=unroll_br, **_geom(tables, C, n_states, cblock))
 
 
 def fused_gather_supported(model, spec, dv_max: float, nwalkers: int = 128,
@@ -321,7 +347,8 @@ def _make_gather_lnprob(lines1, vel1, lines2, vel2, chans, qst, *,
                         q_kind, q_coeffs, q_power, q_scale,
                         bounds_lo, bounds_hi, prior_mean, prior_std,
                         has_overflow, M1, M2, wchunk, cblock, n_bo, n_br,
-                        schunk, n_sb, out_scratch=None):
+                        schunk, n_sb, unroll_bo=None, unroll_br=None,
+                        out_scratch=None):
     """lnprob from the block-stacked channel-major tables, (n, D) ->
     (n, 1), evaluated in (wchunk walkers) x (cblock channels) tiles so
     the dominant (chunk, M, cblock) temporaries stay inside the
@@ -350,10 +377,14 @@ def _make_gather_lnprob(lines1, vel1, lines2, vel2, chans, qst, *,
     limit). Storing each chunk's (cn, 1) lnp into pre-allocated scratch
     lets the whole chunk pop, leaving only one chunk's transient on the
     stack — the same scratch-accumulation discipline
-    sampler/fused_multi.py uses. The channel walk inside a chunk is a
-    lax.fori_loop (block counts over _UNROLL_BLOCKS) whose carried
-    (cn, 1) partial lets every iteration's temporaries pop, or a short
-    static unroll. With out_scratch=None (the sharded composition's
+    sampler/fused_multi.py uses. The channel walk inside a chunk is
+    plan-selected per region (unroll_bo/unroll_br; None falls back to
+    the _UNROLL_BLOCKS eligibility): a statically unrolled accumulator
+    (each block's add pops its temporaries — the measured-fastest walk,
+    43.8 vs 68.3 us/step whole-chain on the v5e) or a lax.fori_loop
+    whose carried (cn, 1) partial lets every iteration's temporaries pop
+    while the program size stays flat with grid width. With
+    out_scratch=None (the sharded composition's
     plain-array entry lnprob, outside Pallas) the SAME walk runs on
     plain arrays via lax.dynamic_slice — one numerics definition, one
     reduction order, for both paths."""
@@ -419,11 +450,12 @@ def _make_gather_lnprob(lines1, vel1, lines2, vel2, chans, qst, *,
                                   dish_size=dish_size, Tbg=Tbg)
 
         ll = jnp.zeros_like(Tex)
-        for n_b, base, w_over in ((n_bo, 0, has_overflow),
-                                  (n_br, n_bo, False)):
+        for n_b, base, w_over, unroll in (
+                (n_bo, 0, has_overflow, unroll_bo),
+                (n_br, n_bo, False, unroll_br)):
             if not n_b:
                 continue
-            if n_b <= _UNROLL_BLOCKS:
+            if unroll if unroll is not None else n_b <= _UNROLL_BLOCKS:
                 for i in range(n_b):
                     ll = ll + part(base + i, w_over)
             else:
@@ -614,7 +646,8 @@ def gather_statics_tables(model, spec, grid_ints, grid_yerrs, bounds,
         prior_mean=tuple(means), prior_std=tuple(stds),
         has_overflow=tables["has_overflow"], M1=M1, M2=M2,
         wchunk=wchunk, cblock=cblock, n_bo=n_bo, n_br=n_br,
-        schunk=schunk, n_sb=n_sb)
+        schunk=schunk, n_sb=n_sb,
+        unroll_bo=plan.get("unroll_bo"), unroll_br=plan.get("unroll_br"))
     return statics, dev
 
 
@@ -631,6 +664,6 @@ def replan_chunks(tables, model, nwalkers: int,
     picked = _pick_chunks(tables, C, n_states, nwalkers, budget)
     if picked is None:
         return None
-    wchunk, cblock = picked
-    return dict(tables=tables, wchunk=wchunk,
-                **_geom(tables, C, n_states, cblock))
+    wchunk, cblock, unroll_bo, unroll_br = picked
+    return dict(tables=tables, wchunk=wchunk, unroll_bo=unroll_bo,
+                unroll_br=unroll_br, **_geom(tables, C, n_states, cblock))

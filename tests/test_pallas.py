@@ -846,12 +846,13 @@ def test_batched_lnprob_gather_split_matches_plain(hc5n_problem,
 
 @requires_reference
 @pytest.mark.parametrize("min_saving,walk", [
-    (1e9, None), (0.0, None), (0.0, "fori"), (0.0, "unroll")],
+    (1e9, None), (0.0, None), (0.0, "fori"), (0.0, "unroll"),
+    (0.0, "mixed")],
     ids=["rect_table", "split_overflow", "split_blocked_fori",
-         "split_blocked_unroll"])
+         "split_blocked_unroll", "split_blocked_mixed"])
 def test_fused_gather_kernel_matches_run_ensemble(hc5n_problem,
                                                   hc5n_datagrid, min_saving,
-                                                  walk, monkeypatch):
+                                                  walk):
     """The dense-catalog fused whole-step kernel (sampler/fused_gather.py)
     reproduces run_ensemble over the user-facing batched gather lnprob on
     the same PRNG stream: trajectories bitwise-identical on the tested
@@ -859,23 +860,20 @@ def test_fused_gather_kernel_matches_run_ensemble(hc5n_problem,
     contract for never-accepting walkers, in both table modes
     (rectangular table via min_saving=inf; two-class split with the
     heavy-first in-place overflow add via min_saving=0) — and with a
-    plan inflated to multi-block channel walks in BOTH walk modes:
-    lax.fori_loop ("fori") and the statically unrolled accumulator
-    ("unroll", _UNROLL_BLOCKS raised past the block count). The extra
+    plan inflated to multi-block channel walks in ALL walk modes:
+    lax.fori_loop ("fori"), the statically unrolled accumulator
+    ("unroll", the planner default up to _UNROLL_BLOCKS), and the mixed
+    case ("mixed": overflow region unrolled, rest region fori — the
+    dense_full_fit shape, where n_bo <= _UNROLL_BLOCKS < n_br). The extra
     blocks are pure padding, which must contribute exactly 0, so
     trajectories stay bitwise; test_fused_gather_blocked_dense_grid
     covers block walks over real channels."""
     from cha1_mcmc_tpu.inference import single_component_lnprior
     from cha1_mcmc_tpu.sampler import run_ensemble
-    import cha1_mcmc_tpu.sampler.fused_gather as fg
     from cha1_mcmc_tpu.sampler.fused_gather import (
         build_dense_tables, fused_gather_supported,
         make_fused_ensemble_gather, plan_fused_gather)
 
-    if walk == "fori":
-        monkeypatch.setattr(fg, "_UNROLL_BLOCKS", 0)
-    elif walk == "unroll":
-        monkeypatch.setattr(fg, "_UNROLL_BLOCKS", 999)
     model, spec = hc5n_problem["model"], hc5n_problem["spec"]
     grid = hc5n_datagrid
     bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
@@ -891,8 +889,12 @@ def test_fused_gather_kernel_matches_run_ensemble(hc5n_problem,
     assert tables["has_overflow"] == (min_saving == 0.0)
     plan = plan_fused_gather(model, spec, 1.5, nwalkers=16,
                              min_saving=min_saving)
-    if walk is not None:  # inflate both regions to multi-block walks
-        plan = dict(plan, n_bo=2, n_br=2, cblock=128, cb0p=256, Cp=512)
+    if walk == "mixed":  # overflow unrolled, rest fori (dense_full_fit
+        plan = dict(plan, n_bo=2, n_br=3, cblock=128,  # shape)
+                    cb0p=256, Cp=640, unroll_bo=True, unroll_br=False)
+    elif walk is not None:  # inflate both regions to multi-block walks
+        plan = dict(plan, n_bo=2, n_br=2, cblock=128, cb0p=256, Cp=512,
+                    unroll_bo=walk == "unroll", unroll_br=walk == "unroll")
     run_fused = make_fused_ensemble_gather(
         model, spec, grid.ints, grid.yerrs, bounds, means, stds,
         dv_max=1.5, nwalkers=16, min_saving=min_saving, plan=plan,
@@ -933,19 +935,25 @@ def test_fused_gather_support_bounds():
                 "vel2": np.zeros((M2, max(cb0, 1)), np.float32),
                 "has_overflow": has_overflow, "cb0": cb0}
 
-    # plenty of budget: whole half-ensemble in one chunk, one block
-    assert _pick_chunks(tables(2, 512), 512, 0, 128, 48 << 20) == (64, 512)
-    # tight budget: shrinks the walker chunk / blocks rather than refusing
+    # plenty of budget: the measured-fastest chunking (wchunk=32,
+    # cblock=128, unrolled walks — the on-chip ablation's ranking, see
+    # _pick_chunks)
+    assert _pick_chunks(tables(2, 512), 512, 0, 128,
+                        48 << 20) == (32, 128, True, True)
+    # tight budget: downgrades walks to fori / shrinks the walker chunk
+    # rather than refusing
     picked = _pick_chunks(tables(48, 2048, 16, 256, True), 2048, 20_000,
                           128, 8 << 20)
     assert picked is not None
-    w, cblock = picked
-    assert w < 64 or cblock < 2048
+    w, cblock, ubo, ubr = picked
+    assert cblock == 128 and (w < 32 or not (ubo and ubr))
     # channel blocking rescues a grid far too wide for whole-width
-    # temporaries (the dense_full_fit shape: C=10850, 1554 heavy channels)
+    # temporaries (the dense_full_fit shape: C=10850, 1554 heavy
+    # channels); the 85-block rest region walks as fori
     picked = _pick_chunks(tables(6, 10850, 21, 1664, True), 10850, 16_488,
                           128, 12 << 20)
     assert picked is not None
+    assert picked[3] is False
     # impossible budget: refuses
     assert _pick_chunks(tables(400, 2048, 64, 1024, True), 2048, 0, 128,
                         1 << 20) is None

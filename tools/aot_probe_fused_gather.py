@@ -30,14 +30,15 @@ Usage (no TPU needed, CPU platform):
   PYTHONPATH=/root/repo python tools/aot_probe_fused_gather.py
 
 Experiment flags (both optional):
-  --unroll N   monkeypatch fused_gather._UNROLL_BLOCKS to N AFTER
-               planning (the plan keeps the default fori geometry, only
-               the kernel's channel walk unrolls) — answers "does an
-               unrolled accumulator walk pin the scoped stack?" without
-               a relay compile. The on-chip ablation measured the
-               unrolled lnprob 2-4x faster than the fori walk
-               (kern_unrolled 6-14 us/eval vs kern_base 27), so if this
-               passes, unrolling is a real speed lever.
+  --unroll N   force BOTH channel-walk regions unrolled (N=1) or fori
+               (N=0), overriding the plan's unroll_bo/unroll_br —
+               answers "does this walk mode fit the scoped stack?"
+               without a relay compile. (The 2026-08-19 on-chip ablation
+               settled the default: the unrolled accumulator walk is
+               2-4x faster per eval and compiles at the bench-dense
+               geometry, so the planner now prefers it up to
+               _UNROLL_BLOCKS blocks per region, falling back to fori
+               when the seam charge would blow the budget.)
   --wchunk N   override the planned walker chunk.
   --bench-only / --full-only   probe a single problem.
 """
@@ -124,7 +125,6 @@ def probe(name, problem, sharding, nwalkers=128, nsteps=(2, 64),
     inside one half-update, so a small-k program (minutes) gives the
     verdict before the full k=16 program (the better part of an hour)
     confirms it."""
-    from cha1_mcmc_tpu.sampler import fused_gather
     from cha1_mcmc_tpu.sampler.fused_gather import (
         make_fused_ensemble_gather, plan_fused_gather, _vmem_estimate)
 
@@ -136,19 +136,23 @@ def probe(name, problem, sharding, nwalkers=128, nsteps=(2, 64),
         return True
     if wchunk is not None:
         plan = dict(plan, wchunk=int(wchunk))
-    if unroll is not None:       # experiment: unroll the planned geometry
-        fused_gather._UNROLL_BLOCKS = int(unroll)
-        print(f"[{name}] EXPERIMENT: _UNROLL_BLOCKS={unroll} "
+    if unroll is not None:   # experiment: force both walks unrolled/fori
+        force = bool(int(unroll))
+        plan = dict(plan, unroll_bo=force, unroll_br=force)
+        print(f"[{name}] EXPERIMENT: unroll_bo=unroll_br={force} "
               f"wchunk={plan['wchunk']} (plan geometry unchanged)")
     tables = plan["tables"]
     qm = model.q_model
     n_states = 0 if qm.kind == "analytic" else int(np.size(qm.g))
     est = _vmem_estimate(tables, int(model.n_channels), n_states,
-                         plan["wchunk"], nwalkers, plan["cblock"])
+                         plan["wchunk"], nwalkers, plan["cblock"],
+                         plan.get("unroll_bo"), plan.get("unroll_br"))
     print(f"[{name}] L={model.n_lines} C={model.n_channels} "
           f"n_elems={tables['n_elems']} wchunk={plan['wchunk']} "
-          f"cblock={plan['cblock']} (overflow x{plan['n_bo']}, rest x"
-          f"{plan['n_br']}) schunk={plan['schunk']}x{plan['n_sb']} "
+          f"cblock={plan['cblock']} (overflow x{plan['n_bo']}"
+          f"{' unrolled' if plan.get('unroll_bo') else ' fori'}, rest x"
+          f"{plan['n_br']}{' unrolled' if plan.get('unroll_br') else ' fori'}"
+          f") schunk={plan['schunk']}x{plan['n_sb']} "
           f"estimate={est / 2**20:.1f} MiB")
 
     run = make_fused_ensemble_gather(

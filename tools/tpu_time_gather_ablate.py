@@ -112,19 +112,19 @@ def main():
     out["fused_chain_us_per_step"] = round(s * 1e6, 2)
     print(f"fused whole-chain: {s * 1e6:.1f} us/step", flush=True)
 
-    # --- 2b. fused whole-chain, fully unrolled channel walk -------------
-    # The isolated-lnprob ablation (section 4) measured the unrolled walk
-    # 2-4x faster than the fori walk AND it compiled+ran on-chip at
-    # wchunk=32 — i.e. an unrolled ACCUMULATOR (ll = ll + part) does not
-    # pin the scoped stack the way value-surviving chunk results did.
-    # This times the real whole-chain program with the walk unrolled.
-    if "--no-unrolled-chain" not in sys.argv:
-        saved_ub = fg._UNROLL_BLOCKS
+    # --- 2b. fused whole-chain, forced-fori channel walk ----------------
+    # The 2026-08-19 ablation settled the default: the unrolled
+    # accumulator walk measured 43.8 us/step whole-chain vs 68.3 fori and
+    # compiles on-chip (it does NOT pin the scoped stack — only the (n,1)
+    # partial survives each block's add), so the planner now prefers it
+    # (plan keys unroll_bo/unroll_br). This section times the fori walk
+    # for comparison by forcing both flags off.
+    if "--no-fori-chain" not in sys.argv:
         try:
-            fg._UNROLL_BLOCKS = 999
+            plan_f = dict(base_plan, unroll_bo=False, unroll_br=False)
             run_fu = fg.make_fused_ensemble_gather(
                 model, spec, ints, yerrs, bounds, means, stds,
-                dv_max=bounds["dV"][1], nwalkers=nwalkers, plan=base_plan)
+                dv_max=bounds["dV"][1], nwalkers=nwalkers, plan=plan_f)
             fchain_u, _, _, (fpos_u, flnp_u) = run_fu(pos0, lnp0, key, 64)
             jax.block_until_ready(fchain_u)
             flnp_u = jnp.asarray(flnp_u)
@@ -132,14 +132,12 @@ def main():
                 lambda n, tag: run_fu(fpos_u, flnp_u,
                                       jax.random.fold_in(key, tag), n)[0],
                 64, 256)
-            out["fused_chain_unrolled_us_per_step"] = round(s * 1e6, 2)
-            print(f"fused whole-chain (unrolled walk): {s * 1e6:.1f} "
+            out["fused_chain_fori_us_per_step"] = round(s * 1e6, 2)
+            print(f"fused whole-chain (forced fori walk): {s * 1e6:.1f} "
                   f"us/step", flush=True)
         except Exception as exc:  # noqa: BLE001 - record and continue
-            out["fused_chain_unrolled_error"] = f"{type(exc).__name__}: {exc}"
-            print(f"fused unrolled chain: FAILED {exc}", flush=True)
-        finally:
-            fg._UNROLL_BLOCKS = saved_ub
+            out["fused_chain_fori_error"] = f"{type(exc).__name__}: {exc}"
+            print(f"fused fori chain: FAILED {exc}", flush=True)
 
     # --- 3. batched lnprob alone (scan, tag-varied) ---------------------
     def scan_run(fn, th):
@@ -208,14 +206,10 @@ def main():
     variant("kern_cb2048_ms", replan(cblock=2048, wchunk=8))
     variant("kern_w8_ms", replan(wchunk=8))
     variant("kern_w64_ms", replan(wchunk=64))
-    # fully unrolled channel walk (no fori): bump the unroll threshold
-    saved = fg._UNROLL_BLOCKS
-    try:
-        fg._UNROLL_BLOCKS = 999
-        variant("kern_unrolled_ms", base_plan)
-        variant("kern_unrolled_qones_ms", base_plan, q_ones=True)
-    finally:
-        fg._UNROLL_BLOCKS = saved
+    # forced fori channel walk (the pre-2026-08-19 default)
+    fori_plan = dict(base_plan, unroll_bo=False, unroll_br=False)
+    variant("kern_fori_ms", fori_plan)
+    variant("kern_fori_qones_ms", fori_plan, q_ones=True)
 
     print(json.dumps(out), flush=True)
     return 0
