@@ -364,6 +364,13 @@ def bench_dense() -> dict:
     spec = ParamSpec(ncomp=1, fixed_source_size=52.0)
     bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
               "vlsr": (4.0, 7.5), "dV": (0.4, 1.5)}
+    # Device Chebyshev Q surrogate over the Tex box — exactly what the
+    # fit pipeline attaches (pipeline/fit.py:build_model); the 16k-state
+    # Boltzmann walk was ~95% of the dense in-kernel eval cost.
+    import dataclasses as _dc
+    from cha1_mcmc_tpu.catalogs.partition import fit_device_cheb
+    model = _dc.replace(model, q_model=fit_device_cheb(
+        model.q_model, *bounds["Tex"]))
     prior_means = np.array([3.4e10, 8.0, center, 0.7575])
     prior_stds = np.array([0.34e10, 3.0, 0.06, 0.22])
     lnprior = single_component_lnprior(spec, bounds, prior_means, prior_stds)

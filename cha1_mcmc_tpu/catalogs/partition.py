@@ -34,7 +34,8 @@ from cha1_mcmc_tpu.constants import KCM
 if TYPE_CHECKING:
     from cha1_mcmc_tpu.catalogs.spcat import Catalog
 
-__all__ = ["QModel", "q_model_for_catalog", "calc_qvib"]
+__all__ = ["QModel", "q_model_for_catalog", "calc_qvib",
+           "fit_device_cheb", "device_n_states"]
 
 
 def calc_qvib(vibs, T, xp=np):
@@ -70,16 +71,47 @@ class QModel:
     scale: float = 1.0
     g: np.ndarray | None = None   # (S,) degeneracies 2J+1
     E: np.ndarray | None = None   # (S,) lower-state energies, cm^-1
+    #: Optional DEVICE surrogate (fit_device_cheb): Chebyshev-T
+    #: coefficients of Q(T) over cheb_interval = (t_lo, t_hi). When
+    #: present, `__call__` (the jitted device path) evaluates the
+    #: Clenshaw recurrence instead of the state sum — measured on the
+    #: v5e the 16,488-state aromatic walk was ~95% of the dense fused
+    #: kernel's lnprob cost (tools/tpu_time_gather_ablate.py
+    #: 2026-08-19: kern_base 0.035 ms/eval vs kern_qones 0.001), while
+    #: a degree-16 fit reproduces Q to ~4e-12 relative in f64 — far
+    #: below f32 resolution, so device results agree to the ulp level
+    #: the kernels already document. `host_eval` (the f64 oracle the
+    #: parity tests audit) always evaluates the exact reference
+    #: formulas and ignores the surrogate.
+    cheb_interval: tuple | None = None
+    cheb_coeffs: tuple | None = None
 
     def host_eval(self, T):
-        """Evaluate with NumPy (float64), for host-side setup and tests."""
+        """Evaluate with NumPy (float64), for host-side setup and tests.
+
+        Always the exact reference formulas (state sum / polynomial) —
+        never the device Chebyshev surrogate."""
         return self._eval(np, T)
 
     def __call__(self, T):
-        """Evaluate with jnp; traceable/jittable in T."""
+        """Evaluate with jnp; traceable/jittable in T. Uses the
+        Chebyshev device surrogate when one is attached."""
         import jax.numpy as jnp
 
+        if self.cheb_coeffs is not None:
+            return self._cheb_eval(jnp, T)
         return self._eval(jnp, T)
+
+    def _cheb_eval(self, xp, T):
+        """Clenshaw recurrence for sum_k c_k T_k(x(T)); broadcasts over
+        any T shape (matching the state-sum branch's contract)."""
+        t_lo, t_hi = self.cheb_interval
+        x = (T - t_lo) * (2.0 / (t_hi - t_lo)) - 1.0
+        bk1 = xp.zeros_like(x)
+        bk2 = xp.zeros_like(x)
+        for c in self.cheb_coeffs[:0:-1]:     # c_deg .. c_1
+            bk1, bk2 = c + 2.0 * x * bk1 - bk2, bk1
+        return self.cheb_coeffs[0] + x * bk1 - bk2
 
     def _eval(self, xp, T):
         if self.kind == "states":
@@ -211,3 +243,58 @@ def _state_sum_model(catalog: "Catalog") -> QModel:
     J = unique_rows[:, 0]
     E = unique_rows[:, -1]
     return QModel(kind="states", g=(2.0 * J + 1.0), E=E)
+
+
+def device_n_states(qm: QModel) -> int:
+    """Number of states the DEVICE evaluation of this QModel walks: 0 for
+    analytic forms and for state-sum models carrying a Chebyshev device
+    surrogate (fit_device_cheb) — the fused kernels and VMEM planners
+    size their state-sum machinery from this, not from `kind` alone."""
+    if qm.kind == "analytic" or qm.cheb_coeffs is not None:
+        return 0
+    return int(np.size(qm.g))
+
+
+def fit_device_cheb(qm: QModel, t_lo: float, t_hi: float, *,
+                    tol: float = 1e-10, max_deg: int = 64) -> QModel:
+    """Attach a Chebyshev-T device surrogate for Q(T) over [t_lo, t_hi].
+
+    Fits at Chebyshev nodes in f64, raising the degree until the max
+    relative error on a dense check grid is below `tol` (a smooth 1-D
+    Q(T) converges geometrically: the 16,488-state 1-cyanonaphthalene
+    sum needs degree 16 for ~4e-12 over [3.5, 12] K). Returns a new
+    QModel with cheb_interval/cheb_coeffs set — `__call__` (device)
+    then evaluates the surrogate while `host_eval` stays the exact
+    reference formula. Returns `qm` unchanged for analytic models, when
+    one is already attached, or when no degree reaches `tol` (the exact
+    state-sum walk stays the device path).
+
+    The surrogate is only valid INSIDE [t_lo, t_hi] — callers pass the
+    sampler's Tex prior box, and out-of-box proposals are -inf by the
+    prior before Q's value matters (inference/priors.py), exactly
+    mirroring the state sum's own out-of-box behavior (negative Tex
+    overflows to inf -> lnp -inf under the isfinite guard).
+    """
+    if qm.kind == "analytic" or qm.cheb_coeffs is not None:
+        return qm
+    t_lo, t_hi = float(t_lo), float(t_hi)
+    if not (np.isfinite(t_lo) and np.isfinite(t_hi)) or t_hi <= t_lo:
+        return qm
+    from numpy.polynomial import chebyshev as _cheb
+
+    T_check = np.linspace(t_lo, t_hi, 4001)
+    Q_check = qm.host_eval(T_check)
+    x_check = (T_check - t_lo) * (2.0 / (t_hi - t_lo)) - 1.0
+    deg = 8
+    while deg <= max_deg:
+        nodes = np.cos((2 * np.arange(deg + 1) + 1) * np.pi
+                       / (2 * (deg + 1)))
+        tn = 0.5 * (t_hi - t_lo) * nodes + 0.5 * (t_hi + t_lo)
+        coef = _cheb.chebfit(nodes, qm.host_eval(tn), deg)
+        rel = np.max(np.abs(_cheb.chebval(x_check, coef) / Q_check - 1.0))
+        if rel <= tol:
+            return dataclasses.replace(
+                qm, cheb_interval=(t_lo, t_hi),
+                cheb_coeffs=tuple(float(c) for c in coef))
+        deg = deg * 3 // 2
+    return qm

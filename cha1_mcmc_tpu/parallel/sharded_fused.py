@@ -48,6 +48,7 @@ try:  # jax >= 0.4.35 exposes shard_map at top level
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
+from cha1_mcmc_tpu.catalogs.partition import device_n_states
 from cha1_mcmc_tpu.models.forward import forward_from_lines
 from cha1_mcmc_tpu.sampler.fused import (_make_dense_lnprob,
                                          single_statics_tables)
@@ -82,8 +83,7 @@ def fused_sharded_supported(model, mesh: Mesh, nwalkers: int,
     n_comp = h * n_w
     model_bytes = 4 * h * model.n_lines * model.n_channels * 4
     selector_bytes = (3 * h * w_local + h * n_comp) * 4
-    n_states = (0 if model.q_model.kind == "analytic"
-                else int(np.size(model.q_model.g)))
+    n_states = device_n_states(model.q_model)
     q_bytes = 2 * h * n_states * 4
     return model_bytes + selector_bytes + q_bytes <= budget_bytes
 

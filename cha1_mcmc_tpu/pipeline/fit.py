@@ -10,6 +10,7 @@ Flow (reference run(), inference.py:475-488):
 
 from __future__ import annotations
 
+import dataclasses
 import os
 
 import numpy as np
@@ -18,6 +19,8 @@ import jax.numpy as jnp
 
 from cha1_mcmc_tpu.constants import CYAN, GRAY, GREEN, RED, RESET
 from cha1_mcmc_tpu.catalogs import load_catalog
+from cha1_mcmc_tpu.catalogs.partition import (device_n_states,
+                                              fit_device_cheb)
 from cha1_mcmc_tpu.models.forward import SpectralModel
 from cha1_mcmc_tpu.inference import (
     ParamSpec,
@@ -94,7 +97,7 @@ class SpectralFit:
         cfg = self.config
         if self.catalog is None:
             self.catalog = load_catalog(cfg.catfile_path, name=cfg.mol_name)
-        return SpectralModel.build(
+        model = SpectralModel.build(
             self.catalog, grid.covered_trans, grid.freqs,
             ll=cfg.lower_limit, ul=cfg.upper_limit,
             dish_size=cfg.dish_size,
@@ -102,6 +105,19 @@ class SpectralFit:
             mask_center=cfg.aligned_velocity,
             dtype=self.dtype,
         )
+        if model.q_model.kind == "states":
+            # Device Chebyshev surrogate over the sampler's Tex prior
+            # box (partition.py:fit_device_cheb): the aromatics'
+            # 16k-state Boltzmann walk measured ~95% of the dense fused
+            # kernel's per-eval cost on the v5e; a ulp-equivalent
+            # degree-~16 fit replaces it everywhere on-device, while
+            # every host/f64 oracle path keeps the exact reference
+            # state sum. Out-of-box Tex is -inf by the prior before
+            # Q's value matters.
+            t_lo, t_hi = cfg.bounds["Tex"]
+            model = dataclasses.replace(
+                model, q_model=fit_device_cheb(model.q_model, t_lo, t_hi))
+        return model
 
     @staticmethod
     def _fused_fits_vmem(model, nwalkers: int, budget_bytes: int = 48 << 20) -> bool:
@@ -114,8 +130,7 @@ class SpectralFit:
         h = nwalkers // 2
         model_bytes = 4 * h * model.n_lines * model.n_channels * 4
         selector_bytes = 3 * h * nwalkers * 4
-        n_states = (0 if model.q_model.kind == "analytic"
-                    else int(np.size(model.q_model.g)))
+        n_states = device_n_states(model.q_model)
         q_bytes = 2 * h * n_states * 4
         return model_bytes + selector_bytes + q_bytes <= budget_bytes
 

@@ -56,8 +56,22 @@ __all__ = ["make_fused_ensemble", "FusedEnsembleSampler"]
 
 def _make_q_of(q_kind, q_coeffs, q_power, q_scale, qst_ref):
     """In-kernel Q(T) evaluator, (n, 1) Tex -> (n, 1) Q — shared by every
-    fused-kernel variant (this module and sampler/fused_gather.py)."""
+    fused-kernel variant (this module and sampler/fused_gather.py).
+
+    q_kind == "cheb" is the Chebyshev device surrogate for huge state
+    sums (catalogs/partition.py:fit_device_cheb): q_coeffs are the
+    Chebyshev-T coefficients and q_power carries the (t_lo, t_hi) fit
+    interval — a handful of fused VPU ops replacing the 16k-state
+    Boltzmann walk that dominated the dense kernel's eval cost."""
     def q_of(Tex):
+        if q_kind == "cheb":
+            t_lo, t_hi = q_power
+            x = (Tex - t_lo) * (2.0 / (t_hi - t_lo)) - 1.0
+            bk1 = jnp.zeros_like(x)
+            bk2 = jnp.zeros_like(x)
+            for c in q_coeffs[:0:-1]:         # c_deg .. c_1
+                bk1, bk2 = c + 2.0 * x * bk1 - bk2, bk1
+            return q_coeffs[0] + x * bk1 - bk2
         if q_kind == "states":
             # State-sum fallback Q(T) = sum_s g_s exp(-E_s / (kcm T))
             # (reference functions.py:263-325; catalogs/partition.py): a
@@ -319,7 +333,13 @@ def single_statics_tables(model, spec, grid_ints, grid_yerrs, bounds,
                        jnp.asarray(grid_ints, model.dtype),
                        1.0 / jnp.asarray(grid_yerrs, model.dtype) ** 2])
     vel = model.vel_grid
-    if qm.kind == "states":
+    if qm.cheb_coeffs is not None:
+        # Chebyshev device surrogate (partition.py:fit_device_cheb):
+        # q_power carries the fit interval — see _make_q_of.
+        qst = jnp.zeros((2, 8), model.dtype)
+        q_static = dict(q_kind="cheb", q_coeffs=qm.cheb_coeffs,
+                        q_power=qm.cheb_interval, q_scale=1.0)
+    elif qm.kind == "states":
         qst = jnp.asarray(np.stack([np.asarray(qm.g), np.asarray(qm.E)]),
                           model.dtype)                         # (2, S)
         q_static = dict(q_kind="states", q_coeffs=(), q_power=None,

@@ -34,15 +34,22 @@ forward model in the gather tables' channel-major layout:
     tiles: the dominant temporaries are (wchunk, M, cblock) — bounded
     for ANY catalog/grid size, which is what lets grids far too wide for
     a whole-(n, M, C) formulation (the 10,850-channel dense_full_fit
-    datagrid) keep the fused step. The channel walk is a lax.fori_loop
-    when blocks are many (program size stays flat with grid width) and
-    a static unroll when few. Crucially the tables are BLOCK-STACKED
+    datagrid) keep the fused step. The channel walk mode is planned per
+    region: a statically unrolled accumulator when its ~2-block seam
+    charge fits the scoped budget (full unroll up to _UNROLL_BLOCKS
+    blocks, a fori over unrolled groups beyond — measured 43.8 vs 68.3
+    us/step whole-chain on the v5e), else a plain one-block-per-
+    iteration lax.fori_loop. Crucially the tables are BLOCK-STACKED
     host-side — each channel block's columns become a row-band, so the
     loop's dynamic slices run along the SUBLANE-major axis with static
     sizes (the form Mosaic lowers well); dynamic slicing along the lane
     axis is avoided entirely;
   * a state-sum partition function (the aromatics' 16k-state fallback Q)
-    is likewise chunked over row-stacked (8, schunk) state bands, so the
+    is served by a Chebyshev device surrogate when the model carries one
+    (catalogs/partition.py:fit_device_cheb — the pipeline attaches it
+    over the Tex prior box; the exact state-sum walk measured ~95% of
+    the in-kernel eval cost on the v5e). Without a surrogate the exact
+    sum is chunked over row-stacked (8, schunk) state bands, so the
     (wchunk, S) Boltzmann block no longer caps the walker chunk;
   * the stretch-move machinery (one-hot walker gathers/scatters, the two
     sequential half-updates, bulk pre-generated randomness) is shared
@@ -68,6 +75,7 @@ from jax.experimental import pallas as pl
 from cha1_mcmc_tpu.constants import (FWHM_TO_SIGMA_MODEL, KCM,
                                      VELOCITY_WINDOW_DV)
 from cha1_mcmc_tpu.ops.lte import tau_sticks
+from cha1_mcmc_tpu.catalogs.partition import device_n_states
 from cha1_mcmc_tpu.sampler.fused import (_make_q_of, _make_fused_run,
                                          _prior_box, _rt_chi2_block,
                                          _run_step_loop, _unpack_single)
@@ -166,22 +174,23 @@ def _sub8(r: int) -> int:
     return -(-r // 8) * 8
 
 
-#: Unroll channel-block walks up to this many blocks per region (static
-#: row-band slices); longer walks become lax.fori_loop over the stacked
-#: row bands so the unrolled program size stays flat with grid width.
-#: The unrolled walk accumulates into an (n, 1) partial (ll = ll +
-#: part(b)), so each block's dead temporaries POP off the Mosaic scoped
-#: stack after the add — unlike chunk results that survive for a final
-#: concatenate, which pin the stack (see _make_gather_lnprob). Measured
-#: on the v5e (tools/tpu_time_gather_ablate.py, 2026-08-19): the 16-block
-#: bench-dense walk fully unrolled terminal-compiles within the 16 MiB
-#: scoped limit at wchunk=32 and runs the whole fused chain at
-#: 43.8 us/step vs 68.3 with the fori walk — so unrolling is the default
-#: up to this threshold; the estimator charges unrolled regions ~2 live
-#: blocks (the seam), fori regions one iteration. The decision is made
-#: per region at PLAN time (plan keys unroll_bo/unroll_br): a region
-#: whose unrolled charge would blow the scoped budget falls back to the
-#: fori walk instead of refusing the fused kernel outright.
+#: Static-unroll group size for the channel-block walk. Regions with at
+#: most this many blocks unroll fully; longer regions walk a
+#: lax.fori_loop over GROUPS of this many statically unrolled blocks
+#: (plus an unrolled remainder), so the program size stays bounded while
+#: keeping the unrolled walk's speed (measured on the v5e,
+#: tools/tpu_time_gather_ablate.py 2026-08-19: the unrolled bench-dense
+#: walk runs the whole fused chain at 43.8 us/step vs 68.3 with the
+#: plain one-block-per-iteration fori walk). The unrolled walk
+#: accumulates into an (n, 1) partial (ll = ll + part(b)), so each
+#: block's dead temporaries POP off the Mosaic scoped stack after the
+#: add — unlike chunk results that survive for a final concatenate,
+#: which pin the stack (see _make_gather_lnprob); the estimator charges
+#: unrolled regions ~2 live blocks (the seam), plain-fori regions one
+#: iteration. The walk mode is chosen per region at PLAN time (plan keys
+#: unroll_bo/unroll_br): a region whose unrolled seam charge would blow
+#: the scoped budget falls back to the plain fori walk instead of
+#: refusing the fused kernel outright.
 _UNROLL_BLOCKS = 16
 
 #: State-sum chunk width: Q(T)'s (wchunk, S) Boltzmann block is walked in
@@ -264,25 +273,22 @@ def _pick_chunks(tables, C: int, n_states: int, nwalkers: int,
     working set (every term of _vmem_estimate grows with cblock, so a
     wider block can never rescue a failed 128 plan; 128 is the only
     candidate). Per wchunk, walk modes are tried most-unrolled-first
-    (43.8 vs 68.3 us/step whole-chain): both regions unrolled, then the
-    single-region unrolls — larger region first, since unrolling saves
-    per-block loop overhead proportional to the block count (bench-dense
-    lands here: both-unrolled charges 16.3 MiB at wchunk=32 but
-    rest-only-unrolled 10.3 MiB, keeping 14 of its 16 blocks on the fast
-    walk) — then full fori, so a region whose unrolled seam charge would
-    blow the scoped budget downgrades instead of refusing. Returns None
-    when nothing fits."""
+    (43.8 vs 68.3 us/step whole-chain; any block count can take the
+    unrolled walk — long regions run it as a fori over
+    _UNROLL_BLOCKS-block unrolled groups): both regions unrolled, then
+    the single-region unrolls — larger region first, since unrolling
+    saves per-block loop overhead proportional to the block count
+    (bench-dense lands here: both-unrolled charges 16.3 MiB at
+    wchunk=32 but rest-only-unrolled 10.3 MiB, keeping its 14-block
+    rest region on the fast walk) — then full fori, so a region whose
+    unrolled seam charge would blow the scoped budget downgrades
+    instead of refusing. Returns None when nothing fits."""
     h = max(nwalkers // 2, 1)
     g = _geom(tables, C, n_states, 128)
     n_bo, n_br = g["n_bo"], g["n_br"]
-    bo_ok = n_bo <= _UNROLL_BLOCKS
-    br_ok = n_br <= _UNROLL_BLOCKS
-    singles = (((False, br_ok), (bo_ok, False)) if n_br >= n_bo
-               else ((bo_ok, False), (False, br_ok)))
-    walks = []
-    for cand in ((bo_ok, br_ok), *singles, (False, False)):
-        if cand not in walks:
-            walks.append(cand)
+    singles = (((False, True), (True, False)) if n_br >= n_bo
+               else ((True, False), (False, True)))
+    walks = [(True, True), *singles, (False, False)]
     cands = [w for w in (32, 64, 16, 8) if w <= h] or [h]
     for wchunk in cands:
         for ubo, ubr in walks:
@@ -324,7 +330,7 @@ def plan_fused_gather(model, spec, dv_max: float, nwalkers: int = 128,
         return None
     tables = build_dense_tables(model, dv_max, min_saving=min_saving)
     qm = model.q_model
-    n_states = 0 if qm.kind == "analytic" else int(np.size(qm.g))
+    n_states = device_n_states(qm)
     C = int(model.n_channels)
     picked = _pick_chunks(tables, C, n_states, nwalkers, budget)
     if picked is None:
@@ -456,7 +462,24 @@ def _make_gather_lnprob(lines1, vel1, lines2, vel2, chans, qst, *,
             if not n_b:
                 continue
             if unroll if unroll is not None else n_b <= _UNROLL_BLOCKS:
-                for i in range(n_b):
+                # Unrolled accumulator walk: full unroll up to
+                # _UNROLL_BLOCKS blocks, else a fori over GROUPS of
+                # _UNROLL_BLOCKS statically unrolled blocks + unrolled
+                # remainder. Same left-fold add order as the plain fori
+                # walk (bitwise-identical), same ~2-block seam charge.
+                G = _UNROLL_BLOCKS
+                n_full = n_b // G if n_b > G else 0
+                tail0 = n_full * G
+                if n_full:
+                    def gbody(j, acc, bs, ov):
+                        b0 = bs + j * G
+                        for g in range(G):
+                            acc = acc + part(b0 + g, ov)
+                        return acc
+                    ll = jax.lax.fori_loop(
+                        0, n_full,
+                        functools.partial(gbody, bs=base, ov=w_over), ll)
+                for i in range(tail0, n_b):
                     ll = ll + part(base + i, w_over)
             else:
                 ll = jax.lax.fori_loop(
@@ -623,7 +646,16 @@ def gather_statics_tables(model, spec, grid_ints, grid_yerrs, bounds,
         lines2 = np.zeros((R2, cblock), np_dt)
         vel2 = np.full((V2, cblock), _PAD_VEL, np_dt)
 
-    if qm.kind == "states":
+    if qm.cheb_coeffs is not None:
+        # Chebyshev device surrogate (partition.py:fit_device_cheb) —
+        # kills the state-sum walk that measured ~95% of the in-kernel
+        # eval cost at the bench-dense size (kern_base 0.035 ms/eval vs
+        # kern_qones 0.001; tools/tpu_time_gather_ablate.py 2026-08-19).
+        # q_power carries the fit interval — see fused._make_q_of.
+        qst = jnp.zeros((2, 8), model.dtype)
+        q_static = dict(q_kind="cheb", q_coeffs=qm.cheb_coeffs,
+                        q_power=qm.cheb_interval, q_scale=1.0)
+    elif qm.kind == "states":
         qst_h = np.stack([np.asarray(qm.g), np.asarray(qm.E)]).astype(np_dt)
         if n_sb > 1:
             qst_h = _stack_bands(qst_h, n_sb * schunk, schunk, 8,
@@ -659,7 +691,7 @@ def replan_chunks(tables, model, nwalkers: int,
     the single table build the pipeline already made). Returns a plan
     dict or None."""
     qm = model.q_model
-    n_states = 0 if qm.kind == "analytic" else int(np.size(qm.g))
+    n_states = device_n_states(qm)
     C = int(model.n_channels)
     picked = _pick_chunks(tables, C, n_states, nwalkers, budget)
     if picked is None:

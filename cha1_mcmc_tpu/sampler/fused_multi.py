@@ -61,6 +61,7 @@ from jax.experimental import pallas as pl
 from cha1_mcmc_tpu.constants import (FWHM_TO_SIGMA_MODEL, KCM,
                                      VELOCITY_WINDOW_DV)
 from cha1_mcmc_tpu.ops.lte import planck_J, beam_dilution, tau_sticks
+from cha1_mcmc_tpu.catalogs.partition import device_n_states
 
 __all__ = ["make_fused_ensemble_multi", "fused_multi_supported",
            "multi_statics_tables", "window_extents"]
@@ -209,7 +210,7 @@ def fused_multi_supported(model, spec, dv_max: float,
     Kh = spec.ncomp * (nwalkers // 2)
     C = model.n_channels
     qm = model.q_model
-    n_states = 0 if qm.kind == "analytic" else int(np.size(qm.g))
+    n_states = device_n_states(qm)
     Wc_est = min(_ceil_to(int((last - first + 1).max()), 8),
                  _ceil_to(C_, 8), C_)
     line_chunk = _default_line_chunk(Wc_est, spec.ncomp, nwalkers // 2)
@@ -246,6 +247,16 @@ def _make_multi_lnprob(lines, qst, velc_in, chans, opac_ref, flat_ref, *,
     velc = velc_in[:]                                     # (La, Wc, 1)
 
     def q_of(Tex):                                        # (1, h) -> (1, h)
+        if q_kind == "cheb":
+            # Chebyshev device surrogate (see fused._make_q_of):
+            # q_coeffs = Chebyshev-T coeffs, q_power = (t_lo, t_hi).
+            t_lo, t_hi = q_power
+            x = (Tex - t_lo) * (2.0 / (t_hi - t_lo)) - 1.0
+            bk1 = jnp.zeros_like(x)
+            bk2 = jnp.zeros_like(x)
+            for c in q_coeffs[:0:-1]:                     # c_deg .. c_1
+                bk1, bk2 = c + 2.0 * x * bk1 - bk2, bk1
+            return q_coeffs[0] + x * bk1 - bk2
         if q_kind == "states":
             g_col = qst[:, 0:1]                           # (S, 1)
             E_col = qst[:, 1:2]
@@ -461,7 +472,13 @@ def multi_statics_tables(model, spec, grid_ints, grid_yerrs,
         [jnp.asarray(np.asarray(arr)[active], model.dtype)
          for arr in (model.line_freq, model.line_elower, model.line_aij,
                      model.line_gup, model.line_glow)], axis=1)   # (La, 5)
-    if qm.kind == "states":
+    if qm.cheb_coeffs is not None:
+        # Chebyshev device surrogate (partition.py:fit_device_cheb);
+        # q_power carries the fit interval — see fused._make_q_of.
+        qst = jnp.zeros((8, 2), model.dtype)
+        q_static = dict(q_kind="cheb", q_coeffs=qm.cheb_coeffs,
+                        q_power=qm.cheb_interval, q_scale=1.0)
+    elif qm.kind == "states":
         qst = jnp.asarray(np.stack([np.asarray(qm.g), np.asarray(qm.E)],
                                    axis=1), model.dtype)          # (S, 2)
         q_static = dict(q_kind="states", q_coeffs=(), q_power=None,

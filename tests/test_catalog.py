@@ -223,3 +223,46 @@ def test_qn12_reads_to_end_of_line(tmp_path):
         with open(path, "rb") as fh:
             nat = tokenize_native(fh.read())
         np.testing.assert_array_equal(nat["qn"], mine.qn)
+
+
+@requires_reference
+def test_chebyshev_device_q_surrogate():
+    """fit_device_cheb (catalogs/partition.py): the device Chebyshev
+    surrogate for huge state-sum Q models — the aromatics' 16k-state
+    Boltzmann walk measured ~95% of the dense fused kernel's per-eval
+    cost on the v5e, while a degree-~16 fit reproduces Q far below f32
+    resolution. Gates: (a) the fit meets its tolerance against the exact
+    host state sum across the box, (b) host_eval is EXACTLY the
+    reference formula (the f64 parity oracle must never see the
+    surrogate), (c) the jitted device path uses the surrogate, (d)
+    device_n_states reports 0 so the fused planners drop the state-sum
+    machinery, (e) analytic models pass through untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    from cha1_mcmc_tpu.catalogs.partition import (device_n_states,
+                                                  fit_device_cheb)
+
+    cat = load_catalog(os.path.join(CATALOG_DIR, "1-cyanonapthalene.cat"))
+    qm = q_model_for_catalog(cat)
+    assert qm.kind == "states"
+    assert device_n_states(qm) == qm.g.size
+
+    qd = fit_device_cheb(qm, 3.5, 12.0)
+    assert qd.cheb_coeffs is not None and qd.cheb_interval == (3.5, 12.0)
+    assert device_n_states(qd) == 0
+
+    T = np.linspace(3.5, 12.0, 1777)
+    exact = qm.host_eval(T)
+    # (b) host oracle unchanged, bit for bit
+    np.testing.assert_array_equal(qd.host_eval(T), exact)
+    # (a) fit accuracy: the fitter's own tol is 1e-10; check with margin
+    dev64 = np.asarray(qd._cheb_eval(np, T))
+    assert np.max(np.abs(dev64 / exact - 1.0)) < 1e-9
+    # (c) the jitted path evaluates the surrogate (f32 here)
+    got = np.asarray(jax.jit(lambda t: qd(t))(jnp.asarray(T, jnp.float32)))
+    assert np.max(np.abs(got / exact - 1.0)) < 1e-4
+    # (e) analytic models untouched
+    qa = q_model_for_catalog(load_catalog(
+        os.path.join(CATALOG_DIR, "hc5n_hfs.cat")))
+    assert fit_device_cheb(qa, 3.5, 12.0) is qa

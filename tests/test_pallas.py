@@ -847,12 +847,13 @@ def test_batched_lnprob_gather_split_matches_plain(hc5n_problem,
 @requires_reference
 @pytest.mark.parametrize("min_saving,walk", [
     (1e9, None), (0.0, None), (0.0, "fori"), (0.0, "unroll"),
-    (0.0, "mixed")],
+    (0.0, "mixed"), (0.0, "group")],
     ids=["rect_table", "split_overflow", "split_blocked_fori",
-         "split_blocked_unroll", "split_blocked_mixed"])
+         "split_blocked_unroll", "split_blocked_mixed",
+         "split_blocked_group"])
 def test_fused_gather_kernel_matches_run_ensemble(hc5n_problem,
                                                   hc5n_datagrid, min_saving,
-                                                  walk):
+                                                  walk, monkeypatch):
     """The dense-catalog fused whole-step kernel (sampler/fused_gather.py)
     reproduces run_ensemble over the user-facing batched gather lnprob on
     the same PRNG stream: trajectories bitwise-identical on the tested
@@ -862,12 +863,16 @@ def test_fused_gather_kernel_matches_run_ensemble(hc5n_problem,
     heavy-first in-place overflow add via min_saving=0) — and with a
     plan inflated to multi-block channel walks in ALL walk modes:
     lax.fori_loop ("fori"), the statically unrolled accumulator
-    ("unroll", the planner default up to _UNROLL_BLOCKS), and the mixed
-    case ("mixed": overflow region unrolled, rest region fori — the
-    dense_full_fit shape, where n_bo <= _UNROLL_BLOCKS < n_br). The extra
-    blocks are pure padding, which must contribute exactly 0, so
-    trajectories stay bitwise; test_fused_gather_blocked_dense_grid
-    covers block walks over real channels."""
+    ("unroll", the planner-preferred mode), the mixed case ("mixed":
+    overflow region unrolled, rest region fori — the downgrade shape
+    where one region's seam charge blows the budget), and the
+    group-unrolled long walk ("group": unroll_br=True with the block
+    count over _UNROLL_BLOCKS, so the walk runs as a fori over
+    statically unrolled groups plus an unrolled remainder — the
+    dense_full_fit rest-region shape). The extra blocks are pure
+    padding, which must contribute exactly 0, so trajectories stay
+    bitwise; test_fused_gather_blocked_dense_grid covers block walks
+    over real channels."""
     from cha1_mcmc_tpu.inference import single_component_lnprior
     from cha1_mcmc_tpu.sampler import run_ensemble
     from cha1_mcmc_tpu.sampler.fused_gather import (
@@ -889,9 +894,14 @@ def test_fused_gather_kernel_matches_run_ensemble(hc5n_problem,
     assert tables["has_overflow"] == (min_saving == 0.0)
     plan = plan_fused_gather(model, spec, 1.5, nwalkers=16,
                              min_saving=min_saving)
-    if walk == "mixed":  # overflow unrolled, rest fori (dense_full_fit
-        plan = dict(plan, n_bo=2, n_br=3, cblock=128,  # shape)
+    if walk == "mixed":  # overflow unrolled, rest fori (budget downgrade)
+        plan = dict(plan, n_bo=2, n_br=3, cblock=128,
                     cb0p=256, Cp=640, unroll_bo=True, unroll_br=False)
+    elif walk == "group":  # rest walks fori over 2-block unrolled groups
+        import cha1_mcmc_tpu.sampler.fused_gather as fg  # + 1 remainder
+        monkeypatch.setattr(fg, "_UNROLL_BLOCKS", 2)
+        plan = dict(plan, n_bo=2, n_br=5, cblock=128,
+                    cb0p=256, Cp=896, unroll_bo=True, unroll_br=True)
     elif walk is not None:  # inflate both regions to multi-block walks
         plan = dict(plan, n_bo=2, n_br=2, cblock=128, cb0p=256, Cp=512,
                     unroll_bo=walk == "unroll", unroll_br=walk == "unroll")
@@ -949,11 +959,12 @@ def test_fused_gather_support_bounds():
     assert cblock == 128 and (w < 32 or not (ubo and ubr))
     # channel blocking rescues a grid far too wide for whole-width
     # temporaries (the dense_full_fit shape: C=10850, 1554 heavy
-    # channels); the 85-block rest region walks as fori
+    # channels); the long rest region keeps the unrolled walk (as a
+    # fori over _UNROLL_BLOCKS-block groups) while the overflow region
+    # downgrades to plain fori — both-unrolled would blow the budget
     picked = _pick_chunks(tables(6, 10850, 21, 1664, True), 10850, 16_488,
                           128, 12 << 20)
-    assert picked is not None
-    assert picked[3] is False
+    assert picked == (32, 128, False, True)
     # impossible budget: refuses
     assert _pick_chunks(tables(400, 2048, 64, 1024, True), 2048, 0, 128,
                         1 << 20) is None
@@ -1171,15 +1182,22 @@ def test_multichain_fused_matches_general(hc5n_problem, hc5n_datagrid,
 
 @requires_reference
 @pytest.mark.slow
-def test_fused_gather_blocked_dense_grid():
+@pytest.mark.parametrize("device_q", ["cheb", "states"])
+def test_fused_gather_blocked_dense_grid(device_q):
     """The blocked fused kernel on the REAL dense_full_fit geometry
     (tests/golden/dense_synth.npz: 2,095-line 1-cyanonaphthalene x 10,850
     channels, 1,554 heavy channels): the plan must engage multi-block
-    fori_loop channel walks over real (not padding) channels, and a short
-    fused chain must reproduce run_ensemble over the batched gather
-    lnprob — the pre-TPU correctness gate for the dense full fit, which
-    the pre-blocking kernel could never serve (its overflow scatter
-    exceeded scoped VMEM; BASELINE.md round-4 addendum)."""
+    channel walks over real (not padding) channels, and a short fused
+    chain must reproduce run_ensemble over the batched gather lnprob —
+    the pre-TPU correctness gate for the dense full fit, which the
+    pre-blocking kernel could never serve (its overflow scatter exceeded
+    scoped VMEM; BASELINE.md round-4 addendum). Parametrized over both
+    device-Q representations: "cheb" is what the pipeline now attaches
+    (partition.py:fit_device_cheb — build_model's default for
+    states-kind catalogs), "states" strips the surrogate so the
+    16k-state in-kernel Boltzmann band walk keeps bitwise coverage (the
+    path direct kernel users without a Tex box still take)."""
+    import dataclasses
     import os
 
     from cha1_mcmc_tpu.inference import single_component_lnprior
@@ -1199,6 +1217,12 @@ def test_fused_gather_blocked_dense_grid():
                     covered_trans=np.asarray(g["covered_trans"], dtype=int))
     fit = SpectralFit(cfg)
     model = fit.build_model(grid)
+    if device_q == "cheb":
+        assert model.q_model.cheb_coeffs is not None  # pipeline attached
+    else:  # strip the surrogate: exact in-kernel state-sum band walk
+        model = dataclasses.replace(
+            model, q_model=dataclasses.replace(
+                model.q_model, cheb_interval=None, cheb_coeffs=None))
     spec = fit.spec
     means = np.asarray(cfg.template_means, dtype=np.float64)
     stds = np.asarray(cfg.template_stds, dtype=np.float64)

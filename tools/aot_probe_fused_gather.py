@@ -80,6 +80,12 @@ def _bench_dense_problem():
     spec = ParamSpec(ncomp=1, fixed_source_size=52.0)
     bounds = {"Ncol": (1e8, 1e14), "Tex": (3.5, 12.0),
               "vlsr": (4.0, 7.5), "dV": (0.4, 1.5)}
+    # Attach the device Chebyshev Q surrogate exactly as bench.py and
+    # the fit pipeline do, so the probed program is the one they run.
+    import dataclasses as _dc
+    from cha1_mcmc_tpu.catalogs.partition import fit_device_cheb
+    model = _dc.replace(model, q_model=fit_device_cheb(
+        model.q_model, *bounds["Tex"]))
     prior_means = np.array([3.4e10, 8.0, center, 0.7575])
     prior_stds = np.array([0.34e10, 3.0, 0.06, 0.22])
     rng = np.random.default_rng(2)
@@ -143,7 +149,8 @@ def probe(name, problem, sharding, nwalkers=128, nsteps=(2, 64),
               f"wchunk={plan['wchunk']} (plan geometry unchanged)")
     tables = plan["tables"]
     qm = model.q_model
-    n_states = 0 if qm.kind == "analytic" else int(np.size(qm.g))
+    from cha1_mcmc_tpu.catalogs.partition import device_n_states
+    n_states = device_n_states(qm)
     est = _vmem_estimate(tables, int(model.n_channels), n_states,
                          plan["wchunk"], nwalkers, plan["cblock"],
                          plan.get("unroll_bo"), plan.get("unroll_br"))

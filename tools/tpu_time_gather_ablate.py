@@ -177,7 +177,8 @@ def main():
         return lambda th: call(th, *dev)[:, 0]
 
     qm = model.q_model
-    n_states = 0 if qm.kind == "analytic" else int(np.size(qm.g))
+    from cha1_mcmc_tpu.catalogs.partition import device_n_states
+    n_states = device_n_states(qm)
     C = int(model.n_channels)
 
     def variant(tag, plan, **kw):
