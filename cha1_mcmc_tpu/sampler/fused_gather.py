@@ -263,76 +263,264 @@ def _vmem_estimate(tables, C, n_states, wchunk, nwalkers,
 
 
 def _pick_chunks(tables, C: int, n_states: int, nwalkers: int,
-                 budget: int):
+                 budget: int, prober=None, max_probes: int = 4):
     """Pick (wchunk, cblock, unroll_bo, unroll_br) by measured on-chip
-    preference, not a re-read-count heuristic. The v5e lnprob ablation
-    (tools/tpu_time_gather_ablate.py, 2026-08-19, bench-dense geometry)
-    ranked the walker chunks 32 > 64 > 8 (0.032 / 0.041 / 0.068 ms/eval)
-    and the channel blocks 128 > 512 > 2048 (0.032 / 0.058 / 0.164) —
-    narrow channel blocks are both fastest AND minimize the scoped
-    working set (every term of _vmem_estimate grows with cblock, so a
-    wider block can never rescue a failed 128 plan; 128 is the only
-    candidate). Per wchunk, walk modes are tried most-unrolled-first
-    (43.8 vs 68.3 us/step whole-chain; any block count can take the
-    unrolled walk — long regions run it as a fori over
-    _UNROLL_BLOCKS-block unrolled groups): both regions unrolled, then
-    the single-region unrolls — larger region first, since unrolling
-    saves per-block loop overhead proportional to the block count
-    (bench-dense lands here: both-unrolled charges 16.3 MiB at
-    wchunk=32 but rest-only-unrolled 10.3 MiB, keeping its 14-block
-    rest region on the fast walk) — then full fori, so a region whose
-    unrolled seam charge would blow the scoped budget downgrades
-    instead of refusing. Returns None when nothing fits."""
+    preference, not a re-read-count heuristic (v5e ablations,
+    tools/tpu_time_gather_ablate.py 2026-08-19):
+
+      * cblock: 128 > 512 > 2048 (0.032 / 0.058 / 0.164 ms/eval) —
+        narrow channel blocks are both fastest AND minimize the scoped
+        working set (every term of _vmem_estimate grows with cblock, so
+        a wider block can never rescue a failed 128 plan; 128 is the
+        only candidate).
+      * the HEAVY-unroll walk modes (both regions unrolled, or the
+        larger region unrolled — any block count can take the unrolled
+        walk, long regions running it as a fori over _UNROLL_BLOCKS-
+        block unrolled groups) are tried across every walker chunk,
+        largest first, BEFORE any light mode: the measured ordering is
+        (w64, rest-unrolled) 26.8 us/step < (w32, rest-unrolled) 55.5
+        < (w64, fori) 64.1 < (w32, fori) ~67 whole-chain in one
+        session window — the unrolled walk on the dominant region and
+        a large walker chunk both matter, and a big chunk cannot
+        rescue a downgraded walk.
+      * within a weight class, wchunk LARGEST first — ideally the whole
+        half-ensemble in one chunk. With the Chebyshev Q surrogate the
+        per-chunk overhead dominates the eval (kern_w64 0.002 vs
+        kern_base@w32 0.022 ms/eval).
+
+    Admission is two-tier. A candidate whose _vmem_estimate is within
+    `budget` (the analytic line every observed-safe plan sits under) is
+    taken outright. Above that line the analytic model is KNOWN
+    unreliable in both directions (it modeled a failing dense_full plan
+    at 15.2 MiB and a passing bench-dense plan at 29.0 MiB, both
+    2026-08-19), so a candidate up to _SCOPED_VMEM_PROBE_MAX is admitted
+    only when `prober(tables, C, n_states, wchunk, cblock, ubo, ubr)`
+    returns True — fused_gather._probe_verdict, a deviceless Mosaic
+    compile of the real program (cached per geometry). At most
+    `max_probes` uncached probe compiles run per planning call; beyond
+    that the remaining candidates fall back to the analytic line.
+
+    Returns None when nothing fits."""
     h = max(nwalkers // 2, 1)
     g = _geom(tables, C, n_states, 128)
     n_bo, n_br = g["n_bo"], g["n_br"]
-    singles = (((False, True), (True, False)) if n_br >= n_bo
-               else ((True, False), (False, True)))
-    walks = [(True, True), *singles, (False, False)]
-    cands = [w for w in (32, 64, 16, 8) if w <= h] or [h]
-    for wchunk in cands:
-        for ubo, ubr in walks:
-            if _vmem_estimate(tables, C, n_states, wchunk, nwalkers,
-                              128, ubo, ubr) <= budget:
-                return wchunk, 128, ubo, ubr
+    big, small = (((False, True), (True, False)) if n_br >= n_bo
+                  else ((True, False), (False, True)))
+    cands = sorted({h} | {w for w in (64, 32, 16, 8) if w <= h},
+                   reverse=True)
+    probes_left = max_probes
+    for walks in (((True, True), big), (small, (False, False))):
+        for wchunk in cands:
+            for ubo, ubr in walks:
+                est = _vmem_estimate(tables, C, n_states, wchunk,
+                                     nwalkers, 128, ubo, ubr)
+                if est <= budget:
+                    return wchunk, 128, ubo, ubr
+                if (prober is not None and probes_left > 0
+                        and est <= _SCOPED_VMEM_PROBE_MAX):
+                    verdict, cached = prober(tables, C, n_states, wchunk,
+                                             128, ubo, ubr)
+                    if not cached:
+                        probes_left -= 1
+                    if verdict:
+                        return wchunk, 128, ubo, ubr
     return None
 
 
-#: Default planning budget. The kernel's temporaries live in the Mosaic
-#: scoped-VMEM stack, whose compiler limit on the v5e is 16 MiB — NOT the
-#: 128 MiB VMEM total that sampler/fused.py's whole-grid gate budgets
-#: against. Two terminal compiles of the pre-blocking bench-dense program
-#: measured the ceiling: wchunk=64 (planned under the original 48 MiB
-#: budget) failed at "Scoped allocation with size 25.50M and limit
-#: 16.00M", and wchunk=16 (planned under 12 MiB with the pre-padding
-#: estimator, which said 9.2 MiB) still failed at 19.58M — Mosaic pads
-#: the (wchunk, M, c) temporaries to (8, 128) tiles and keeps more of
-#: them live than the old model counted. _vmem_estimate is calibrated to
-#: the 19.58M point; 12 MiB of modeled budget leaves ~4 MiB of real
-#: headroom below the compiler limit.
+#: Analytic admission line, in MODELED bytes (_vmem_estimate), against
+#: the Mosaic scoped-VMEM stack whose compiler limit on the v5e is
+#: 16 MiB — NOT the 128 MiB VMEM total that sampler/fused.py's
+#: whole-grid gate budgets against. The estimate was calibrated to the
+#: PRE-blocking program's terminal-compile failures (25.50M at w64,
+#: 19.58M at w16 — Mosaic pads (wchunk, M, c) temporaries to (8, 128)
+#: tiles and keeps several live); every plan it has modeled <= 12 MiB
+#: has compiled and run on-chip. ABOVE this line the model is known
+#: unreliable in BOTH directions (2026-08-19 evidence): a dense_full
+#: w64 plan modeled at 15.2 MiB failed Mosaic at "Scoped allocation
+#: with size 17.53M" (identically on the relay terminal and on the
+#: local deviceless pipeline), while bench-dense w64 plans modeled at
+#: 17.0 and 29.0 MiB both terminal-compiled and the 17.0 one ran the
+#: whole chain at 26.9 us/step — 2.1x the w32 plan. One scalar budget
+#: cannot order both geometries, so candidates above the line are
+#: admitted by PROBING: _probe_verdict compiles the real program
+#: devicelessly (cached per geometry) and the Mosaic allocator itself
+#: gives the verdict. _SCOPED_VMEM_PROBE_MAX bounds how far past the
+#: model a probe is worth attempting (the strongest probe-validated
+#: point is 29.0 MiB modeled).
 _SCOPED_VMEM_BUDGET = 12 << 20
+_SCOPED_VMEM_PROBE_MAX = 32 << 20
+
+
+def _geometry_key(tables, C, n_states, wchunk, cblock, ubo, ubr,
+                  nwalkers, extra=()):
+    """Stable digest of everything that determines the compiled program's
+    scoped-VMEM watermark: table SHAPES (values are compile-time
+    irrelevant), the chunking/walk plan, and the toolchain version."""
+    import hashlib
+    import json
+
+    desc = {"C": int(C), "n_states": int(n_states), "wchunk": int(wchunk),
+            "cblock": int(cblock), "ubo": bool(ubo), "ubr": bool(ubr),
+            "nwalkers": int(nwalkers), "jax": jax.__version__,
+            "extra": list(extra)}
+    for k in sorted(tables):
+        v = tables[k]
+        desc[k] = ([list(v.shape), str(v.dtype)] if hasattr(v, "shape")
+                   else v)
+    blob = json.dumps(desc, sort_keys=True, default=str)
+    return hashlib.sha1(blob.encode()).hexdigest()
+
+
+def _verdict_cache_path() -> str:
+    import os
+    root = os.environ.get("CHA1_CACHE_DIR",
+                          os.path.expanduser("~/.cache/cha1_mcmc_tpu"))
+    return os.path.join(root, "vmem_verdicts.json")
+
+
+def _load_verdicts() -> dict:
+    import json
+    import os
+    path = _verdict_cache_path()
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:  # corrupt cache: rebuild
+        return {}
+
+
+def _store_verdict(key: str, entry: dict) -> None:
+    import json
+    import os
+    path = _verdict_cache_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    verdicts = _load_verdicts()
+    verdicts[key] = entry
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(verdicts, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _make_prober(model, spec, nwalkers: int):
+    """Build the `prober` callback _pick_chunks consults for candidates
+    above the analytic line: a deviceless Mosaic compile of the real
+    candidate program in a clean CPU subprocess
+    (sampler/vmem_probe.py), with verdicts cached per geometry in
+    ${CHA1_CACHE_DIR:-~/.cache/cha1_mcmc_tpu}/vmem_verdicts.json so each
+    (tables, plan, toolchain) is compiled at most once per machine.
+    Returns (verdict: bool, cached: bool); infrastructure failures and
+    timeouts count as False/uncached (the candidate is skipped, never
+    blindly admitted)."""
+    import os
+    import pickle
+    import subprocess
+    import sys
+    import tempfile
+    import time
+
+    qm = model.q_model
+    q_extra = (qm.kind, len(qm.coeffs or ()),
+               len(qm.cheb_coeffs or ()) if qm.cheb_coeffs else 0)
+    timeout = float(os.environ.get("CHA1_VMEM_PROBE_TIMEOUT", "1200"))
+
+    def prober(tables, C, n_states, wchunk, cblock, ubo, ubr):
+        key = _geometry_key(tables, C, n_states, wchunk, cblock, ubo, ubr,
+                            nwalkers, extra=q_extra)
+        cached = _load_verdicts().get(key)
+        if cached is not None and cached.get("ok") is not None:
+            return bool(cached["ok"]), True
+        plan = dict(tables=tables, wchunk=wchunk, unroll_bo=ubo,
+                    unroll_br=ubr, **_geom(tables, C, n_states, cblock))
+        est = _vmem_estimate(tables, C, n_states, wchunk, nwalkers,
+                             cblock, ubo, ubr)
+        print(f"[fused-gather] probing plan wchunk={wchunk} "
+              f"cblock={cblock} unroll=({int(ubo)},{int(ubr)}) "
+              f"modeled {est / 2**20:.1f} MiB via deviceless Mosaic "
+              f"compile (one-time; verdict cached)", flush=True)
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        fd, path = tempfile.mkstemp(suffix=".pkl")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                pickle.dump({"model": model, "spec": spec,
+                             "plan": plan, "nwalkers": nwalkers}, f)
+            t0 = time.perf_counter()
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-m",
+                     "cha1_mcmc_tpu.sampler.vmem_probe", path],
+                    env=env, capture_output=True, text=True,
+                    timeout=timeout)
+            except subprocess.TimeoutExpired:
+                print(f"[fused-gather] probe timed out after {timeout:.0f}s"
+                      f" — candidate skipped", flush=True)
+                return False, False
+        finally:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+        dt = time.perf_counter() - t0
+        note = (proc.stdout.strip().splitlines() or [""])[-1][:400]
+        if proc.returncode in (0, 1):
+            ok = proc.returncode == 0
+            _store_verdict(key, {
+                "ok": ok, "modeled_bytes": int(est), "wchunk": int(wchunk),
+                "cblock": int(cblock), "unroll": [bool(ubo), bool(ubr)],
+                "C": int(C), "n_states": int(n_states),
+                "nwalkers": int(nwalkers), "compile_s": round(dt, 1),
+                "note": note, "ts": time.time()})
+            print(f"[fused-gather] probe verdict: "
+                  f"{'OK' if ok else 'SCOPED-VMEM FAIL'} in {dt:.0f}s",
+                  flush=True)
+            return ok, False
+        print(f"[fused-gather] probe inconclusive (rc={proc.returncode}: "
+              f"{note or proc.stderr.strip()[:200]}) — candidate skipped",
+              flush=True)
+        return False, False
+
+    return prober
 
 
 def plan_fused_gather(model, spec, dv_max: float, nwalkers: int = 128,
                       budget: int = _SCOPED_VMEM_BUDGET,
-                      min_saving: float = 1.3):
+                      min_saving: float = 1.3, probe: bool | None = None):
     """Build the channel-major tables and pick the (walker, channel,
     state) chunking, or return None when (model, spec) cannot take the
     fused kernel (multi-component layout, or a working set over the VMEM
     budget). Returns a plan dict: {tables, wchunk, cblock, n_bo, n_br,
     cb0p, Cp, schunk, n_sb, unroll_bo, unroll_br}.
 
+    `probe` enables the deviceless-Mosaic admission tier for candidate
+    chunkings modeled past the analytic `budget` (see _pick_chunks /
+    _make_prober). Default None = auto: probe when running against a
+    real accelerator backend (where a wrongly-admitted plan costs a
+    ~30-minute relay terminal-compile failure and a wrongly-rejected one
+    costs 2x whole-chain throughput) and CHA1_VMEM_PROBE is not "0";
+    CPU/test runs never probe.
+
     Table construction on a 35k-line catalog costs seconds of host time
     (the (L, C) window scan), so callers that first check support and then
     build the kernel should do both through this one plan (pipeline/fit.py
     passes the plan into make_fused_ensemble_gather via `plan=`)."""
+    import os
     if spec.ncomp != 1:
         return None
     tables = build_dense_tables(model, dv_max, min_saving=min_saving)
     qm = model.q_model
     n_states = device_n_states(qm)
     C = int(model.n_channels)
-    picked = _pick_chunks(tables, C, n_states, nwalkers, budget)
+    if probe is None:
+        probe = (os.environ.get("CHA1_VMEM_PROBE", "1") != "0"
+                 and jax.default_backend() != "cpu")
+    prober = _make_prober(model, spec, nwalkers) if probe else None
+    picked = _pick_chunks(tables, C, n_states, nwalkers, budget, prober)
     if picked is None:
         return None
     wchunk, cblock, unroll_bo, unroll_br = picked

@@ -945,11 +945,11 @@ def test_fused_gather_support_bounds():
                 "vel2": np.zeros((M2, max(cb0, 1)), np.float32),
                 "has_overflow": has_overflow, "cb0": cb0}
 
-    # plenty of budget: the measured-fastest chunking (wchunk=32,
-    # cblock=128, unrolled walks — the on-chip ablation's ranking, see
-    # _pick_chunks)
+    # plenty of budget: the measured-fastest chunking (the whole
+    # half-ensemble in ONE walker chunk, cblock=128, unrolled walks —
+    # the on-chip ablation's ranking, see _pick_chunks)
     assert _pick_chunks(tables(2, 512), 512, 0, 128,
-                        48 << 20) == (32, 128, True, True)
+                        48 << 20) == (64, 128, True, True)
     # tight budget: downgrades walks to fori / shrinks the walker chunk
     # rather than refusing
     picked = _pick_chunks(tables(48, 2048, 16, 256, True), 2048, 20_000,
@@ -965,6 +965,27 @@ def test_fused_gather_support_bounds():
     picked = _pick_chunks(tables(6, 10850, 21, 1664, True), 10850, 16_488,
                           128, 12 << 20)
     assert picked == (32, 128, False, True)
+    # probe tier: candidates modeled past the analytic line are admitted
+    # only when the prober (stand-in for the deviceless Mosaic compile,
+    # fused_gather._make_prober) confirms them, consulted in preference
+    # order — heavy-unroll walks across descending walker chunks first
+    calls = []
+
+    def fake_prober(tb, C, ns, w, cb, ubo, ubr):
+        calls.append((w, ubo, ubr))
+        return (w, ubo, ubr) == (32, True, True), False
+
+    picked = _pick_chunks(tables(6, 10850, 21, 1664, True), 10850, 16_488,
+                          128, 12 << 20, fake_prober)
+    assert picked == (32, 128, True, True)
+    assert calls[0][0] == 64 and calls[-1] == (32, True, True)
+    # probe budget: uncached probes stop after max_probes, falling back
+    # to the analytic line for the remaining candidates
+    calls.clear()
+    picked = _pick_chunks(tables(6, 10850, 21, 1664, True), 10850, 16_488,
+                          128, 12 << 20,
+                          lambda *a: (False, False), max_probes=2)
+    assert picked == (32, 128, False, True)  # the analytic-line plan
     # impossible budget: refuses
     assert _pick_chunks(tables(400, 2048, 64, 1024, True), 2048, 0, 128,
                         1 << 20) is None

@@ -112,6 +112,40 @@ def main():
     out["fused_chain_us_per_step"] = round(s * 1e6, 2)
     print(f"fused whole-chain: {s * 1e6:.1f} us/step", flush=True)
 
+    # --- 2a. fused whole-chain at wchunk=64 (one chunk per half) --------
+    # With the Chebyshev Q surrogate the isolated-lnprob ablation ranked
+    # wchunk=64 ~10x faster than 32 (kern_w64 0.002 vs kern_base 0.022
+    # ms/eval, 2026-08-19): Q's per-chunk serialization is gone, so the
+    # remaining per-chunk overhead dominates and ONE chunk per half wins.
+    # The w64 chain program models OVER the 12 MiB planning budget
+    # (14.98 MiB fori / 16.98 rest-unrolled), so this section is the
+    # measured-evidence probe for relaxing the plan — it must never run
+    # by default without a deviceless compile check first
+    # (tools/aot_probe_fused_gather.py --wchunk 64).
+    if "--chain-w64" in sys.argv:
+        for tag_w, ubo, ubr in (("w64_fori", False, False),
+                                ("w64_ur", False, True)):
+            try:
+                plan_w = dict(base_plan, wchunk=64,
+                              unroll_bo=ubo, unroll_br=ubr)
+                run_w = fg.make_fused_ensemble_gather(
+                    model, spec, ints, yerrs, bounds, means, stds,
+                    dv_max=bounds["dV"][1], nwalkers=nwalkers, plan=plan_w)
+                fchain_w, _, _, (fpos_w, flnp_w) = run_w(pos0, lnp0, key, 64)
+                jax.block_until_ready(fchain_w)
+                flnp_w = jnp.asarray(flnp_w)
+                s = slope_time(
+                    lambda n, tag: run_w(fpos_w, flnp_w,
+                                         jax.random.fold_in(key, tag),
+                                         n)[0], 64, 256)
+                out[f"fused_chain_{tag_w}_us_per_step"] = round(s * 1e6, 2)
+                print(f"fused whole-chain ({tag_w}): {s * 1e6:.1f} us/step",
+                      flush=True)
+            except Exception as exc:  # noqa: BLE001 - record and continue
+                out[f"fused_chain_{tag_w}_error"] = (
+                    f"{type(exc).__name__}: {exc}")
+                print(f"fused {tag_w} chain: FAILED {exc}", flush=True)
+
     # --- 2b. fused whole-chain, forced-fori channel walk ----------------
     # The 2026-08-19 ablation settled the default: the unrolled
     # accumulator walk measured 43.8 us/step whole-chain vs 68.3 fori and
