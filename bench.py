@@ -530,11 +530,15 @@ def bench_dense() -> dict:
     # matmuls. The heavy-channel overflow is an in-place slice add under
     # the kernel's heavy-first permutation (no scatter matmul; its
     # element work is already inside gauss_elems).
-    from cha1_mcmc_tpu.catalogs.partition import q_model_for_catalog
-    n_states = (0 if q_model_for_catalog(catalog).kind == "analytic"
-                else int(np.size(q_model_for_catalog(catalog).g)))
+    from cha1_mcmc_tpu.catalogs.partition import device_n_states
+    # What the DEVICE actually evaluates: with the Chebyshev Q surrogate
+    # attached (the pipeline/bench default) the 16k-state Boltzmann walk
+    # is gone and Q costs one Clenshaw recurrence (~3 flops/coeff).
+    n_states = device_n_states(model.q_model)
+    q_flops = (3 * len(model.q_model.cheb_coeffs)
+               if model.q_model.cheb_coeffs is not None else 4 * n_states)
     h = NWALKERS // 2
-    fused_flops_step = 2 * (h * (gauss_elems * 14 + n_states * 4
+    fused_flops_step = 2 * (h * (gauss_elems * 14 + q_flops
                                  + DENSE_CHANNELS * 18)
                             + 3 * 2 * 5 * NWALKERS * h)
     return {

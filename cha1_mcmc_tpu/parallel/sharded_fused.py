@@ -187,7 +187,7 @@ def plan_fused_gather_sharded(model, spec, mesh: Mesh, nwalkers: int,
     w_local = nwalkers // (n_c * n_w)
     if tables is None:
         tables = build_dense_tables(model, dv_max, min_saving=min_saving)
-    return replan_chunks(tables, model, w_local)
+    return replan_chunks(tables, model, w_local, spec=spec)
 
 
 def make_fused_gather_sharded_runner(

@@ -872,16 +872,31 @@ def gather_statics_tables(model, spec, grid_ints, grid_yerrs, bounds,
 
 
 def replan_chunks(tables, model, nwalkers: int,
-                  budget: int = _SCOPED_VMEM_BUDGET):
+                  budget: int = _SCOPED_VMEM_BUDGET, spec=None,
+                  probe: bool | None = None):
     """Re-plan the chunking for a different ensemble size from
     already-built tables (table construction costs seconds on a 35k-line
     catalog; the sharded composition plans per-DEVICE walker counts from
     the single table build the pipeline already made). Returns a plan
-    dict or None."""
+    dict or None.
+
+    Pass `spec` to enable the deviceless-Mosaic probe tier for
+    candidates past the analytic line (same auto/off semantics as
+    plan_fused_gather's `probe`); without it the plan is analytic-only
+    — conservative, and per-device working sets shrink with sharding,
+    so the 12 MiB line usually suffices on a mesh."""
+    import os
     qm = model.q_model
     n_states = device_n_states(qm)
     C = int(model.n_channels)
-    picked = _pick_chunks(tables, C, n_states, nwalkers, budget)
+    prober = None
+    if spec is not None:
+        if probe is None:
+            probe = (os.environ.get("CHA1_VMEM_PROBE", "1") != "0"
+                     and jax.default_backend() != "cpu")
+        if probe:
+            prober = _make_prober(model, spec, nwalkers)
+    picked = _pick_chunks(tables, C, n_states, nwalkers, budget, prober)
     if picked is None:
         return None
     wchunk, cblock, unroll_bo, unroll_br = picked

@@ -1274,3 +1274,36 @@ def test_fused_gather_blocked_dense_grid(device_q):
     np.testing.assert_allclose(np.asarray(lf), np.asarray(lu), rtol=2e-5)
     np.testing.assert_array_equal(np.asarray(af),
                                   np.asarray(au).astype(np.float32))
+
+
+@requires_reference
+@pytest.mark.slow
+def test_vmem_probe_subprocess_end_to_end(hc5n_problem, hc5n_datagrid,
+                                          tmp_path, monkeypatch):
+    """The deviceless scoped-VMEM prober (fused_gather._make_prober ->
+    sampler/vmem_probe.py subprocess) end to end on a small real model:
+    the payload pickles, the subprocess compiles the real program against
+    the compile-only v5e topology, the verdict comes back True, and it is
+    cached so the second consultation never spawns a process. This guards
+    the plumbing the probe-backed planner depends on — a silent pickling
+    or env regression would quietly downgrade every dense fit to the
+    analytic-only (slower) plans."""
+    from cha1_mcmc_tpu.sampler.fused_gather import (
+        _make_prober, plan_fused_gather)
+
+    model, spec = hc5n_problem["model"], hc5n_problem["spec"]
+    monkeypatch.setenv("CHA1_CACHE_DIR", str(tmp_path))
+    plan = plan_fused_gather(model, spec, 1.5, nwalkers=16, probe=False)
+    if plan is None:
+        pytest.skip("hc5n tables not worthwhile at this geometry")
+    from cha1_mcmc_tpu.catalogs.partition import device_n_states
+
+    prober = _make_prober(model, spec, 16)
+    args = (plan["tables"], int(model.n_channels),
+            device_n_states(model.q_model), plan["wchunk"], plan["cblock"],
+            plan["unroll_bo"], plan["unroll_br"])
+    ok, cached = prober(*args)
+    assert ok is True and cached is False
+    assert (tmp_path / "vmem_verdicts.json").exists()
+    ok2, cached2 = prober(*args)
+    assert ok2 is True and cached2 is True

@@ -15,8 +15,12 @@ relay (it is safe to run while another process holds the TPU).
 
 Caveat: the local libtpu build can be newer than the relay terminal's
 (observed: Jan 2026 vs Nov 2025), so treat the verdict as a strong
-predictor, not a guarantee — plan kernels with headroom
-(sampler/fused_gather.py plans to 12 MiB against the 16 MiB limit).
+predictor, not a guarantee — though every time both were observed they
+agreed exactly (e.g. both rejected the dense_full w64 rest-unrolled plan
+at "size 17.53M"). Since 2026-08-19 the planner itself runs this compile
+automatically for uncertain candidates (sampler/vmem_probe.py subprocess,
+cached verdicts — see fused_gather._make_prober); this tool remains the
+manual/CI probe with walk-mode and wchunk override flags.
 
 Probes the fused channel-major step program (sampler/fused_gather.py) at
 the two dense problem sizes the driver exercises:
