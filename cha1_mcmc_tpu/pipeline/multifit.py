@@ -175,6 +175,33 @@ class MultiComponentFit:
             vel_offset=0.0, mask_center=cfg.source_velocity,
             dtype=self.dtype)
 
+    def _attach_device_q(self, model: SpectralModel,
+                         prior_means, prior_stds) -> SpectralModel:
+        """Device Chebyshev surrogate for state-sum Q (same rationale as
+        the single-component pipeline, SpectralFit.build_model: the
+        16k-state Boltzmann walk measured ~95% of the dense fused
+        kernel's per-eval cost; host/f64 oracles keep the exact sum).
+        Unlike the single-component prior, the multifit Tex prior has no
+        hard upper box (reference TMC1_four_component.py bounds Tex
+        below only), so the fit interval is sized from the ACTUAL
+        Gaussian prior — out to 16 sigma, and at least 60 K (the
+        reference's own hottest Q-validity warning,
+        functions.py:256-261). A walker beyond the interval carries a
+        >= -128 lnprior penalty, is practically unreachable from the
+        near-mean init ball, and fit_device_cheb falls back to the
+        exact in-kernel state walk whenever the wider interval cannot
+        be fit to tolerance."""
+        if model.q_model.kind != "states":
+            return model
+        from cha1_mcmc_tpu.catalogs.partition import fit_device_cheb
+
+        n = self.config.ncomp
+        mean_tex = float(np.asarray(prior_means)[2 * n])
+        std_tex = float(np.asarray(prior_stds)[2 * n])
+        t_hi = max(60.0, mean_tex + 16.0 * std_tex)
+        return dataclasses.replace(
+            model, q_model=fit_device_cheb(model.q_model, 2.7, t_hi))
+
     def fit(self, grid: Datagrid) -> np.ndarray:
         """Sample the N-component posterior
         (reference fit_multi_gaussian, TMC1_four_component.py:280-350)."""
@@ -201,6 +228,7 @@ class MultiComponentFit:
                 chain_data = load_chain(cfg.chain_path)[:, -200:, :].reshape(-1, cfg.ndim).T
                 initial = np.median(chain_data, axis=1)
 
+        model = self._attach_device_q(model, prior_means, prior_stds)
         lnprior = ordered_velocity_lnprior(self.spec, prior_means, prior_stds,
                                            dv_max=cfg.dv_bound)
 

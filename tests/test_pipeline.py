@@ -629,3 +629,50 @@ def test_dense_full_fit_smoke(tmp_path):
     assert np.isfinite(chain).all()
     assert chain[..., 0].min() > 1e8 and chain[..., 0].max() < 1e14
     assert 0.0 < fit.sampler.acceptance_fraction <= 1.0
+
+
+@requires_reference
+def test_multifit_attaches_cheb_q_for_state_sum():
+    """The multifit pipeline attaches the device Chebyshev Q surrogate to
+    state-sum molecules (the same optimization SpectralFit.build_model
+    applies — the in-kernel Boltzmann walk measured ~95% of the dense
+    fused kernel's per-eval cost), sizing the fit interval from the
+    ACTUAL Tex prior since the multifit prior box has no hard upper
+    bound (reference TMC1_four_component.py bounds Tex below only)."""
+    import numpy as np
+    from cha1_mcmc_tpu import MultiFitConfig, MultiComponentFit
+    from cha1_mcmc_tpu.catalogs import load_catalog
+    from cha1_mcmc_tpu.models.forward import SpectralModel
+
+    cfg = MultiFitConfig(mol_name="cyclopentadiene", cat_folder=CATALOG_DIR,
+                         ncomp=4)
+    fit = MultiComponentFit(cfg)
+    catalog = load_catalog(cfg.catfile_path)
+    lo = float(catalog.frequency.min())
+    hi = float(catalog.frequency.max())
+    model = SpectralModel.build(
+        catalog, np.array([0, 1]), np.linspace(lo, lo + 50.0, 64),
+        ll=lo - 10, ul=hi + 10, dish_size=100.0,
+        vel_offset=0.0, mask_center=5.8)
+    assert model.q_model.kind == "states"
+
+    means = np.asarray(cfg.template_means, dtype=np.float64)
+    stds = np.asarray(cfg.template_stds, dtype=np.float64)
+    got = fit._attach_device_q(model, means, stds)
+    qm = got.q_model
+    assert qm.cheb_coeffs is not None
+    t_lo, t_hi = qm.cheb_interval
+    assert t_lo == 2.7 and t_hi >= 60.0
+    # surrogate matches the exact reference state sum across the interval
+    T = np.linspace(t_lo, t_hi, 257)
+    np.testing.assert_allclose(np.asarray(qm(T)), qm.host_eval(T),
+                               rtol=5e-7)
+    # host/f64 oracle path untouched
+    assert qm.host_eval(10.0) == model.q_model.host_eval(10.0)
+    # analytic models pass through unchanged
+    hc9n = load_catalog(os.path.join(CATALOG_DIR, "hc9n_hfs.cat"))
+    model2 = SpectralModel.build(
+        hc9n, np.array([0, 1]), np.linspace(20000.0, 20050.0, 64),
+        ll=7000, ul=30000, dish_size=100.0, vel_offset=0.0,
+        mask_center=5.8)
+    assert fit._attach_device_q(model2, means, stds) is model2
