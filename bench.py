@@ -465,14 +465,26 @@ def bench_dense() -> dict:
                                     nsteps=n, batched=True)[0], 64, 256)
 
     # Fused whole-step dense kernel (sampler/fused_gather.py) — the
-    # pipeline's auto-selected dense-chain path on TPU.
+    # pipeline's auto-selected dense-chain path on TPU. Record the chosen
+    # plan so the per-round artifact documents which chunking produced
+    # the numbers (probe-backed planning can pick past the analytic line).
+    fused_plan_desc = None
     try:
         from cha1_mcmc_tpu.sampler.fused_gather import (
-            make_fused_ensemble_gather)
+            make_fused_ensemble_gather, plan_fused_gather)
 
+        fplan = plan_fused_gather(model, spec, 1.5, nwalkers=NWALKERS)
+        if fplan is not None:
+            fused_plan_desc = {
+                "wchunk": int(fplan["wchunk"]),
+                "cblock": int(fplan["cblock"]),
+                "n_bo": int(fplan["n_bo"]), "n_br": int(fplan["n_br"]),
+                "unroll_bo": bool(fplan["unroll_bo"]),
+                "unroll_br": bool(fplan["unroll_br"]),
+                "schunk": int(fplan["schunk"]), "n_sb": int(fplan["n_sb"])}
         run_fused = make_fused_ensemble_gather(
             model, spec, ints, yerrs, bounds, prior_means, prior_stds,
-            dv_max=1.5, nwalkers=NWALKERS)
+            dv_max=1.5, nwalkers=NWALKERS, plan=fplan)
         fchain, _, _, (fpos, flnp) = run_fused(thetas, lnp0, key, 64)
         jax.block_until_ready(fchain)
         flnp = jnp.asarray(flnp)
@@ -559,6 +571,7 @@ def bench_dense() -> dict:
         "fused_chain_speedup": (round(chain_slope / fused_slope, 2)
                                 if fused_slope is not None else None),
         "fused_chain_error": fused_chain_error,
+        "fused_plan": fused_plan_desc,
         "fused_chain_achieved_gflops": (
             round(fused_flops_step / fused_slope / 1e9, 1)
             if fused_slope is not None else None),
