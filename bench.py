@@ -861,19 +861,26 @@ def run_sections(sections, probe, deadline_s, partial_path) -> dict:
 
 
 def default_sections():
+    # Order: cheap/cached sections first, heavy-compile sections last. A
+    # fused-kernel or planner change makes the dense sections' first
+    # dispatch a fresh ~30-50 min terminal compile; if that outlasts the
+    # watchdog deadline, everything after the wedged section is lost —
+    # so the sections most likely to wedge must not shadow the rest
+    # (observed 2026-08-19: watchdog fired in 'dense', large/gotham/
+    # dense_full_fit never ran).
     return [
         ("baseline", bench_baseline, False),
         ("tpu", bench_tpu, True),
+        ("large", bench_large, True),
+        ("gotham",
+         lambda: bench_multifit() if os.path.exists(os.path.join(
+             REFERENCE_ROOT, "data", "GOTHAM", "hc9n_hfs_chunks.npy"))
+         else None, True),
         ("dense",
          lambda: bench_dense() if os.path.exists(DENSE_CAT) else None, True),
         ("dense_full_fit",
          lambda: bench_dense_full_fit()
          if os.path.exists(DENSE_GOLDEN) and os.path.exists(DENSE_CAT)
-         else None, True),
-        ("large", bench_large, True),
-        ("gotham",
-         lambda: bench_multifit() if os.path.exists(os.path.join(
-             REFERENCE_ROOT, "data", "GOTHAM", "hc9n_hfs_chunks.npy"))
          else None, True),
     ]
 

@@ -265,6 +265,12 @@ class WorkbenchShell(cmd.Cmd):
         self.wb.recall(arg.strip())
         self._say(f"recalled '{arg.strip()}'")
 
+    def do_purge(self, arg):
+        """purge NAME — permanently remove a stored simulation
+        (reference :3459)."""
+        self.wb.purge(arg.strip())
+        self._say(f"purged '{arg.strip()}'")
+
     def do_sum(self, arg):
         """sum [thin] [OUT.npy] — composite of stored sims (reference :2928)."""
         parts = arg.split()

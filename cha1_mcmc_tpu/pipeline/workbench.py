@@ -388,6 +388,18 @@ class Workbench:
             setattr(self, k, v)
         return self.run_sim()
 
+    def purge(self, name: str):
+        """Permanently remove a stored simulation (reference purge,
+        simulate_lte.py:3459-3465: a KeyError reports the bad key rather
+        than raising)."""
+        try:
+            del self.stored[name]
+        except KeyError:
+            raise KeyError(
+                f"No simulation stored under {name!r}; "
+                f"stored: {sorted(self.stored)}") from None
+        return self
+
     def sum_stored(self, grid=None, thick: bool = True):
         """Composite of all stored simulations on a common grid.
 

@@ -351,6 +351,33 @@ def test_one_component_gotham_fit(tmp_path):
 
 
 @requires_reference
+def test_two_component_gotham_fit(tmp_path):
+    """ncomp=2 — a component count the reference never shipped a script
+    for (it has only 1- and 4-component variants, scripts/MCMC/): the
+    ParamSpec parameterization is ncomp-generic (theta = [2x ss, 2x Ncol,
+    Tex, 2x ordered vlsr, dV] = 8-dim), so intermediate source models
+    need no new code path."""
+    from cha1_mcmc_tpu import MultiFitConfig, MultiComponentFit
+    from tests.conftest import HC9N_GOTHAM
+
+    cfg = MultiFitConfig(
+        mol_name="hc9n_hfs", cat_folder=CATALOG_DIR, data_path=HC9N_GOTHAM,
+        fit_folder=str(tmp_path / "g2"), nruns=20, nwalkers=16, ncomp=2,
+        template_run=True, seed=0, checkpoint_every=10,
+        template_means=(37.0, 31.0, 2.47e12, 2.8e12, 6.7, 5.60, 5.79, 0.117),
+        template_stds=(2.5, 2.5, 0.3e12, 0.3e12, 0.1, 0.002, 0.002, 0.002),
+        perturbation=(1e-1, 1e-1, 1e10, 1e10, 1e-3, 1e-3, 1e-3, 1e-3))
+    with contextlib.redirect_stdout(io.StringIO()):
+        chain = MultiComponentFit(cfg).run()
+    assert chain.shape == (16, 20, 8)
+    assert np.isfinite(chain).all()
+    # the ordered-velocity prior holds for the sampled 2-component chain:
+    # vlsr_1 < vlsr_2 for every retained walker step
+    vl = chain[:, :, 5:7]
+    assert (vl[..., 0] < vl[..., 1]).all()
+
+
+@requires_reference
 def test_batch_fit_molecules(tmp_path):
     """fit_molecules runs every molecule in the mapping, with round-robin
     process sharding."""

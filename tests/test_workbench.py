@@ -56,6 +56,13 @@ def test_workbench_store_recall_session(tmp_path):
     assert set(wb2.stored) == {"cold", "hot"}
     np.testing.assert_allclose(wb2.stored["hot"]["ints"], hot_ints)
 
+    # purge (reference simulate_lte.py:3459): removes one stored sim,
+    # reports the bad key otherwise
+    wb.purge("cold")
+    assert set(wb.stored) == {"hot"}
+    with pytest.raises(KeyError, match="cold"):
+        wb.purge("cold")
+
 
 @requires_reference
 def test_workbench_vlsr_shift():
@@ -157,6 +164,8 @@ def test_workbench_repl(tmp_path):
         "store cold",
         "modT 9.5",
         "store warm",
+        "store scratch",
+        "purge scratch",
         "sum",
         f"obs {HC5N_DATA}",
         "stack",
@@ -180,6 +189,7 @@ def test_workbench_repl(tmp_path):
     text = out.getvalue()
     assert "re-simulated" in text
     assert "stored 'cold'" in text and "stored 'warm'" in text
+    assert "purged 'scratch'" in text
     assert "summed 2 stored sims" in text
     assert "stack peak SNR" in text and "matched filter peak" in text
     assert "Unknown syntax" in text   # bogus command reported, not fatal

@@ -130,13 +130,19 @@ def main():
         out["n_divergent_walker_steps"] = int((e != f).any(axis=2).sum())
 
     # --- gate 3: statistical parity vs the batched-general chain -------
+    # 512 steps by default; CHA1_VALIDATE_STAT_STEPS=4096 tightens the
+    # comparison ~3x (the deviation is sampling noise ~ 1/sqrt(ESS), tau
+    # ~ 45 on this posterior) at a few extra seconds of chip time.
+    stat_steps = int(os.environ.get("CHA1_VALIDATE_STAT_STEPS", "512"))
+    burn = max(64, stat_steps // 8)
+    out["stat_steps"] = stat_steps
     gchain, _, gacc, (gpos, glnp) = run_ensemble(
-        lnprob, pos0, lnp0, key, nsteps=512, batched=True)
+        lnprob, pos0, lnp0, key, nsteps=stat_steps, batched=True)
     jax.block_until_ready(gchain)
-    fchain5, _, facc5, _ = run_fused(pos0, lnp0_e, key, 512)
+    fchain5, _, facc5, _ = run_fused(pos0, lnp0_e, key, stat_steps)
     jax.block_until_ready(fchain5)
-    g = np.asarray(gchain)[64:].reshape(-1, 4)     # post-burn samples
-    f5 = np.asarray(fchain5)[64:].reshape(-1, 4)
+    g = np.asarray(gchain)[burn:].reshape(-1, 4)   # post-burn samples
+    f5 = np.asarray(fchain5)[burn:].reshape(-1, 4)
     acc_g = float(np.mean(np.asarray(gacc))) / nwalkers
     acc_f = float(np.mean(np.asarray(facc5))) / nwalkers
     out["general_acceptance"] = round(acc_g, 4)
