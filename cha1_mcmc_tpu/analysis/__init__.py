@@ -25,6 +25,7 @@ from cha1_mcmc_tpu.analysis.obs_tools import (
     residual_spectrum,
     find_limits,
 )
+from cha1_mcmc_tpu.analysis.independent import run_adaptive_metropolis
 from cha1_mcmc_tpu.analysis.ulim import (
     get_obs_rms,
     get_sim_peak,
@@ -61,4 +62,5 @@ __all__ = [
     "k_to_jy",
     "planck_k_to_jy",
     "render_gaussian_profile",
+    "run_adaptive_metropolis",
 ]
