@@ -284,8 +284,16 @@ def bench_multifit() -> dict:
             dv_max=cfg.dv_bound)
         fused_s, acc = timed(run_fused)
         fused_error = None
+        if fused_s <= 0:
+            # ~8 us/step x 1536 steps is ~13 ms of work against the
+            # ~26 ms +- noise fixed dispatch cost — record a contention
+            # failure rather than a negative rate (see bench_dense).
+            fused_error = f"nonpositive slope {fused_s:.3e} s/step"
+            fused_s = None
     except Exception as exc:  # record, never silently mask a regression
         fused_s, fused_error = None, f"{type(exc).__name__}: {exc}"
+    if general_s <= 0:
+        general_s = None
     best = fused_s if fused_s is not None else general_s
     # Utilization from first principles: per half-step the fused kernel
     # evaluates an (La, Wc, K*h) Gaussian block (~8 flops + 1 exp2 each),
@@ -307,11 +315,14 @@ def bench_multifit() -> dict:
         "n_covered": int(grid.covered_trans.size),
         "n_channels": C,
         "nwalkers": NWALKERS,
-        "walker_steps_per_sec": round(NWALKERS / best, 1),
-        "us_per_step": round(best * 1e6, 2),
-        "general_us_per_step": round(general_s * 1e6, 2),
+        "walker_steps_per_sec": (round(NWALKERS / best, 1)
+                                 if best is not None else None),
+        "us_per_step": (round(best * 1e6, 2) if best is not None else None),
+        "general_us_per_step": (round(general_s * 1e6, 2)
+                                if general_s is not None else None),
         "fused_speedup": (round(general_s / fused_s, 2)
-                          if fused_s is not None else None),
+                          if fused_s is not None and general_s is not None
+                          else None),
         "fused_error": fused_error,
         # The flop model describes the fused kernel's compact-span work;
         # when the fused path errored and `best` is the general sampler,
@@ -463,6 +474,16 @@ def bench_dense() -> dict:
         lambda n, tag: run_ensemble(lnprob_gather, pos, lnp,
                                     jax.random.fold_in(key, tag),
                                     nsteps=n, batched=True)[0], 64, 256)
+    chain_slope_error = None
+    if chain_slope <= 0:
+        # ~144 us/step over a 192-step length difference is ~28 ms of
+        # work — resolvable, so a nonpositive slope means the relay was
+        # too contended to measure. Record the failure, never a negative
+        # rate (observed for the FUSED chain 2026-08-20: its 19 us/step
+        # x 192 steps was ~4 ms of work against ~26 +- few ms dispatch
+        # noise, slope -0.39 us/step).
+        chain_slope_error = f"nonpositive slope {chain_slope:.3e} s/step"
+        chain_slope = None
 
     # Fused whole-step dense kernel (sampler/fused_gather.py) — the
     # pipeline's auto-selected dense-chain path on TPU. Record the chosen
@@ -488,11 +509,18 @@ def bench_dense() -> dict:
         fchain, _, _, (fpos, flnp) = run_fused(thetas, lnp0, key, 64)
         jax.block_until_ready(fchain)
         flnp = jnp.asarray(flnp)
+        # (512, 2048): at the kernel's ~19-27 us/step the length
+        # difference must represent >> the ~26 ms fixed dispatch cost's
+        # rep-to-rep noise — 192 steps (~4 ms) measured a NEGATIVE slope
+        # on 2026-08-20; 1536 steps is ~30-40 ms of real work.
         fused_slope, _ = _slope_timed(
             lambda n, tag: run_fused(fpos, flnp,
                                      jax.random.fold_in(key, tag), n)[0],
-            64, 256)
+            512, 2048)
         fused_chain_error = None
+        if fused_slope <= 0:
+            fused_chain_error = f"nonpositive slope {fused_slope:.3e} s/step"
+            fused_slope = None
     except Exception as exc:  # record, never silently mask a regression
         fused_slope, fused_chain_error = None, f"{type(exc).__name__}: {exc}"
     # Headline the path the pipeline would actually pick: the FASTER of
@@ -502,8 +530,8 @@ def bench_dense() -> dict:
     # formulation regression (the lane-axis-sliced first attempt was
     # ~25x SLOWER under Mosaic; see docs/KERNELS.md) can never tank the
     # headline below the user-facing auto-selected rate.
-    best_chain = (min(fused_slope, chain_slope)
-                  if fused_slope is not None else chain_slope)
+    best_chain = min((s for s in (fused_slope, chain_slope)
+                      if s is not None), default=None)
 
     # Roofline accounting from first principles (VERDICT r2 item 5). The
     # gather path's per-eval work: taus over the active lines (~10 flops
@@ -565,11 +593,16 @@ def bench_dense() -> dict:
         "csr_ms_per_eval": round(csr_s * 1e3, 3),
         "jnp_ms_per_eval": round(jnp_s * 1e3, 3),
         "speedup_vs_jnp": round(jnp_s / best, 2),
-        "chain_walker_steps_per_sec": round(NWALKERS / best_chain, 1),
-        "chain_us_per_step": round(best_chain * 1e6, 2),
-        "general_chain_us_per_step": round(chain_slope * 1e6, 2),
+        "chain_walker_steps_per_sec": (round(NWALKERS / best_chain, 1)
+                                       if best_chain is not None else None),
+        "chain_us_per_step": (round(best_chain * 1e6, 2)
+                              if best_chain is not None else None),
+        "general_chain_us_per_step": (round(chain_slope * 1e6, 2)
+                                      if chain_slope is not None else None),
+        "general_chain_error": chain_slope_error,
         "fused_chain_speedup": (round(chain_slope / fused_slope, 2)
-                                if fused_slope is not None else None),
+                                if fused_slope is not None
+                                and chain_slope is not None else None),
         "fused_chain_error": fused_chain_error,
         "fused_plan": fused_plan_desc,
         "fused_chain_achieved_gflops": (
