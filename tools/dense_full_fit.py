@@ -259,9 +259,18 @@ def run_fit_from_datagrid(nruns=10_000, nwalkers=128, **overrides):
     t0 = time.perf_counter()
     chain = fit.fit(grid)
     wall = time.perf_counter() - t0
-    return _posterior_stats(np.asarray(chain), g, nruns, wall,
-                            type(fit.sampler).__name__,
-                            fit.sampler.acceptance_fraction)
+    stats = _posterior_stats(np.asarray(chain), g, nruns, wall,
+                             type(fit.sampler).__name__,
+                             fit.sampler.acceptance_fraction)
+    plan = getattr(fit, "_gather_plan", None)
+    # Record WHICH chunking served the fit (VERDICT r4 item 5): round 4's
+    # 308.5 s row ran the general chain because the pre-blocking kernel's
+    # plan was correctly None at this 2,095 x 10,850 geometry.
+    stats["fused_plan"] = (None if plan is None else {
+        k: (int(plan[k]) if not isinstance(plan[k], bool) else plan[k])
+        for k in ("wchunk", "cblock", "n_bo", "n_br", "unroll_bo",
+                  "unroll_br", "schunk", "n_sb")})
+    return stats
 
 
 def fit_main(nruns=10_000, nwalkers=128):

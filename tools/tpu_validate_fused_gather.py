@@ -24,10 +24,16 @@ So this validator gates three things, strongest-available first:
      (block-stacked kernel): identical through step 48 of 64, then one
      ulp-level accept flip cascades — healthy. The broken lane-axis
      formulation: divergent at step 0, lnp rel dev 16.5 — miscompile.
-  3. statistical parity vs the batched-general chain: acceptance
-     fraction within 0.03 and per-dim posterior mean/std of a 512-step
-     run within 10% relative (different ulp streams => different
-     trajectories, same posterior).
+  3. statistical parity vs the batched-general chain, with the SAME
+     MC-error-calibrated tolerance scheme as the repo's golden posterior
+     gates (tests/test_pipeline.py GOTHAM/HC5N pattern, VERDICT r4
+     item 6): the two chains are independent MC estimates of the same
+     posterior, so each per-dim mean must agree within
+     max(1%, 3*sigma_MC) where sigma_MC^2 sums std^2*tau/(W*N) over both
+     chains, and each std within max(1%, 3*sqrt(sum (kappa-1)/(4*ESS)))
+     — replacing round 4's flat 10%/512-step smoke with a calibrated
+     gate over a 2048-step chain (a length the bench slope runs already
+     keep warm relay-side).
 
 Timings use bench.py's methodology (two lengths, tag-varied inputs, min
 of reps — CLAUDE.md "Microbenchmark trap" / "Fixed dispatch overhead").
@@ -130,10 +136,12 @@ def main():
         out["n_divergent_walker_steps"] = int((e != f).any(axis=2).sum())
 
     # --- gate 3: statistical parity vs the batched-general chain -------
-    # 512 steps by default; CHA1_VALIDATE_STAT_STEPS=4096 tightens the
-    # comparison ~3x (the deviation is sampling noise ~ 1/sqrt(ESS), tau
-    # ~ 45 on this posterior) at a few extra seconds of chip time.
-    stat_steps = int(os.environ.get("CHA1_VALIDATE_STAT_STEPS", "512"))
+    # MC-error-calibrated (VERDICT r4 item 6): 2048 steps by default —
+    # a run length bench.py's slope runs keep warm relay-side; tau ~ 45
+    # on this posterior so each chain carries ~5k effective samples.
+    from cha1_mcmc_tpu.sampler.diagnostics import autocorr_time
+
+    stat_steps = int(os.environ.get("CHA1_VALIDATE_STAT_STEPS", "2048"))
     burn = max(64, stat_steps // 8)
     out["stat_steps"] = stat_steps
     gchain, _, gacc, (gpos, glnp) = run_ensemble(
@@ -141,20 +149,39 @@ def main():
     jax.block_until_ready(gchain)
     fchain5, _, facc5, _ = run_fused(pos0, lnp0_e, key, stat_steps)
     jax.block_until_ready(fchain5)
-    g = np.asarray(gchain)[burn:].reshape(-1, 4)   # post-burn samples
-    f5 = np.asarray(fchain5)[burn:].reshape(-1, 4)
+    gpost = np.asarray(gchain)[:, burn:, :].astype(np.float64)
+    fpost = np.asarray(fchain5)[:, burn:, :].astype(np.float64)
+    g = gpost.reshape(-1, 4)                       # post-burn samples
+    f5 = fpost.reshape(-1, 4)
     acc_g = float(np.mean(np.asarray(gacc))) / nwalkers
     acc_f = float(np.mean(np.asarray(facc5))) / nwalkers
     out["general_acceptance"] = round(acc_g, 4)
     out["fused_acceptance"] = round(acc_f, 4)
-    mean_rel = np.abs(f5.mean(0) - g.mean(0)) / np.maximum(
-        np.abs(g.mean(0)), 1e-30)
-    std_rel = np.abs(f5.std(0) - g.std(0)) / np.maximum(g.std(0), 1e-30)
-    out["posterior_mean_max_rel_dev"] = float(mean_rel.max())
-    out["posterior_std_max_rel_dev"] = float(std_rel.max())
-    gate3 = bool(abs(acc_g - acc_f) < 0.03 and mean_rel.max() < 0.10
-                 and std_rel.max() < 0.10)
-    out["gate3_statistical_parity"] = gate3
+    # Per-chain MC-error ingredients: ESS = W*N/tau per dim; the sampling
+    # error of a posterior mean is std*sqrt(1/ESS), of a posterior std is
+    # std*sqrt((kappa-1)/(4*ESS)) — summed in quadrature over the two
+    # independent chains, 3-sigma, floored at 1% (the golden-gate scheme,
+    # tests/test_pipeline.py:test_posterior_statistical_parity_gotham).
+    gate3 = True
+    for stat in ("mean", "std"):
+        tol, dev = [], []
+        for post, flat in ((gpost, g), (fpost, f5)):
+            tau = autocorr_time(post)
+            ess = post.shape[0] * post.shape[1] / tau
+            kurt = np.mean(((flat - flat.mean(0)) / flat.std(0)) ** 4, 0)
+            var_rel = ((flat.std(0) / np.abs(flat.mean(0))) ** 2 / ess
+                       if stat == "mean" else (kurt - 1) / (4 * ess))
+            tol.append(var_rel)
+        rtol = np.maximum(0.01, 3 * np.sqrt(tol[0] + tol[1]))
+        a = g.mean(0) if stat == "mean" else g.std(0)
+        b = f5.mean(0) if stat == "mean" else f5.std(0)
+        rel = np.abs(b - a) / np.maximum(np.abs(a), 1e-30)
+        out[f"posterior_{stat}_max_rel_dev"] = float(rel.max())
+        out[f"posterior_{stat}_rtol_3sigma_mc"] = [round(float(r), 4)
+                                                   for r in rtol]
+        gate3 = gate3 and bool((rel <= rtol).all())
+    gate3 = gate3 and abs(acc_g - acc_f) < 0.03
+    out["gate3_statistical_parity_mc_calibrated"] = gate3
 
     # --- timings (bench.py methodology) ---------------------------------
     glnp = jnp.asarray(glnp)
