@@ -356,6 +356,17 @@ def bench_multifit() -> dict:
     flops_per_step = 2 * (gauss_elems * K * h * 9
                           + K * C * h * 12 + C * h * 6
                           + 3 * 2 * (cfg.ndim + 1) * NWALKERS * h)
+    # Same physical exp2-issue floor as bench_dense: reject collapsed
+    # slope measurements rather than publish an impossible rate.
+    mf_exp_step = 2 * (gauss_elems * K * h + 2 * K * C * h)
+    floor_s = mf_exp_step / VPU_ISSUE_OPS
+    if fused_s is not None and fused_s < floor_s:
+        fused_error = (f"under-resolved slope {fused_s:.3e} s/step "
+                       f"< exp2 issue floor {floor_s:.3e}")
+        fused_s = None
+    if general_s is not None and general_s < floor_s:
+        general_s = None
+    best = fused_s if fused_s is not None else general_s
     return {
         "ndim": cfg.ndim,
         "ncomp": cfg.ncomp,
@@ -386,11 +397,10 @@ def bench_multifit() -> dict:
         # alone accounts for the bulk of the vector pipe — further gains
         # need FEWER exps (coarser window math), not better scheduling.
         "roofline": ({
-            "exp2_per_step": (exp2_per_step := 2 * (gauss_elems * K * h
-                                                    + 2 * K * C * h)),
-            "exp2_per_sec": round(exp2_per_step / fused_s, 1),
+            "exp2_per_step": mf_exp_step,
+            "exp2_per_sec": round(mf_exp_step / fused_s, 1),
             "pct_vpu_issue_at_7slots_per_exp2": round(
-                100 * exp2_per_step / fused_s * EXP2_SLOT_OPS
+                100 * mf_exp_step / fused_s * EXP2_SLOT_OPS
                 / VPU_ISSUE_OPS, 1),
             "limiter": "transcendental (exp2) issue throughput",
         } if fused_s is not None else None),
@@ -570,14 +580,17 @@ def bench_dense() -> dict:
         fchain, _, _, (fpos, flnp) = run_fused(thetas, lnp0, key, 64)
         jax.block_until_ready(fchain)
         flnp = jnp.asarray(flnp)
-        # (512, 2048): at the kernel's ~19-27 us/step the length
+        # (2048, 8192): at the kernel's ~19-27 us/step the length
         # difference must represent >> the ~26 ms fixed dispatch cost's
-        # rep-to-rep noise — 192 steps (~4 ms) measured a NEGATIVE slope
-        # on 2026-08-20; 1536 steps is ~30-40 ms of real work.
+        # rep-to-rep noise. 192 steps (~4 ms) measured a NEGATIVE slope
+        # on 2026-08-20, and (512, 2048) measured an UNPHYSICAL 0.01
+        # us/step during the r5 warm capture (t(512) and t(2048) minima
+        # landed equal under post-compile pool contention) — 6144 steps
+        # is ~120-160 ms of real work, unambiguous at any plausible rate.
         fused_slope, _ = _slope_timed(
             lambda n, tag: run_fused(fpos, flnp,
                                      jax.random.fold_in(key, tag), n)[0],
-            512, 2048)
+            2048, 8192)
         fused_chain_error = None
         if fused_slope <= 0:
             fused_chain_error = f"nonpositive slope {fused_slope:.3e} s/step"
@@ -642,6 +655,23 @@ def bench_dense() -> dict:
     fused_flops_step = 2 * (h * (gauss_elems * 14 + q_flops
                                  + DENSE_CHANNELS * 18)
                             + 3 * 2 * 5 * NWALKERS * h)
+    # Physical floor: every exp2 in the step occupies >= 1 VPU issue slot,
+    # so a slope below exp2_per_step / VPU_ISSUE_OPS cannot be a real rate
+    # — it is a collapsed measurement (equal per-length minima under
+    # relay contention / result caching; the r5 warm capture produced an
+    # "0.01 us/step, 38,208% of peak" artifact this guard now rejects).
+    dense_exp_step = 2 * h * (2 * gauss_elems + 3 * DENSE_CHANNELS)
+    floor_s = dense_exp_step / VPU_ISSUE_OPS
+    if fused_slope is not None and fused_slope < floor_s:
+        fused_chain_error = (f"under-resolved slope {fused_slope:.3e} s/step"
+                             f" < exp2 issue floor {floor_s:.3e}")
+        fused_slope = None
+    if chain_slope is not None and chain_slope < floor_s:
+        chain_slope_error = (f"under-resolved slope {chain_slope:.3e} s/step"
+                             f" < exp2 issue floor {floor_s:.3e}")
+        chain_slope = None
+    best_chain = min((s for s in (fused_slope, chain_slope)
+                      if s is not None), default=None)
     return {
         "n_lines": L,
         "n_active_lines": La,
@@ -677,8 +707,7 @@ def bench_dense() -> dict:
         # half-eval; the Chebyshev Q surrogate removed the state-sum's
         # exp walk entirely (its Clenshaw recurrence is FMA-only).
         "fused_chain_roofline": ({
-            "exp2_per_step": (dense_exp_step := 2 * h * (
-                2 * gauss_elems + 3 * DENSE_CHANNELS)),
+            "exp2_per_step": dense_exp_step,
             "exp2_per_sec": round(dense_exp_step / fused_slope, 1),
             "pct_vpu_issue_at_7slots_per_exp2": round(
                 100 * dense_exp_step / fused_slope * EXP2_SLOT_OPS

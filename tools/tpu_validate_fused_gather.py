@@ -186,11 +186,16 @@ def main():
     # --- timings (bench.py methodology) ---------------------------------
     glnp = jnp.asarray(glnp)
     flnp = jnp.asarray(flnp)
+    # General at (64, 256): ~100-130 us/step resolves 192 steps fine.
+    # Fused at (2048, 8192) — bench.py's dense lengths, so the programs
+    # are warm relay-side: at ~20 us/step a 192-step difference is ~4 ms,
+    # inside dispatch noise (a negative and an unphysical slope were both
+    # observed at short lengths); 6144 steps is ~120 ms of real work.
     gs = _slope(lambda n, tag: run_ensemble(
         lnprob, gpos, glnp, jax.random.fold_in(key, tag), nsteps=n,
         batched=True)[0], 64, 256)
     fs = _slope(lambda n, tag: run_fused(
-        fpos, flnp, jax.random.fold_in(key, tag), n)[0], 64, 256)
+        fpos, flnp, jax.random.fold_in(key, tag), n)[0], 2048, 8192)
     out["general_us_per_step"] = round(gs * 1e6, 2)
     out["fused_us_per_step"] = round(fs * 1e6, 2)
     out["fused_speedup"] = round(gs / fs, 2)
