@@ -62,21 +62,41 @@ VPU_ISSUE_OPS = 8 * 128 * 4 * 0.94e9
 EXP2_SLOT_OPS = 7.0
 
 
+# While _chatter() has stdout redirected (redirect_stdout rebinds
+# sys.stdout PROCESS-WIDE, all threads), _EMIT holds the pre-redirect
+# stream so section/artifact emissions still reach the real stdout — in
+# the r5 warm capture the watchdog fired during the dense_full_fit
+# section and its artifact landed in the chatter file.
+_EMIT = None
+
+
+def _emit_line(text: str) -> None:
+    out = _EMIT or sys.stdout
+    out.write(text + "\n")
+    out.flush()
+
+
 @contextlib.contextmanager
 def _chatter():
-    """Route section setup chatter (reduction logs etc.) to a log file.
+    """Route section chatter (reduction logs, fit progress) to a log file.
 
     Round 4's captured tail was 100% ANSI reduction chatter that had been
     redirected to stderr — the driver records the combined-output tail, so
     anything noisy on EITHER stream can scroll the real results out of it.
     """
+    global _EMIT
     path = os.environ.get("CHA1_BENCH_LOG", "/tmp/bench_chatter.log")
     try:
         fh = open(path, "a")
     except OSError:
         fh = open(os.devnull, "w")
-    with fh, contextlib.redirect_stdout(fh):
-        yield
+    _EMIT = sys.stdout
+    try:
+        with fh, contextlib.redirect_stdout(fh), \
+                contextlib.redirect_stderr(fh):
+            yield
+    finally:
+        _EMIT = None
 
 
 def _problem():
@@ -1020,8 +1040,7 @@ def _on_real_tpu() -> bool:
 def _stream_section(name: str, entry: dict) -> None:
     """One JSON line per completed section, immediately — the driver
     records the output tail, so completed sections survive a hard kill."""
-    sys.stdout.write(json.dumps({"bench_section": name, **entry}) + "\n")
-    sys.stdout.flush()
+    _emit_line(json.dumps({"bench_section": name, **entry}))
 
 
 def run_sections(sections, probe, deadline_s, partial_path,
@@ -1053,8 +1072,7 @@ def run_sections(sections, probe, deadline_s, partial_path,
                 }
         out = _assemble(results, probe)
         out["watchdog_fired"] = True
-        sys.stdout.write(json.dumps(out) + "\n")
-        sys.stdout.flush()
+        _emit_line(json.dumps(out))
         os._exit(0)
 
     watchdog = threading.Timer(deadline_s, emit_and_exit)
@@ -1165,7 +1183,7 @@ def main(sections=None):
     out = _assemble(results, probe)
     out["warm"] = {"digest": digest, "match": warm["match"],
                    "forced": bool(warm.get("forced"))}
-    print(json.dumps(out))
+    _emit_line(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -198,6 +198,47 @@ bench.run_sections([("baseline", ok, False), ("tpu", tpu, True),
     assert recovered["tpu"]["rate"] == 5e6
 
 
+def test_watchdog_artifact_escapes_chatter_redirect(tmp_path):
+    """redirect_stdout is process-wide: when the watchdog fires while a
+    section has bench._chatter() active (the r5 warm-2 failure: the
+    artifact landed in the chatter file), the emitted artifact must still
+    reach the REAL stdout."""
+    code = """
+import sys, time
+sys.path.insert(0, {repo!r})
+import bench
+
+def ok():
+    return {{"rate": 1.0, "single_core_rate": 1.0, "cores": 1,
+             "evals": 1, "seconds": 0.0}}
+
+def hang_in_chatter():
+    with bench._chatter():
+        print("this goes to the chatter file")
+        time.sleep(60)
+
+probe = {{"ok": True, "seconds": 0.0, "error": None}}
+bench.run_sections([("baseline", ok, False), ("tpu", hang_in_chatter, True)],
+                   probe, deadline_s=1.0, partial_path=None)
+""".format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env = dict(os.environ, CHA1_PLATFORM="cpu",
+               CHA1_BENCH_LOG=str(tmp_path / "chatter.log"))
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                          text=True, timeout=30, env=env)
+    assert proc.returncode == 0
+    stdout_jsons = [json.loads(l) for l in proc.stdout.splitlines()
+                    if l.startswith("{")]
+    art = stdout_jsons[-1]
+    assert art["watchdog_fired"] is True
+    assert "watchdog" in art["tpu_error"]
+    # The chatter print stayed off stdout (it sits in the redirect
+    # buffer, unflushed by os._exit), and the artifact stayed out of the
+    # chatter file.
+    assert "this goes to the chatter file" not in proc.stdout
+    assert "watchdog_fired" not in (tmp_path / "chatter.log").read_text()
+
+
 def test_cold_heavy_section_skipped_until_warmed(tmp_path):
     """Heavy sections (30-50 min cold terminal compiles) must be marked
     'cold' when the warm sentinel doesn't match the current program digest
